@@ -1,0 +1,126 @@
+"""Environment-backed configuration.
+
+Reproduces the reference's single-settings-object pattern
+(reference: app/config.py:4-44) without pydantic-settings (not available in
+this image): a dataclass whose fields are populated from environment
+variables (upper-cased field name), with an optional ``.env`` file.
+
+Adds the TPU-native knobs that have no reference counterpart: device index
+capacities/dtypes, lexical signature dimensionality, ANN recall target and
+mesh shape (SURVEY.md §5 "config/flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Optional
+
+
+def _parse_bool(raw: str) -> bool:
+    return raw.strip().lower() in {"1", "true", "yes", "on"}
+
+
+def _load_env_file(path: str) -> dict:
+    values: dict = {}
+    p = Path(path)
+    if not p.is_file():
+        return values
+    for line in p.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        values[key.strip().upper()] = val.strip().strip("'\"")
+    return values
+
+
+@dataclasses.dataclass
+class Settings:
+    # --- host metadata store (replaces DATABASE_URL/Postgres) ---
+    store_path: str = "./cadence_rag.db"
+    skip_version_check: bool = False
+
+    # --- embedding provider (HTTP contract parity: app/embeddings.py) ---
+    embeddings_base_url: str = ""
+    embeddings_model_id: str = "Qwen/Qwen3-Embedding-4B"
+    embeddings_dim: int = 1024
+    embeddings_timeout_s: float = 180.0
+    embeddings_batch_size: int = 32
+    # "stub" = deterministic hash embedder (tests/bench); "http" = external
+    # service; "neural" = in-process JAX embedder (models/embedder.py).
+    embeddings_provider: str = ""
+
+    # --- dense planner (parity: app/retrieve.py:277-300) ---
+    embeddings_exact_scan_threshold: int = 2000
+    embeddings_hnsw_ef_search: int = 80
+
+    # --- filesystem ingest queue (parity: app/ingest_fs.py) ---
+    ingest_queue_name: str = "ingest"
+    ingest_root_dir: str = "./ingest"
+    ingest_poll_seconds: int = 5
+    ingest_auto_manifest: bool = True
+    ingest_single_file_min_age_s: int = 5
+    ingest_job_max_attempts: int = 3
+    ingest_job_retry_backoff_s: int = 10
+    ingest_auto_embed_on_success: bool = True
+    ingest_auto_embed_fail_on_error: bool = False
+
+    # --- analysis PDF OCR (parity: app/config.py:27-34) ---
+    analysis_pdf_ocr_enabled: bool = False
+    analysis_pdf_ocr_command: str = "ocrmypdf"
+    analysis_pdf_ocr_languages: str = "eng"
+    analysis_pdf_ocr_min_chars: int = 400
+    analysis_pdf_ocr_min_alpha_ratio: float = 0.55
+    analysis_pdf_ocr_max_pages: int = 150
+    analysis_pdf_ocr_timeout_s: int = 600
+    analysis_pdf_ocr_force: bool = False
+
+    log_level: str = "INFO"
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    # Device index capacity is padded to these sizes; growing beyond a
+    # capacity re-jits once per doubling (core/index.py).
+    index_initial_capacity: int = 4096
+    index_embedding_dtype: str = "bfloat16"  # storage dtype; accum is f32
+    lexical_dim: int = 4096                  # hashed BM25 signature buckets
+    lexical_dtype: str = "int8"
+    tech_hash_slots: int = 16                # token-hash slots per document
+    ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
+    retrieve_batch_window_ms: int = 0        # server-side query batching
+    mesh_shape: str = ""                     # e.g. "data:4,model:2"; empty = single chip
+    use_pallas_fused: bool = False           # fused multi-lane Pallas kernel
+
+    def __post_init__(self) -> None:
+        env = dict(_load_env_file(os.environ.get("CADENCE_ENV_FILE", ".env")))
+        env.update(os.environ)
+        for field in dataclasses.fields(self):
+            raw = env.get(field.name.upper())
+            if raw is None:
+                continue
+            if field.type in ("bool", bool):
+                value: object = _parse_bool(raw)
+            elif field.type in ("int", int):
+                value = int(raw)
+            elif field.type in ("float", float):
+                value = float(raw)
+            else:
+                value = raw
+            setattr(self, field.name, value)
+
+
+settings = Settings()
+
+
+def reload_settings() -> Settings:
+    """Re-read the environment into the module-level singleton.
+
+    The reference's tests re-import app modules so module-level settings
+    rebind (reference: tests/conftest.py:91-126); we instead mutate the
+    singleton in place so every importer observes fresh values.
+    """
+    fresh = Settings()
+    for field in dataclasses.fields(Settings):
+        setattr(settings, field.name, getattr(fresh, field.name))
+    return settings

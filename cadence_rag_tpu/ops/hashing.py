@@ -1,0 +1,141 @@
+"""Feature hashing for the lexical and tech-token lanes.
+
+The reference's lexical lane is pg_search BM25 over an ngram(3,3) tokenizer
+(reference: alembic/versions/0005:17-37) and its exact-token lane is a GIN
+array-overlap over extracted tech tokens (reference: app/retrieve.py:183-242).
+On TPU both become fixed-width hashed representations:
+
+- lexical: signed feature hashing of word tokens + char trigrams into
+  ``D`` buckets (signed hashing decorrelates collisions, Weinberger et al.),
+  BM25 term weights folded in at ingest so query scoring is an int8 matmul.
+- tech tokens: one 64-bit FNV-1a hash per token, reduced to a positive int32
+  slot value (0 is the empty sentinel).
+
+The hash (FNV-1a 64) and the feature extraction rules here are the canonical
+contract; the optional C++ featurizer (native/lexhash.cpp) must match them
+bit-for-bit and is verified by tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+_WS_RE = re.compile(r"\s+")
+
+# BM25 parameters (Robertson/Sparck-Jones defaults, matching pg_search's
+# tantivy scorer family).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Term weights tf*(k1+1)/(tf+k1*norm) are bounded by k1+1=2.2; bucket sums of
+# colliding terms can exceed it, so quantize with headroom.
+LEX_QUANT_SCALE = 127.0 / 4.0
+
+
+def fnv1a64(data: bytes) -> int:
+    h = FNV_OFFSET
+    for byte in data:
+        h ^= byte
+        h = (h * FNV_PRIME) & _MASK64
+    return h
+
+
+def normalize_text(text: str) -> str:
+    return _WS_RE.sub(" ", text.lower()).strip()
+
+
+def lexical_features(text: str) -> Dict[int, int]:
+    """Map text -> {feature_hash64: term_frequency}.
+
+    Features are word tokens (prefix ``w:``) and char trigrams of the
+    normalized text (prefix ``g:``), mirroring the reference's "token +
+    ngram(3,3) alias field" dual indexing (alembic 0005).
+    """
+    norm = normalize_text(text)
+    counts: Dict[int, int] = {}
+    for word in _WORD_RE.findall(norm):
+        h = fnv1a64(b"w:" + word.encode("utf-8"))
+        counts[h] = counts.get(h, 0) + 1
+    data = norm.encode("utf-8")
+    for i in range(len(data) - 2):
+        h = fnv1a64(b"g:" + data[i : i + 3])
+        counts[h] = counts.get(h, 0) + 1
+    return counts
+
+
+def bucket_and_sign(h: int, dim: int) -> Tuple[int, int]:
+    """Bucket uses the low hash bits; sign a decoupled high bit."""
+    bucket = h % dim
+    sign = 1 if (h >> 33) & 1 else -1
+    return bucket, sign
+
+
+def doc_signature(
+    text: str, dim: int, avgdl: float, k1: float = BM25_K1, b: float = BM25_B
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Build one document's quantized BM25 signature row.
+
+    Returns ``(weights_int8[dim], touched_buckets[int32], doc_len)``.
+    BM25's per-term document factor tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is
+    folded in here; the query side contributes idf (see query_vector), so
+    score(q, d) = q . w_d is BM25 over hashed buckets.
+    """
+    counts = lexical_features(text)
+    dl = sum(counts.values())
+    norm = 1.0 - b + b * (dl / max(avgdl, 1.0))
+    acc = np.zeros(dim, dtype=np.float32)
+    for h, tf in counts.items():
+        bucket, sign = bucket_and_sign(h, dim)
+        acc[bucket] += sign * (tf * (k1 + 1.0)) / (tf + k1 * norm)
+    quant = np.clip(np.rint(acc * LEX_QUANT_SCALE), -127, 127).astype(np.int8)
+    touched = np.flatnonzero(acc).astype(np.int32)
+    return quant, touched, dl
+
+
+def query_vector(
+    text: str, dim: int, doc_freq: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """Build the idf-weighted signed query vector (float32[dim]).
+
+    idf uses bucket-granularity document frequencies maintained by the index
+    (an upper bound on true per-term df; collisions only dampen weights).
+    """
+    counts = lexical_features(text)
+    q = np.zeros(dim, dtype=np.float32)
+    if not counts or n_docs <= 0:
+        return q
+    for h, tf in counts.items():
+        bucket, sign = bucket_and_sign(h, dim)
+        df = float(doc_freq[bucket])
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        q[bucket] += sign * idf * min(tf, 3)
+    return q / LEX_QUANT_SCALE
+
+
+def tech_token_hashes(tokens: Sequence[str], slots: int) -> np.ndarray:
+    """Hash tech tokens to positive int32 slot values (0 = empty sentinel).
+
+    Matching is case-insensitive, like the reference's normalization of
+    extracted tokens (reference: app/ingest.py:150-160).
+    """
+    out = np.zeros(slots, dtype=np.int32)
+    seen = set()
+    idx = 0
+    for token in tokens:
+        key = token.strip().lower()
+        if not key or key in seen:
+            continue
+        seen.add(key)
+        if idx >= slots:
+            break
+        h = fnv1a64(b"t:" + key.encode("utf-8"))
+        out[idx] = np.int32((h % 0x7FFFFFFE) + 1)
+        idx += 1
+    return out

@@ -1,0 +1,82 @@
+"""Batched cosine top-k over the HBM-resident embedding matrix.
+
+Replaces pgvector's two scan modes (reference: app/retrieve.py:326-389):
+
+- exact scan (`ORDER BY embedding <=> q` with index scans disabled) becomes
+  an MXU matmul + exact ``jax.lax.top_k``;
+- the HNSW ANN path (`hnsw.ef_search`) becomes ``jax.lax.approx_max_k`` —
+  XLA:TPU's PartialReduce aggregate-to-topk, the peak-FLOPs TPU ANN
+  primitive (TPU-KNN, Chern et al. 2022). ``ef_search`` maps onto the
+  recall_target knob (engine/planner.py).
+
+Embeddings are unit-normalized (the embedding contract truncates to 1024-d
+and L2-normalizes: reference P620_..RUNBOOK.md:703-715), so cosine ≡ dot and
+distance 1-cos maps to score = dot.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def dense_scores(
+    q_emb: jax.Array, emb: jax.Array
+) -> jax.Array:
+    """(B, dim) x (N, dim) -> (B, N) cosine scores, f32 accumulation."""
+    return jax.lax.dot_general(
+        q_emb.astype(emb.dtype),
+        emb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def masked_topk_exact(
+    scores: jax.Array, mask: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of (B, N) scores under a (B, N) validity mask."""
+    masked = jnp.where(mask, scores, NEG_INF)
+    return jax.lax.top_k(masked, k)
+
+
+def masked_topk_approx(
+    scores: jax.Array, mask: jax.Array, k: int, recall_target: float
+) -> Tuple[jax.Array, jax.Array]:
+    """ANN top-k via XLA:TPU aggregate-to-topk (lax.approx_max_k)."""
+    masked = jnp.where(mask, scores, NEG_INF)
+    return jax.lax.approx_max_k(
+        masked, k, recall_target=recall_target, aggregate_to_topk=True
+    )
+
+
+def cosine_topk(
+    q_emb: jax.Array,
+    emb: jax.Array,
+    mask: jax.Array,
+    k: int,
+    *,
+    mode: str = "exact",
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full dense lane: scores + masked top-k. Returns (scores_k, positions_k)."""
+    scores = dense_scores(q_emb, emb)
+    if mode == "exact":
+        return masked_topk_exact(scores, mask, k)
+    return masked_topk_approx(scores, mask, k, recall_target)
+
+
+def reference_topk_numpy(q_emb, emb, mask, k):
+    """Pure-numpy oracle used by kernel parity tests (f32 throughout)."""
+    import numpy as np
+
+    scores = np.asarray(q_emb, dtype=np.float32) @ np.asarray(
+        emb, dtype=np.float32
+    ).T
+    scores = np.where(np.asarray(mask), scores, -np.inf)
+    idx = np.argsort(-scores, axis=-1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=-1), idx
