@@ -1,0 +1,416 @@
+"""HBM-resident retrieval index.
+
+The reference's search state lives in Postgres tables + native extension
+indexes (HNSW graph, BM25 postings, GIN arrays). Here it is four device
+arrays per corpus (embeddings, int8 lexical signatures, tech-token hash
+slots, filter metadata), capacity-padded so shapes stay static under jit:
+
+- inserts are donated ``dynamic_update_slice`` calls (in-place buffer reuse,
+  no O(capacity) copies); insert batches are padded to power-of-two sizes so
+  the number of compiled insert variants is logarithmic;
+- growth doubles capacity (re-jit once per doubling, amortized O(log N));
+- queries run the fused multi-lane program (ops/fused.py).
+
+Incremental ingest vs static shapes is the central tension called out in
+SURVEY.md §7 "hard parts"; this module is the answer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import settings
+from ..ops.fused import multi_lane_retrieve
+from ..ops.techlane import INT32_MIN as _DEV_INT32_MIN
+
+INT32_MIN = np.int32(-2147483648)
+INT32_MAX = np.int32(2147483647)
+
+
+@dataclasses.dataclass
+class DocRow:
+    doc_id: int
+    call_seq: int
+    started_sec: int
+    lex_sig: np.ndarray            # (lex_dim,) int8
+    lex_dl: int
+    lex_touched: np.ndarray        # (t,) int32 buckets, for df updates
+    tech: np.ndarray               # (tech_slots,) int32
+    embedding: Optional[np.ndarray]  # (dim,) f32 unit vector or None
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_slab(buf: jax.Array, slab: jax.Array, start) -> jax.Array:
+    start_idx = (start,) + (0,) * (buf.ndim - 1)
+    return jax.lax.dynamic_update_slice(buf, slab, start_idx)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf: jax.Array, pos: jax.Array, rows: jax.Array) -> jax.Array:
+    return buf.at[pos].set(rows)
+
+
+def _pad_rows(arr: np.ndarray, padded: int) -> np.ndarray:
+    if arr.shape[0] == padded:
+        return arr
+    pad = np.zeros((padded - arr.shape[0],) + arr.shape[1:], dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class CorpusIndex:
+    """One document class (chunks or artifact_chunks) on device."""
+
+    def __init__(
+        self,
+        name: str,
+        *,
+        dim: int,
+        lex_dim: int,
+        tech_slots: int,
+        capacity: int,
+        emb_dtype: str = "bfloat16",
+    ):
+        self.name = name
+        self.dim = dim
+        self.lex_dim = lex_dim
+        self.tech_slots = tech_slots
+        self.capacity = max(8, capacity)
+        self.emb_dtype = jnp.dtype(emb_dtype)
+        self.count = 0
+        self._alloc_device(self.capacity)
+        # host mirrors (cheap per-doc scalars) for id mapping + planning
+        self.h_ids = np.zeros(self.capacity, dtype=np.int64)
+        self.h_call = np.zeros(self.capacity, dtype=np.int32)
+        self.h_started = np.full(self.capacity, INT32_MIN, dtype=np.int32)
+        self.h_has_emb = np.zeros(self.capacity, dtype=bool)
+        # lexical corpus stats (df at bucket granularity, running avgdl)
+        self.doc_freq = np.zeros(lex_dim, dtype=np.int64)
+        self.dl_sum = 0
+
+    def _alloc_device(self, cap: int) -> None:
+        self.emb = jnp.zeros((cap, self.dim), dtype=self.emb_dtype)
+        self.lex = jnp.zeros((cap, self.lex_dim), dtype=jnp.int8)
+        self.tech = jnp.zeros((cap, self.tech_slots), dtype=jnp.int32)
+        self.call_idx = jnp.zeros((cap,), dtype=jnp.int32)
+        self.started = jnp.full((cap,), int(INT32_MIN), dtype=jnp.int32)
+        self.has_emb = jnp.zeros((cap,), dtype=jnp.bool_)
+
+    @property
+    def avgdl(self) -> float:
+        return (self.dl_sum / self.count) if self.count else 0.0
+
+    # -- growth ---------------------------------------------------------
+    def _grow_to(self, cap: int) -> None:
+        old = (self.emb, self.lex, self.tech, self.call_idx, self.started,
+               self.has_emb)
+        self.capacity = cap
+        self._alloc_device(cap)
+        self.emb = _write_slab(self.emb, old[0], 0)
+        self.lex = _write_slab(self.lex, old[1], 0)
+        self.tech = _write_slab(self.tech, old[2], 0)
+        self.call_idx = _write_slab(self.call_idx, old[3], 0)
+        self.started = _write_slab(self.started, old[4], 0)
+        self.has_emb = _write_slab(self.has_emb, old[5], 0)
+        for attr in ("h_ids", "h_call", "h_started", "h_has_emb"):
+            mirror = getattr(self, attr)
+            grown = np.zeros(cap, dtype=mirror.dtype)
+            if mirror.dtype == np.int32 and attr == "h_started":
+                grown[:] = INT32_MIN
+            grown[: mirror.shape[0]] = mirror
+            setattr(self, attr, grown)
+
+    def ensure_capacity(self, extra: int) -> None:
+        need = self.count + extra
+        if need <= self.capacity:
+            return
+        cap = self.capacity
+        while cap < need:
+            cap *= 2
+        self._grow_to(cap)
+
+    # -- ingest -----------------------------------------------------------
+    def insert(self, rows: Sequence[DocRow]) -> None:
+        if not rows:
+            return
+        self.ensure_capacity(len(rows))
+        n = len(rows)
+        padded = _next_pow2(n)
+        start = self.count
+
+        emb = np.zeros((n, self.dim), dtype=np.float32)
+        has = np.zeros(n, dtype=bool)
+        for i, r in enumerate(rows):
+            if r.embedding is not None:
+                emb[i] = r.embedding
+                has[i] = True
+        lex = np.stack([r.lex_sig for r in rows]).astype(np.int8)
+        tech = np.stack([r.tech for r in rows]).astype(np.int32)
+        call = np.array([r.call_seq for r in rows], dtype=np.int32)
+        started = np.array([r.started_sec for r in rows], dtype=np.int32)
+
+        # Pad the slab; padding rows land beyond count and their
+        # started_sec stays valid-looking, so clamp pad rows to invalid.
+        pad_started = np.full(padded, INT32_MIN, dtype=np.int32)
+        pad_started[:n] = started
+
+        self.emb = _write_slab(
+            self.emb, jnp.asarray(_pad_rows(emb, padded), dtype=self.emb_dtype), start
+        )
+        self.lex = _write_slab(self.lex, jnp.asarray(_pad_rows(lex, padded)), start)
+        self.tech = _write_slab(self.tech, jnp.asarray(_pad_rows(tech, padded)), start)
+        self.call_idx = _write_slab(
+            self.call_idx, jnp.asarray(_pad_rows(call, padded)), start
+        )
+        self.started = _write_slab(self.started, jnp.asarray(pad_started), start)
+        self.has_emb = _write_slab(
+            self.has_emb, jnp.asarray(_pad_rows(has, padded)), start
+        )
+
+        for i, r in enumerate(rows):
+            pos = start + i
+            self.h_ids[pos] = r.doc_id
+            self.h_call[pos] = r.call_seq
+            self.h_started[pos] = r.started_sec
+            self.h_has_emb[pos] = has[i]
+            self.doc_freq[r.lex_touched] += 1
+            self.dl_sum += r.lex_dl
+        self.count += n
+
+    def set_embeddings(
+        self, doc_ids: Sequence[int], vectors: np.ndarray
+    ) -> int:
+        """Backfill embeddings for existing rows (reference analogue:
+        UPDATE ... SET embedding, app/embedding_pipeline.py:149-168)."""
+        id_to_pos = self.position_of(doc_ids)
+        mask = id_to_pos >= 0
+        if not mask.any():
+            return 0
+        pos = id_to_pos[mask]
+        vals = np.asarray(vectors, dtype=np.float32)[mask]
+        n = pos.shape[0]
+        padded = _next_pow2(n)
+        pad_pos = np.full(padded, pos[0], dtype=np.int32)
+        pad_pos[:n] = pos
+        pad_vals = np.zeros((padded, self.dim), dtype=np.float32)
+        pad_vals[:n] = vals
+        pad_vals[n:] = vals[0] if n else 0.0
+        self.emb = _scatter_rows(
+            self.emb, jnp.asarray(pad_pos), jnp.asarray(pad_vals, dtype=self.emb_dtype)
+        )
+        flags = np.ones(padded, dtype=bool)
+        self.has_emb = _scatter_rows(
+            self.has_emb, jnp.asarray(pad_pos), jnp.asarray(flags)
+        )
+        self.h_has_emb[pos] = True
+        return int(n)
+
+    def position_of(self, doc_ids: Sequence[int]) -> np.ndarray:
+        lookup = {int(d): p for p, d in enumerate(self.h_ids[: self.count])}
+        return np.array([lookup.get(int(d), -1) for d in doc_ids], dtype=np.int32)
+
+    # -- planning ---------------------------------------------------------
+    def estimate_candidates(
+        self,
+        allowed_calls: Optional[np.ndarray],
+        date_min: int,
+        date_max: int,
+        require_embedding: bool = True,
+    ) -> int:
+        """Masked row count for the exact-vs-ANN planner (reference:
+        app/retrieve.py:303-323 COUNT(*) under filters). Host mirrors make
+        this a vectorized numpy pass, no device round-trip."""
+        n = self.count
+        if n == 0:
+            return 0
+        mask = (self.h_started[:n] >= date_min) & (self.h_started[:n] <= date_max)
+        if allowed_calls is not None:
+            mask &= allowed_calls[self.h_call[:n]]
+        if require_embedding:
+            mask &= self.h_has_emb[:n]
+        return int(mask.sum())
+
+    # -- checkpoint (core/checkpoint.py drives these) ----------------------
+    def state_arrays(self) -> Dict[str, np.ndarray]:
+        c = self.count
+        return {
+            "emb": np.asarray(self.emb[:c], dtype=np.float32),
+            "lex": np.asarray(self.lex[:c]),
+            "tech": np.asarray(self.tech[:c]),
+            "ids": self.h_ids[:c].copy(),
+            "call": self.h_call[:c].copy(),
+            "started": self.h_started[:c].copy(),
+            "has_emb": self.h_has_emb[:c].copy(),
+            "doc_freq": self.doc_freq.copy(),
+            "dl_sum": np.array([self.dl_sum], dtype=np.int64),
+        }
+
+    def load_state(self, arrays: Dict[str, np.ndarray]) -> None:
+        n = int(arrays["ids"].shape[0])
+        self.count = 0
+        cap = max(self.capacity, _next_pow2(max(n, 8)))
+        self.capacity = cap
+        self._alloc_device(cap)
+        self.h_ids = np.zeros(cap, dtype=np.int64)
+        self.h_call = np.zeros(cap, dtype=np.int32)
+        self.h_started = np.full(cap, INT32_MIN, dtype=np.int32)
+        self.h_has_emb = np.zeros(cap, dtype=bool)
+        if n:
+            padded = _next_pow2(n)
+            started = np.full(padded, INT32_MIN, dtype=np.int32)
+            started[:n] = arrays["started"]
+            self.emb = _write_slab(
+                self.emb,
+                jnp.asarray(_pad_rows(arrays["emb"].astype(np.float32), padded),
+                            dtype=self.emb_dtype), 0,
+            )
+            self.lex = _write_slab(
+                self.lex, jnp.asarray(_pad_rows(arrays["lex"].astype(np.int8), padded)), 0
+            )
+            self.tech = _write_slab(
+                self.tech, jnp.asarray(_pad_rows(arrays["tech"].astype(np.int32), padded)), 0
+            )
+            self.call_idx = _write_slab(
+                self.call_idx, jnp.asarray(_pad_rows(arrays["call"].astype(np.int32), padded)), 0
+            )
+            self.started = _write_slab(self.started, jnp.asarray(started), 0)
+            self.has_emb = _write_slab(
+                self.has_emb, jnp.asarray(_pad_rows(arrays["has_emb"].astype(bool), padded)), 0
+            )
+            self.h_ids[:n] = arrays["ids"]
+            self.h_call[:n] = arrays["call"]
+            self.h_started[:n] = arrays["started"]
+            self.h_has_emb[:n] = arrays["has_emb"]
+        self.doc_freq = arrays["doc_freq"].astype(np.int64)
+        self.dl_sum = int(arrays["dl_sum"][0])
+        self.count = n
+
+    # -- query -------------------------------------------------------------
+    def query(
+        self,
+        q_emb: Optional[np.ndarray],      # (B, dim) f32 or None
+        q_lex: np.ndarray,                # (B, lex_dim) f32
+        q_tech: np.ndarray,               # (B, Q) int32
+        allowed_calls: np.ndarray,        # (B, C) bool
+        date_min: np.ndarray,             # (B,) int32
+        date_max: np.ndarray,             # (B,) int32
+        *,
+        k_dense: int,
+        k_lex: int,
+        k_tech: int,
+        dense_mode: str = "exact",
+        recall_target: Optional[float] = None,
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Runs the fused program; returns per-lane (doc_ids, scores) with
+        padding/non-matches removed. Empty index -> empty lanes."""
+        if self.count == 0:
+            empty = (np.zeros((q_lex.shape[0], 0), dtype=np.int64),
+                     np.zeros((q_lex.shape[0], 0), dtype=np.float32))
+            lanes = {"lex": empty, "tech": empty}
+            if q_emb is not None:
+                lanes["dense"] = empty
+            return lanes
+
+        batch = q_lex.shape[0]
+        dense_enabled = q_emb is not None
+        k_dense_c = min(k_dense, self.capacity)
+        k_lex_c = min(k_lex, self.capacity)
+        k_tech_c = min(k_tech, self.capacity)
+        out = multi_lane_retrieve(
+            self.emb, self.lex, self.tech, self.call_idx, self.started,
+            jnp.asarray(q_emb if dense_enabled
+                        else np.zeros((batch, self.dim), np.float32)),
+            jnp.asarray(q_lex), jnp.asarray(q_tech),
+            jnp.asarray(allowed_calls),
+            jnp.asarray(date_min), jnp.asarray(date_max),
+            k_dense=k_dense_c, k_lex=k_lex_c, k_tech=k_tech_c,
+            dense_mode=dense_mode,
+            recall_target=float(
+                recall_target
+                if recall_target is not None
+                else settings.ann_recall_target
+            ),
+            dense_enabled=dense_enabled,
+        )
+        result: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        for lane, (scores, pos) in out.items():
+            scores = np.asarray(scores)
+            pos = np.asarray(pos)
+            ids_rows: List[np.ndarray] = []
+            score_rows: List[np.ndarray] = []
+            for b in range(batch):
+                if lane == "tech":
+                    keep = scores[b] != int(_DEV_INT32_MIN)
+                else:
+                    keep = np.isfinite(scores[b])
+                keep &= pos[b] < self.count
+                ids_rows.append(self.h_ids[pos[b][keep]])
+                score_rows.append(scores[b][keep].astype(np.float32))
+            result[lane] = (ids_rows, score_rows)  # type: ignore[assignment]
+        return result
+
+
+class DeviceIndexManager:
+    """Both corpora + the call registry capacity used for filter bitmaps."""
+
+    def __init__(self) -> None:
+        cap = int(settings.index_initial_capacity)
+        self.chunks = CorpusIndex(
+            "chunks",
+            dim=int(settings.embeddings_dim),
+            lex_dim=int(settings.lexical_dim),
+            tech_slots=int(settings.tech_hash_slots),
+            capacity=cap,
+            emb_dtype=settings.index_embedding_dtype,
+        )
+        self.artifacts = CorpusIndex(
+            "artifact_chunks",
+            dim=int(settings.embeddings_dim),
+            lex_dim=int(settings.lexical_dim),
+            tech_slots=int(settings.tech_hash_slots),
+            capacity=cap,
+            emb_dtype=settings.index_embedding_dtype,
+        )
+        self.call_capacity = 256
+
+    def ensure_call_capacity(self, n_calls: int) -> None:
+        while self.call_capacity < n_calls:
+            self.call_capacity *= 2
+
+    def corpus(self, name: str) -> CorpusIndex:
+        if name == "chunks":
+            return self.chunks
+        if name == "artifact_chunks":
+            return self.artifacts
+        raise KeyError(name)
+
+
+_index: Optional[DeviceIndexManager] = None
+_index_lock = threading.Lock()
+
+
+def get_index() -> DeviceIndexManager:
+    global _index
+    with _index_lock:
+        if _index is None:
+            _index = DeviceIndexManager()
+        return _index
+
+
+def reset_index() -> None:
+    global _index
+    with _index_lock:
+        _index = None

@@ -1,0 +1,106 @@
+"""Embedding provider registry + the reference-compatible facade.
+
+``embed_texts``/``embed_texts_batched``/``embeddings_enabled`` mirror the
+reference client surface (reference: app/embeddings.py:21-100) so the
+engine's degrade ladder (dense -> lexical_only on provider failure,
+app/retrieve.py:425-431) carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Protocol, Sequence
+
+from ..config import settings
+
+
+class EmbeddingError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingResult:
+    vectors: List[List[float]]
+    model: str
+
+
+class EmbeddingProvider(Protocol):
+    model_id: str
+
+    def embed(self, texts: Sequence[str]) -> EmbeddingResult: ...
+
+
+def _clean_texts(texts: Sequence[str]) -> List[str]:
+    cleaned = [t.strip() for t in texts if isinstance(t, str) and t.strip()]
+    if not cleaned:
+        raise EmbeddingError("embedding request requires at least one non-empty text")
+    return cleaned
+
+
+def _check_dims(vectors: Sequence[Sequence[float]]) -> List[List[float]]:
+    expected = int(settings.embeddings_dim)
+    out: List[List[float]] = []
+    for i, vec in enumerate(vectors):
+        if len(vec) != expected:
+            raise EmbeddingError(
+                f"embedding {i} has dim {len(vec)}; expected {expected}"
+            )
+        out.append([float(v) for v in vec])
+    return out
+
+
+def provider_kind() -> str:
+    kind = (settings.embeddings_provider or "").strip().lower()
+    if kind:
+        return kind
+    return "http" if settings.embeddings_base_url.strip() else ""
+
+
+def embeddings_enabled() -> bool:
+    return bool(provider_kind())
+
+
+def get_provider() -> EmbeddingProvider:
+    kind = provider_kind()
+    if kind == "http":
+        from .client import HttpEmbeddingProvider
+
+        return HttpEmbeddingProvider()
+    if kind == "stub":
+        from .stub import HashEmbeddingProvider
+
+        return HashEmbeddingProvider()
+    if kind == "neural":
+        from ..models.embedder import NeuralEmbeddingProvider
+
+        return NeuralEmbeddingProvider.shared()
+    raise EmbeddingError("no embedding provider configured")
+
+
+def embed_texts(texts: Sequence[str]) -> EmbeddingResult:
+    if not embeddings_enabled():
+        raise EmbeddingError("no embedding provider configured")
+    cleaned = _clean_texts(texts)
+    result = get_provider().embed(cleaned)
+    if len(result.vectors) != len(cleaned):
+        raise EmbeddingError(
+            f"embedding count mismatch: got {len(result.vectors)}, "
+            f"expected {len(cleaned)}"
+        )
+    return EmbeddingResult(_check_dims(result.vectors), result.model)
+
+
+def embed_texts_batched(
+    texts: Sequence[str], batch_size: Optional[int] = None
+) -> EmbeddingResult:
+    cleaned = _clean_texts(texts)
+    size = batch_size or int(settings.embeddings_batch_size)
+    if size <= 0:
+        raise EmbeddingError("batch size must be > 0")
+    vectors: List[List[float]] = []
+    model = settings.embeddings_model_id
+    for start in range(0, len(cleaned), size):
+        result = embed_texts(cleaned[start : start + size])
+        vectors.extend(result.vectors)
+        model = result.model
+    return EmbeddingResult(vectors, model)

@@ -1,0 +1,109 @@
+"""Filter resolution: RetrieveFilters -> device mask inputs.
+
+The reference resolves external_id to call_ids and renders SQL WHERE
+clauses per lane (reference: app/retrieve.py:46-120). Here every filter
+becomes (a) a per-call boolean bitmap over the call registry and (b) an
+epoch-second date window — the device gathers the bitmap through each
+document's call index (ops/masks.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Set
+
+import numpy as np
+
+from ..core.index import INT32_MAX, INT32_MIN
+from ..schemas import RetrieveFilters
+from ..store.db import Store
+from ..utils.timeutil import epoch_sec
+
+
+@dataclasses.dataclass
+class ResolvedFilters:
+    allowed_calls: np.ndarray   # (call_capacity,) bool
+    date_min: int
+    date_max: int
+    scoped: bool                # planner input (app/retrieve.py:267-274)
+    call_ids: Optional[List[str]]  # resolved explicit scoping, or None
+
+
+def resolve_filters(
+    store: Store,
+    filters: Optional[RetrieveFilters],
+    call_capacity: int,
+) -> ResolvedFilters:
+    allowed = np.ones(call_capacity, dtype=bool)
+    date_min = int(INT32_MIN) + 1
+    date_max = int(INT32_MAX)
+    call_ids: Optional[Set[str]] = None
+
+    if filters is None:
+        return ResolvedFilters(allowed, date_min, date_max, False, None)
+
+    if filters.call_ids:
+        call_ids = {str(c) for c in filters.call_ids}
+
+    if filters.external_id:
+        with store.read() as conn:
+            if filters.external_source is None:
+                rows = conn.execute(
+                    "SELECT call_id FROM calls WHERE external_id = ?",
+                    (filters.external_id,),
+                ).fetchall()
+            else:
+                rows = conn.execute(
+                    "SELECT call_id FROM calls WHERE external_id = ? "
+                    "AND COALESCE(external_source,'') = ?",
+                    (filters.external_id, filters.external_source or ""),
+                ).fetchall()
+        resolved = {row["call_id"] for row in rows}
+        call_ids = (call_ids & resolved) if call_ids else resolved
+
+    seq_constraint: Optional[Set[int]] = None
+    if call_ids is not None:
+        seq_constraint = set()
+        if call_ids:
+            placeholders = ",".join("?" * len(call_ids))
+            with store.read() as conn:
+                rows = conn.execute(
+                    f"SELECT call_seq FROM calls WHERE call_id IN ({placeholders})",
+                    sorted(call_ids),
+                ).fetchall()
+            seq_constraint = {int(r["call_seq"]) for r in rows}
+
+    if filters.call_tags:
+        wanted = set(filters.call_tags)
+        tag_seqs: Set[int] = set()
+        with store.read() as conn:
+            rows = conn.execute(
+                "SELECT call_seq, tags FROM calls WHERE tags IS NOT NULL"
+            ).fetchall()
+        for row in rows:
+            tags = set(json.loads(row["tags"]) or [])
+            if tags & wanted:
+                tag_seqs.add(int(row["call_seq"]))
+        seq_constraint = (
+            tag_seqs if seq_constraint is None else (seq_constraint & tag_seqs)
+        )
+
+    if seq_constraint is not None:
+        allowed[:] = False
+        for seq in seq_constraint:
+            if 0 <= seq < call_capacity:
+                allowed[seq] = True
+
+    if filters.date_from:
+        date_min = epoch_sec(filters.date_from)
+    if filters.date_to:
+        date_max = epoch_sec(filters.date_to)
+
+    scoped = call_ids is not None or bool(
+        filters.date_from or filters.date_to or filters.call_tags
+    )
+    return ResolvedFilters(
+        allowed, date_min, date_max, scoped,
+        sorted(call_ids) if call_ids is not None else None,
+    )

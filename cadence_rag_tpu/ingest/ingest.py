@@ -1,0 +1,439 @@
+"""Ingest core: call resolution/upsert, transcript + analysis ingest.
+
+Behavioral parity with the reference's ingest flows (reference:
+app/ingest.py:366-755):
+
+- call resolution precedence: call_id -> external_id(+source) ->
+  (source_uri, source_hash) -> create; 404 on unknown call_id; 409 on
+  ambiguous matches;
+- transcript idempotency: sha256 over canonical (utterances, options) with
+  INSERT-or-ignore into transcript_ingests; duplicates return (id, 0, 0);
+- analysis artifacts: paragraph/bullet itemized artifact_chunks;
+- every ingest records an ingestion_runs provenance row.
+
+TPU-native difference: committed rows are featurized (lexical signature,
+tech-token hashes) and appended to the device index immediately — SQLite is
+durability, the device arrays are the search index. Store commit happens
+first; a crash between commit and device insert is repaired by
+rebuild_index_from_store() at startup.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import settings
+from ..core.index import CorpusIndex, DocRow, get_index
+from ..logging_utils import get_logger
+from ..schemas import AnalysisArtifactIn, CallRef, ChunkingOptions, UtteranceIn
+from ..store.db import Store, from_json, get_store, to_json
+from ..utils.errors import ApiError
+from ..utils.timeutil import epoch_sec, now_utc, parse_iso, to_iso
+from . import featurize
+from .chunking import (
+    PIPELINE_VERSION,
+    Utterance,
+    build_artifact_chunks,
+    build_chunks,
+    count_tokens,
+    extract_tech_tokens,
+    transcript_hash,
+)
+
+logger = get_logger(__name__)
+
+EMBEDDING_CONFIG_DISABLED = {"enabled": False, "model_id": None, "dim": 1024}
+NER_CONFIG_DISABLED = {"enabled": False}
+
+
+# ---------------------------------------------------------------- calls ----
+
+def _row_to_call_tuple(row) -> Tuple[str, int, object]:
+    return row["call_id"], int(row["call_seq"]), parse_iso(row["started_at"])
+
+
+def _find_call(conn, call_ref: CallRef):
+    if call_ref.call_id:
+        row = conn.execute(
+            "SELECT call_id, call_seq, started_at FROM calls WHERE call_id = ?",
+            (str(call_ref.call_id),),
+        ).fetchone()
+        if not row:
+            raise ApiError(404, "call_id not found")
+        return row
+    if call_ref.external_id:
+        if call_ref.external_source is None:
+            rows = conn.execute(
+                "SELECT call_id, call_seq, started_at FROM calls "
+                "WHERE external_id = ?",
+                (call_ref.external_id,),
+            ).fetchall()
+        else:
+            rows = conn.execute(
+                "SELECT call_id, call_seq, started_at FROM calls "
+                "WHERE external_id = ? AND COALESCE(external_source,'') = ?",
+                (call_ref.external_id, call_ref.external_source or ""),
+            ).fetchall()
+        if len(rows) > 1:
+            raise ApiError(409, "ambiguous external_id match")
+        return rows[0] if rows else None
+    if call_ref.source_uri and call_ref.source_hash:
+        rows = conn.execute(
+            "SELECT call_id, call_seq, started_at FROM calls "
+            "WHERE source_uri = ? AND source_hash = ?",
+            (call_ref.source_uri, call_ref.source_hash),
+        ).fetchall()
+        if len(rows) > 1:
+            raise ApiError(409, "ambiguous source match")
+        return rows[0] if rows else None
+    return None
+
+
+def _update_call(conn, call_id: str, call_ref: CallRef) -> None:
+    conn.execute(
+        """
+        UPDATE calls SET
+          external_id     = COALESCE(?, external_id),
+          external_source = COALESCE(?, external_source),
+          started_at      = COALESCE(?, started_at),
+          ended_at        = COALESCE(?, ended_at),
+          title           = COALESCE(?, title),
+          source_uri      = COALESCE(?, source_uri),
+          source_hash     = COALESCE(?, source_hash),
+          participants    = COALESCE(?, participants),
+          tags            = COALESCE(?, tags),
+          metadata        = COALESCE(?, metadata)
+        WHERE call_id = ?
+        """,
+        (
+            call_ref.external_id,
+            call_ref.external_source,
+            to_iso(call_ref.started_at),
+            to_iso(call_ref.ended_at),
+            call_ref.title,
+            call_ref.source_uri,
+            call_ref.source_hash,
+            to_json(call_ref.participants),
+            to_json(call_ref.tags),
+            to_json(call_ref.metadata),
+            call_id,
+        ),
+    )
+
+
+def _create_call(conn, call_ref: CallRef):
+    call_id = str(uuid.uuid4())
+    started_at = call_ref.started_at or now_utc()
+    seq_row = conn.execute("SELECT COALESCE(MAX(call_seq), -1) FROM calls").fetchone()
+    call_seq = int(seq_row[0]) + 1
+    conn.execute(
+        """
+        INSERT INTO calls
+          (call_id, call_seq, external_id, external_source, started_at,
+           ended_at, title, source_uri, source_hash, participants, tags,
+           metadata)
+        VALUES (?,?,?,?,?,?,?,?,?,?,?,?)
+        """,
+        (
+            call_id,
+            call_seq,
+            call_ref.external_id,
+            call_ref.external_source,
+            to_iso(started_at),
+            to_iso(call_ref.ended_at),
+            call_ref.title,
+            call_ref.source_uri,
+            call_ref.source_hash,
+            to_json(call_ref.participants),
+            to_json(call_ref.tags),
+            json.dumps(call_ref.metadata or {}),
+        ),
+    )
+    return call_id, call_seq, started_at
+
+
+def resolve_call(
+    call_ref: Optional[CallRef], store: Optional[Store] = None
+) -> Tuple[str, int, object, bool]:
+    """-> (call_id, call_seq, started_at, created)."""
+    call_ref = call_ref or CallRef()
+    store = store or get_store()
+    with store.tx() as conn:
+        row = _find_call(conn, call_ref)
+        if row is not None:
+            call_id, call_seq, started_at = _row_to_call_tuple(row)
+            _update_call(conn, call_id, call_ref)
+            # started_at may have just been filled in by the update
+            if call_ref.started_at is not None and started_at is None:
+                started_at = call_ref.started_at
+            return call_id, call_seq, started_at, False
+        call_id, call_seq, started_at = _create_call(conn, call_ref)
+    get_index().ensure_call_capacity(call_seq + 1)
+    return call_id, call_seq, started_at, True
+
+
+def ingest_call(call_ref: CallRef) -> Tuple[str, bool]:
+    call_id, _seq, _started, created = resolve_call(call_ref)
+    return call_id, created
+
+
+# ----------------------------------------------------------- provenance ----
+
+def _record_run(conn, call_id: str, chunking_config: dict,
+                embedding_config: dict, ner_config: dict) -> None:
+    conn.execute(
+        "INSERT INTO ingestion_runs (call_id, pipeline_version, "
+        "chunking_config, embedding_config, ner_config) VALUES (?,?,?,?,?)",
+        (
+            call_id,
+            PIPELINE_VERSION,
+            json.dumps(chunking_config),
+            json.dumps(embedding_config),
+            json.dumps(ner_config),
+        ),
+    )
+
+
+def persist_lexical_meta(store: Store, corpus: CorpusIndex) -> None:
+    with store.tx() as conn:
+        conn.execute(
+            "INSERT INTO index_meta (corpus, doc_freq, avgdl, doc_count) "
+            "VALUES (?,?,?,?) ON CONFLICT(corpus) DO UPDATE SET "
+            "doc_freq=excluded.doc_freq, avgdl=excluded.avgdl, "
+            "doc_count=excluded.doc_count",
+            (
+                corpus.name,
+                corpus.doc_freq.astype(np.int64).tobytes(),
+                float(corpus.avgdl),
+                int(corpus.count),
+            ),
+        )
+
+
+# ------------------------------------------------------------ transcript ----
+
+def ingest_transcript(
+    call_ref: Optional[CallRef],
+    utterances_in: Sequence[UtteranceIn],
+    options: ChunkingOptions,
+) -> Tuple[str, int, int]:
+    store = get_store()
+    index = get_index()
+    call_id, call_seq, started_at, _created = resolve_call(call_ref, store)
+    dedupe_key = transcript_hash(utterances_in, options)
+    started_sec = epoch_sec(started_at)
+
+    with store.tx() as conn:
+        cur = conn.execute(
+            "INSERT OR IGNORE INTO transcript_ingests (call_id, transcript_hash) "
+            "VALUES (?,?)",
+            (call_id, dedupe_key),
+        )
+        if cur.rowcount == 0:
+            logger.info(
+                "ingest_transcript.duplicate call_id=%s hash=%s",
+                call_id, dedupe_key,
+            )
+            return call_id, 0, 0
+        ingest_row_id = cur.lastrowid
+
+        records: List[Utterance] = []
+        for u in utterances_in:
+            text_val = u.text.strip()
+            cur = conn.execute(
+                "INSERT INTO utterances (call_id, speaker, speaker_id, "
+                "start_ts_ms, end_ts_ms, confidence, text) VALUES (?,?,?,?,?,?,?)",
+                (call_id, u.speaker, u.speaker_id, u.start_ts_ms,
+                 u.end_ts_ms, u.confidence, text_val),
+            )
+            records.append(
+                Utterance(
+                    utterance_id=cur.lastrowid,
+                    speaker=u.speaker,
+                    speaker_id=u.speaker_id,
+                    start_ts_ms=u.start_ts_ms,
+                    end_ts_ms=u.end_ts_ms,
+                    confidence=u.confidence,
+                    text=text_val,
+                    token_count=count_tokens(text_val),
+                )
+            )
+
+        chunks = build_chunks(records, options)
+        doc_rows: List[DocRow] = []
+        avgdl = index.chunks.avgdl or 400.0
+        for chunk in chunks:
+            tokens = extract_tech_tokens(chunk.text)
+            sig, touched, dl = featurize.lexical_signature(chunk.text, avgdl)
+            cur = conn.execute(
+                "INSERT INTO chunks (call_id, call_started_at, speaker, "
+                "start_ts_ms, end_ts_ms, token_count, text, tech_tokens, "
+                "lex_sig, lex_dl) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                (call_id, to_iso(started_at), chunk.speaker,
+                 chunk.start_ts_ms, chunk.end_ts_ms, chunk.token_count,
+                 chunk.text, json.dumps(tokens), sig.tobytes(), dl),
+            )
+            chunk_id = cur.lastrowid
+            conn.executemany(
+                "INSERT INTO chunk_utterances (chunk_id, utterance_id, ordinal) "
+                "VALUES (?,?,?)",
+                [(chunk_id, uid, ordinal)
+                 for ordinal, uid in enumerate(chunk.utterance_ids)],
+            )
+            doc_rows.append(
+                DocRow(
+                    doc_id=chunk_id,
+                    call_seq=call_seq,
+                    started_sec=started_sec,
+                    lex_sig=sig,
+                    lex_dl=dl,
+                    lex_touched=touched,
+                    tech=featurize.tech_slots(tokens),
+                    embedding=None,
+                )
+            )
+
+        _record_run(conn, call_id, options.model_dump(),
+                    EMBEDDING_CONFIG_DISABLED, NER_CONFIG_DISABLED)
+        conn.execute(
+            "UPDATE transcript_ingests SET utterance_count=?, chunk_count=? "
+            "WHERE transcript_ingest_id=?",
+            (len(records), len(chunks), ingest_row_id),
+        )
+
+    index.chunks.insert(doc_rows)
+    persist_lexical_meta(store, index.chunks)
+    logger.info(
+        "ingest_transcript.complete call_id=%s utterances=%s chunks=%s",
+        call_id, len(records), len(chunks),
+    )
+    return call_id, len(records), len(chunks)
+
+
+# -------------------------------------------------------------- analysis ----
+
+def ingest_analysis(
+    call_ref: CallRef, artifacts: Sequence[AnalysisArtifactIn]
+) -> Tuple[str, int]:
+    store = get_store()
+    index = get_index()
+    call_id, call_seq, started_at, _created = resolve_call(call_ref, store)
+    started_sec = epoch_sec(started_at)
+
+    doc_rows: List[DocRow] = []
+    with store.tx() as conn:
+        for artifact in artifacts:
+            content = artifact.content.strip()
+            cur = conn.execute(
+                "INSERT INTO analysis_artifacts (call_id, call_started_at, "
+                "kind, content, token_count, tech_tokens, metadata) "
+                "VALUES (?,?,?,?,?,?,?)",
+                (call_id, to_iso(started_at), artifact.kind, content,
+                 count_tokens(content),
+                 json.dumps(extract_tech_tokens(content)),
+                 json.dumps(artifact.metadata or {})),
+            )
+            artifact_id = cur.lastrowid
+            avgdl = index.artifacts.avgdl or 60.0
+            for chunk in build_artifact_chunks(artifact.kind, content):
+                sig, touched, dl = featurize.lexical_signature(
+                    chunk.content, avgdl
+                )
+                cur = conn.execute(
+                    "INSERT INTO artifact_chunks (artifact_id, call_id, "
+                    "call_started_at, kind, ordinal, content, token_count, "
+                    "start_char, end_char, tech_tokens, metadata, lex_sig, "
+                    "lex_dl) VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                    (artifact_id, call_id, to_iso(started_at), artifact.kind,
+                     chunk.ordinal, chunk.content, chunk.token_count,
+                     chunk.start_char, chunk.end_char,
+                     json.dumps(chunk.tech_tokens),
+                     json.dumps(artifact.metadata or {}),
+                     sig.tobytes(), dl),
+                )
+                doc_rows.append(
+                    DocRow(
+                        doc_id=cur.lastrowid,
+                        call_seq=call_seq,
+                        started_sec=started_sec,
+                        lex_sig=sig,
+                        lex_dl=dl,
+                        lex_touched=touched,
+                        tech=featurize.tech_slots(chunk.tech_tokens),
+                        embedding=None,
+                    )
+                )
+        _record_run(
+            conn, call_id,
+            {"enabled": True, "mode": "analysis_artifact_chunks_v1",
+             "itemized_kinds": sorted({"action_items", "decisions"})},
+            EMBEDDING_CONFIG_DISABLED, NER_CONFIG_DISABLED,
+        )
+
+    index.artifacts.insert(doc_rows)
+    persist_lexical_meta(store, index.artifacts)
+    logger.info(
+        "ingest_analysis.complete call_id=%s artifacts=%s",
+        call_id, len(artifacts),
+    )
+    return call_id, len(artifacts)
+
+
+# ---------------------------------------------------------------- rebuild ----
+
+def rebuild_index_from_store() -> Tuple[int, int]:
+    """Reload device index state from SQLite (startup recovery; the
+    reference's analogue is that Postgres IS its index — ours must be
+    reconstructable, SURVEY.md §5 checkpoint/resume)."""
+    store = get_store()
+    index = get_index()
+    dim = int(settings.embeddings_dim)
+    specs = [
+        ("chunks", "chunk_id", "text", index.chunks),
+        ("artifact_chunks", "artifact_chunk_id", "content", index.artifacts),
+    ]
+    totals = []
+    max_seq = -1
+    with store.read() as conn:
+        seq_row = conn.execute("SELECT COALESCE(MAX(call_seq),-1) FROM calls").fetchone()
+        max_seq = int(seq_row[0])
+    index.ensure_call_capacity(max_seq + 1)
+    for table, id_col, _text_col, corpus in specs:
+        rows_out: List[DocRow] = []
+        with store.read() as conn:
+            rows = conn.execute(
+                f"SELECT t.{id_col} AS doc_id, t.call_started_at, t.lex_sig, "
+                f"t.lex_dl, t.tech_tokens, t.embedding, c.call_seq "
+                f"FROM {table} t JOIN calls c ON c.call_id = t.call_id "
+                f"ORDER BY t.{id_col} ASC"
+            ).fetchall()
+        for row in rows:
+            sig = np.frombuffer(row["lex_sig"], dtype=np.int8).copy() \
+                if row["lex_sig"] else np.zeros(int(settings.lexical_dim), np.int8)
+            if sig.shape[0] != int(settings.lexical_dim):
+                sig = np.zeros(int(settings.lexical_dim), np.int8)
+            emb = None
+            if row["embedding"]:
+                emb = np.frombuffer(row["embedding"], dtype=np.float32).copy()
+                if emb.shape[0] != dim:
+                    emb = None
+            rows_out.append(
+                DocRow(
+                    doc_id=int(row["doc_id"]),
+                    call_seq=int(row["call_seq"]),
+                    started_sec=epoch_sec(parse_iso(row["call_started_at"])),
+                    lex_sig=sig,
+                    lex_dl=int(row["lex_dl"]),
+                    lex_touched=np.flatnonzero(sig).astype(np.int32),
+                    tech=featurize.tech_slots(from_json(row["tech_tokens"]) or []),
+                    embedding=emb,
+                )
+            )
+        if rows_out:
+            corpus.insert(rows_out)
+        totals.append(len(rows_out))
+    return tuple(totals)  # type: ignore[return-value]

@@ -28,12 +28,21 @@ import pytest  # noqa: E402
 
 @pytest.fixture()
 def tmp_store(tmp_path, monkeypatch):
-    """Fresh settings bound to a throwaway SQLite store."""
+    """Fresh settings bound to a throwaway SQLite store + a fresh device
+    index (the disposable-namespace isolation pattern; reference analogue:
+    tests/conftest.py:46-126 random Postgres schemas)."""
     from cadence_rag_tpu.config import settings
+    from cadence_rag_tpu.core.index import reset_index
+    from cadence_rag_tpu.store.db import reset_store
 
     monkeypatch.setattr(settings, "store_path", str(tmp_path / "store.db"))
     monkeypatch.setattr(settings, "embeddings_provider", "stub")
     monkeypatch.setattr(settings, "embeddings_base_url", "")
     monkeypatch.setattr(settings, "index_initial_capacity", 256)
     monkeypatch.setattr(settings, "lexical_dim", 1024)
-    return settings
+    monkeypatch.setattr(settings, "embeddings_dim", 64)
+    reset_store()
+    reset_index()
+    yield settings
+    reset_store()
+    reset_index()
