@@ -1,0 +1,309 @@
+"""Transport-agnostic API router: the reference's endpoint surface.
+
+Endpoint-for-endpoint parity with the reference API (reference:
+app/main.py:63-186): /health, /diagnostics, /ingest/{transcript,call,
+analysis}, /ingest/jobs[/{id}], /calls[/{id}], /chunks/{id}, /expand,
+/retrieve — same request models, same response shapes, same status codes
+(400 unsupported format / invalid status filter, 404 missing, 409
+ambiguous, 422 validation). Adds GET /index/stats (device-index
+observability; no reference counterpart).
+
+Each request runs under an X-Request-ID logging context
+(reference: app/main.py:46-60).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import uuid
+from datetime import datetime
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from pydantic import ValidationError
+
+from ..config import settings
+from ..core.index import get_index
+from ..engine.browse import expand_evidence, get_call, get_chunk, list_calls
+from ..engine.retrieve import retrieve_evidence
+from ..ingest.fs_queue import get_ingest_job, list_ingest_jobs
+from ..ingest.ingest import ingest_analysis, ingest_call, ingest_transcript
+from ..logging_utils import (
+    configure_logging,
+    get_logger,
+    reset_request_id,
+    set_request_id,
+)
+from ..schemas import (
+    AnalysisIngestRequest,
+    CallIngestRequest,
+    ChunkingOptions,
+    ExpandRequest,
+    RetrieveRequest,
+    TranscriptIngestRequest,
+)
+from ..store.db import get_store
+from ..utils.errors import ApiError
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class Request:
+    method: str
+    path: str
+    path_params: Dict[str, str]
+    query: Dict[str, List[str]]
+    body: Any
+    headers: Dict[str, str]
+
+    def q1(self, name: str, default: Optional[str] = None) -> Optional[str]:
+        values = self.query.get(name)
+        return values[0] if values else default
+
+
+Handler = Callable[[Request], Tuple[int, Dict[str, Any]]]
+
+
+class Router:
+    def __init__(self) -> None:
+        self.routes: List[Tuple[str, re.Pattern, Handler]] = []
+
+    def add(self, method: str, pattern: str, handler: Handler) -> None:
+        regex = re.compile(
+            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
+        )
+        self.routes.append((method.upper(), regex, handler))
+
+    def dispatch(
+        self,
+        method: str,
+        path: str,
+        *,
+        query: Optional[Dict[str, List[str]]] = None,
+        body: Any = None,
+        headers: Optional[Dict[str, str]] = None,
+    ) -> Tuple[int, Dict[str, Any], Dict[str, str]]:
+        headers = {k.lower(): v for k, v in (headers or {}).items()}
+        request_id = headers.get("x-request-id") or uuid.uuid4().hex
+        token = set_request_id(request_id)
+        try:
+            for route_method, regex, handler in self.routes:
+                if route_method != method.upper():
+                    continue
+                match = regex.match(path)
+                if not match:
+                    continue
+                request = Request(
+                    method=method.upper(),
+                    path=path,
+                    path_params=match.groupdict(),
+                    query=query or {},
+                    body=body,
+                    headers=headers,
+                )
+                try:
+                    status, payload = handler(request)
+                except ApiError as exc:
+                    status, payload = exc.status, {"detail": exc.detail}
+                except ValidationError as exc:
+                    status, payload = 422, {"detail": exc.errors(include_url=False)}
+                except KeyError as exc:
+                    status, payload = 404, {"detail": str(exc.args[0] if exc.args else exc)}
+                except Exception:
+                    logger.exception(
+                        "request.failed method=%s path=%s", method, path
+                    )
+                    status, payload = 500, {"detail": "internal error"}
+                return status, payload, {"x-request-id": request_id}
+            return 404, {"detail": "not found"}, {"x-request-id": request_id}
+        finally:
+            reset_request_id(token)
+
+
+# ------------------------------------------------------------- handlers ----
+
+def _parse_dt(raw: Optional[str]) -> Optional[datetime]:
+    if not raw:
+        return None
+    try:
+        return datetime.fromisoformat(raw)
+    except ValueError as exc:
+        raise ApiError(422, f"invalid datetime: {raw}") from exc
+
+
+def health(_req: Request):
+    try:
+        info = get_store().fetch_info()
+    except Exception as exc:
+        raise ApiError(503, str(exc)) from exc
+    return 200, {"status": "ok", "db": info}
+
+
+def diagnostics(_req: Request):
+    try:
+        store = get_store()
+        info = store.fetch_info()
+        ok, message = store.validate_versions()
+    except Exception as exc:
+        return 200, {"status": "error", "detail": str(exc)}
+    index = get_index()
+    return 200, {
+        "status": "ok" if ok else "mismatch",
+        "detail": message,
+        "db": info,
+        "expected": {"schema_version": info.get("schema_version")},
+        "index": {
+            "chunks": index.chunks.count,
+            "artifact_chunks": index.artifacts.count,
+            "chunk_capacity": index.chunks.capacity,
+            "embedding_dtype": str(index.chunks.emb_dtype),
+        },
+    }
+
+
+def ingest_transcript_endpoint(req: Request):
+    payload = TranscriptIngestRequest.model_validate(req.body)
+    if payload.transcript.format != "json_turns":
+        raise ApiError(400, "unsupported transcript format")
+    options = payload.options or ChunkingOptions()
+    call_id, utterances_ingested, chunks_created = ingest_transcript(
+        payload.call_ref, payload.transcript.content, options
+    )
+    return 200, {
+        "call_id": call_id,
+        "utterances_ingested": utterances_ingested,
+        "chunks_created": chunks_created,
+    }
+
+
+def ingest_call_endpoint(req: Request):
+    payload = CallIngestRequest.model_validate(req.body)
+    call_id, created = ingest_call(payload.call_ref)
+    return 200, {"call_id": call_id, "created": created}
+
+
+def ingest_analysis_endpoint(req: Request):
+    payload = AnalysisIngestRequest.model_validate(req.body)
+    if not payload.artifacts:
+        raise ApiError(400, "no artifacts provided")
+    call_id, created = ingest_analysis(payload.call_ref, payload.artifacts)
+    return 200, {"call_id": call_id, "artifacts_created": created}
+
+
+def list_jobs_endpoint(req: Request):
+    status = req.q1("status")
+    allowed = {"queued", "running", "succeeded", "failed", "invalid"}
+    if status is not None and status not in allowed:
+        raise ApiError(400, "invalid ingest job status filter")
+    limit = int(req.q1("limit", "50"))
+    if not 1 <= limit <= 200:
+        raise ApiError(422, "limit must be in [1, 200]")
+    return 200, list_ingest_jobs(status=status, limit=limit)
+
+
+def get_job_endpoint(req: Request):
+    try:
+        job_id = str(uuid.UUID(req.path_params["ingest_job_id"]))
+    except ValueError as exc:
+        raise ApiError(422, "invalid job id") from exc
+    return 200, get_ingest_job(job_id)
+
+
+def list_calls_endpoint(req: Request):
+    limit = int(req.q1("limit", "50"))
+    if not 1 <= limit <= 200:
+        raise ApiError(422, "limit must be in [1, 200]")
+    return 200, list_calls(
+        limit=limit,
+        cursor=req.q1("cursor"),
+        date_from=_parse_dt(req.q1("date_from")),
+        date_to=_parse_dt(req.q1("date_to")),
+        tags=req.query.get("tags"),
+        external_id=req.q1("external_id"),
+        external_source=req.q1("external_source"),
+    )
+
+
+def get_call_endpoint(req: Request):
+    try:
+        call_id = str(uuid.UUID(req.path_params["call_id"]))
+    except ValueError as exc:
+        raise ApiError(422, "invalid call id") from exc
+    return 200, get_call(call_id)
+
+
+def get_chunk_endpoint(req: Request):
+    try:
+        chunk_id = int(req.path_params["chunk_id"])
+    except ValueError as exc:
+        raise ApiError(422, "invalid chunk id") from exc
+    return 200, get_chunk(chunk_id)
+
+
+def expand_endpoint(req: Request):
+    payload = ExpandRequest.model_validate(req.body)
+    return 200, expand_evidence(
+        payload.evidence_id,
+        window_ms=payload.window_ms,
+        max_chars=payload.max_chars,
+    )
+
+
+def retrieve_endpoint(req: Request):
+    payload = RetrieveRequest.model_validate(req.body)
+    return 200, retrieve_evidence(payload)
+
+
+def index_stats_endpoint(_req: Request):
+    index = get_index()
+    def corpus_stats(corpus):
+        return {
+            "count": corpus.count,
+            "capacity": corpus.capacity,
+            "embedded": int(corpus.h_has_emb[: corpus.count].sum()),
+            "avgdl": corpus.avgdl,
+            "lexical_dim": corpus.lex_dim,
+            "dim": corpus.dim,
+        }
+    return 200, {
+        "chunks": corpus_stats(index.chunks),
+        "artifact_chunks": corpus_stats(index.artifacts),
+        "call_capacity": index.call_capacity,
+    }
+
+
+def startup() -> None:
+    """Fail-fast startup gate + index recovery (reference lifespan:
+    app/main.py:33-39)."""
+    configure_logging(settings.log_level)
+    store = get_store()
+    if not settings.skip_version_check:
+        ok, message = store.validate_versions()
+        if not ok:
+            raise RuntimeError(message)
+    from ..ingest.ingest import rebuild_index_from_store
+
+    index = get_index()
+    if index.chunks.count == 0 and index.artifacts.count == 0:
+        counts = rebuild_index_from_store()
+        logger.info("api.startup index_rebuilt chunks=%s artifacts=%s", *counts)
+    logger.info("api.startup complete")
+
+
+def build_router() -> Router:
+    router = Router()
+    router.add("GET", "/health", health)
+    router.add("GET", "/diagnostics", diagnostics)
+    router.add("POST", "/ingest/transcript", ingest_transcript_endpoint)
+    router.add("POST", "/ingest/call", ingest_call_endpoint)
+    router.add("POST", "/ingest/analysis", ingest_analysis_endpoint)
+    router.add("GET", "/ingest/jobs", list_jobs_endpoint)
+    router.add("GET", "/ingest/jobs/{ingest_job_id}", get_job_endpoint)
+    router.add("GET", "/calls", list_calls_endpoint)
+    router.add("GET", "/calls/{call_id}", get_call_endpoint)
+    router.add("GET", "/chunks/{chunk_id}", get_chunk_endpoint)
+    router.add("POST", "/expand", expand_endpoint)
+    router.add("POST", "/retrieve", retrieve_endpoint)
+    router.add("GET", "/index/stats", index_stats_endpoint)
+    return router

@@ -1,0 +1,72 @@
+"""aiohttp binding: real HTTP serving for the router.
+
+Run with:  python -m cadence_rag_tpu.serve.http --host 0.0.0.0 --port 8080
+
+Request bodies are parsed as JSON, responses serialized as JSON, and the
+X-Request-ID middleware semantics of the reference are preserved by the
+router itself (serve/api.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+from typing import Any
+
+from .api import build_router, startup
+
+
+def _to_multidict(query) -> dict:
+    out: dict = {}
+    for key in query.keys():
+        out[key] = query.getall(key)
+    return out
+
+
+def make_app():
+    from aiohttp import web
+
+    router = build_router()
+
+    async def handle(request: "web.Request") -> "web.Response":
+        body: Any = None
+        if request.can_read_body:
+            raw = await request.read()
+            if raw:
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError:
+                    return web.json_response(
+                        {"detail": "invalid JSON body"}, status=400
+                    )
+        status, payload, headers = await asyncio.get_event_loop().run_in_executor(
+            None,
+            lambda: router.dispatch(
+                request.method,
+                request.path,
+                query=_to_multidict(request.query),
+                body=body,
+                headers=dict(request.headers),
+            ),
+        )
+        return web.json_response(payload, status=status, headers=headers)
+
+    app = web.Application()
+    app.router.add_route("*", "/{tail:.*}", handle)
+    return app
+
+
+def main() -> None:
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser(description="cadence_rag_tpu API server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    args = parser.parse_args()
+    startup()
+    web.run_app(make_app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
