@@ -1,0 +1,154 @@
+"""Headline benchmark: /retrieve device-program throughput at 1M chunks.
+
+BASELINE.md target: serve /retrieve at >10x the reference's QPS on one TPU
+chip at 1M chunks (primary metrics: QPS + p50 latency). The reference
+publishes no measured numbers (BASELINE.md "published {}"), so the baseline
+here is a measured host-side proxy of its dominant cost: pgvector's exact
+cosine scan (a single-core C loop over N*1024 floats per query). We measure
+numpy/BLAS f32 GEMV on this host — strictly FASTER than pgvector's
+row-at-a-time scan, so vs_baseline is conservative — and compare the full
+fused THREE-lane device program (dense + lexical + tech + masks + top-k)
+against dense-only host scan.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
+
+Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (default 16),
+BENCH_ITERS (default 20), BENCH_LEX_DIM (default 2048).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_synthetic_index(n, dim, lex_dim, tech_slots, n_calls, emb_dtype):
+    """Generate the corpus directly on device (no host->device transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    k_emb, k_lex, k_tech, k_call, k_ts = jax.random.split(key, 5)
+
+    @jax.jit
+    def gen():
+        emb = jax.random.normal(k_emb, (n, dim), dtype=jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+        lex = jax.random.randint(k_lex, (n, lex_dim), -4, 5, dtype=jnp.int8)
+        tech = jax.random.randint(
+            k_tech, (n, tech_slots), 0, 5000, dtype=jnp.int32
+        )
+        call_idx = jax.random.randint(k_call, (n,), 0, n_calls, dtype=jnp.int32)
+        started = jax.random.randint(
+            k_ts, (n,), 1_600_000_000, 1_750_000_000, dtype=jnp.int32
+        )
+        return emb.astype(emb_dtype), lex, tech, call_idx, started
+
+    return jax.block_until_ready(gen())
+
+
+def bench_device(n, batch, iters, lex_dim, tech_slots, n_calls, dense_mode):
+    import jax
+    import jax.numpy as jnp
+
+    from cadence_rag_tpu.ops.fused import multi_lane_retrieve
+
+    dim = 1024
+    emb, lex, tech, call_idx, started = build_synthetic_index(
+        n, dim, lex_dim, tech_slots, n_calls, jnp.bfloat16
+    )
+
+    rng = np.random.default_rng(1)
+    q_emb = rng.standard_normal((batch, dim)).astype(np.float32)
+    q_emb /= np.linalg.norm(q_emb, axis=1, keepdims=True)
+    q_lex = (rng.standard_normal((batch, lex_dim)) * 0.1).astype(np.float32)
+    q_tech = rng.integers(0, 5000, size=(batch, 8)).astype(np.int32)
+    allowed = np.ones((batch, n_calls), dtype=bool)
+    date_min = np.full(batch, 0, dtype=np.int32)
+    date_max = np.full(batch, 2**31 - 1, dtype=np.int32)
+
+    args = (
+        emb, lex, tech, call_idx, started,
+        jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_tech),
+        jnp.asarray(allowed), jnp.asarray(date_min), jnp.asarray(date_max),
+    )
+    kwargs = dict(k_dense=50, k_lex=50, k_tech=50, dense_mode=dense_mode,
+                  recall_target=0.95)
+
+    def run():
+        out = multi_lane_retrieve(*args, **kwargs)
+        jax.block_until_ready(out)
+        return out
+
+    run()  # compile
+    run()  # warm
+    latencies = []
+    start_all = time.perf_counter()
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        latencies.append(time.perf_counter() - t0)
+    total = time.perf_counter() - start_all
+    qps = batch * iters / total
+    p50_batch_ms = float(np.percentile(latencies, 50)) * 1e3
+    return qps, p50_batch_ms
+
+
+def bench_host_baseline(n, sample_n=100_000, queries=8):
+    """Proxy for pgvector exact scan: BLAS f32 cosine scan + argpartition,
+    one query at a time (the reference serves one query per request,
+    app/retrieve.py:427), scaled to corpus size n."""
+    dim = 1024
+    rng = np.random.default_rng(2)
+    docs = rng.standard_normal((sample_n, dim)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    qs = rng.standard_normal((queries, dim)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    # warm
+    _ = docs @ qs[0]
+    times = []
+    for i in range(queries):
+        t0 = time.perf_counter()
+        scores = docs @ qs[i]
+        top = np.argpartition(-scores, 50)[:50]
+        _ = scores[top]
+        times.append(time.perf_counter() - t0)
+    per_query = float(np.median(times)) * (n / sample_n)
+    return 1.0 / per_query, per_query * 1e3
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    lex_dim = int(os.environ.get("BENCH_LEX_DIM", 2048))
+    dense_mode = os.environ.get("BENCH_DENSE_MODE", "ann")
+
+    qps, p50_batch_ms = bench_device(
+        n, batch, iters, lex_dim, tech_slots=16, n_calls=1024,
+        dense_mode=dense_mode,
+    )
+    baseline_qps, baseline_ms = bench_host_baseline(n)
+
+    import jax
+
+    print(json.dumps({
+        "metric": f"fused 3-lane /retrieve QPS @ {n} chunks (batch={batch}, "
+                  f"{dense_mode} dense mode)",
+        "value": round(qps, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "p50_batch_ms": round(p50_batch_ms, 3),
+        "p50_per_query_ms": round(p50_batch_ms / batch, 4),
+        "baseline_qps_host_exact_scan": round(baseline_qps, 2),
+        "baseline_per_query_ms": round(baseline_ms, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

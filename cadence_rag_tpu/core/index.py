@@ -218,6 +218,28 @@ class CorpusIndex:
         self.h_has_emb[pos] = True
         return int(n)
 
+    def set_tech(self, doc_ids: Sequence[int], tech_rows: np.ndarray) -> int:
+        """Replace tech-token slots for existing rows (tech-token backfill
+        after lexicon changes; reference analogue:
+        app/scripts/tech_tokens_backfill.py)."""
+        id_to_pos = self.position_of(doc_ids)
+        mask = id_to_pos >= 0
+        if not mask.any():
+            return 0
+        pos = id_to_pos[mask]
+        vals = np.asarray(tech_rows, dtype=np.int32)[mask]
+        n = pos.shape[0]
+        padded = _next_pow2(n)
+        pad_pos = np.full(padded, pos[0], dtype=np.int32)
+        pad_pos[:n] = pos
+        pad_vals = np.zeros((padded, self.tech_slots), dtype=np.int32)
+        pad_vals[:n] = vals
+        pad_vals[n:] = vals[0] if n else 0
+        self.tech = _scatter_rows(
+            self.tech, jnp.asarray(pad_pos), jnp.asarray(pad_vals)
+        )
+        return int(n)
+
     def position_of(self, doc_ids: Sequence[int]) -> np.ndarray:
         lookup = {int(d): p for p, d in enumerate(self.h_ids[: self.count])}
         return np.array([lookup.get(int(d), -1) for d in doc_ids], dtype=np.int32)

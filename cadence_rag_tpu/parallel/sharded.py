@@ -1,0 +1,81 @@
+"""Corpus-sharded retrieval: shard_map over the "data" mesh axis.
+
+When the chunk matrix outgrows one chip's HBM, document rows shard across
+devices; each device scans its shard with the same fused-lane math and the
+per-shard top-k candidates are merged with an all_gather over ICI followed
+by a local re-top-k — O(devices * k) merge traffic instead of moving
+scores (SURVEY.md §2.4). Queries are replicated across "data".
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.masks import filter_mask
+from ..ops.topk import dense_scores, masked_topk_exact
+
+
+def _local_dense_topk(
+    emb: jax.Array,          # (N/d, dim) local shard
+    call_idx: jax.Array,     # (N/d,)
+    started_sec: jax.Array,  # (N/d,)
+    q_emb: jax.Array,        # (B, dim) replicated
+    allowed_calls: jax.Array,
+    date_min: jax.Array,
+    date_max: jax.Array,
+    k: int,
+    axis: str,
+) -> Tuple[jax.Array, jax.Array]:
+    shard_rows = emb.shape[0]
+    my_shard = jax.lax.axis_index(axis)
+    mask = filter_mask(call_idx, started_sec, allowed_calls, date_min, date_max)
+    scores = dense_scores(q_emb, emb)
+    local_scores, local_pos = masked_topk_exact(scores, mask, min(k, shard_rows))
+    global_pos = local_pos + my_shard * shard_rows
+    # merge: gather every shard's candidates, re-select top-k locally
+    all_scores = jax.lax.all_gather(local_scores, axis, axis=0)  # (d, B, k)
+    all_pos = jax.lax.all_gather(global_pos, axis, axis=0)
+    d, batch, kk = all_scores.shape
+    flat_scores = all_scores.transpose(1, 0, 2).reshape(batch, d * kk)
+    flat_pos = all_pos.transpose(1, 0, 2).reshape(batch, d * kk)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
+    top_pos = jnp.take_along_axis(flat_pos, top_idx, axis=1)
+    return top_scores, top_pos
+
+
+def sharded_dense_topk(
+    mesh: Mesh,
+    emb: jax.Array,
+    call_idx: jax.Array,
+    started_sec: jax.Array,
+    q_emb: jax.Array,
+    allowed_calls: jax.Array,
+    date_min: jax.Array,
+    date_max: jax.Array,
+    k: int,
+    axis: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k over a corpus sharded on ``axis``. Returns
+    (scores (B,k), global positions (B,k))."""
+    n_axes = len(mesh.axis_names)
+    row_sharded = P(axis, *([None] * 0))
+    fn = shard_map(
+        partial(_local_dense_topk, k=k, axis=axis),
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),   # emb rows sharded
+            P(axis),         # call_idx
+            P(axis),         # started_sec
+            P(),             # queries replicated
+            P(), P(), P(),   # filters replicated
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(emb, call_idx, started_sec, q_emb, allowed_calls, date_min, date_max)

@@ -1,0 +1,47 @@
+"""Queue worker daemon.
+
+Usage: python -m cadence_rag_tpu.scripts.ingest_worker [--once]
+
+Claims jobs from the SQLite queue and processes them (reference:
+app/scripts/ingest_worker.py runs an RQ worker; our queue is in-store,
+SURVEY.md §2.2 "queue semantics are the contract").
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+
+from ..config import settings
+from ..ingest.fs_queue import work_once
+from ..logging_utils import configure_logging, get_logger
+
+logger = get_logger(__name__)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="ingest queue worker")
+    parser.add_argument("--once", action="store_true", help="drain one job")
+    parser.add_argument("--idle-sleep", type=float, default=1.0)
+    args = parser.parse_args()
+    configure_logging(settings.log_level)
+    worker_id = f"worker-{uuid.uuid4().hex[:8]}"
+
+    if args.once:
+        status = work_once(worker_id)
+        logger.info("worker.once status=%s", status)
+        return
+    logger.info("worker.start id=%s", worker_id)
+    while True:
+        try:
+            status = work_once(worker_id)
+        except Exception:
+            logger.exception("worker.job_failed")
+            status = "error"
+        if status is None:
+            time.sleep(args.idle_sleep)
+
+
+if __name__ == "__main__":
+    main()

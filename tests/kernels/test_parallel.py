@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: 'multi-device sharding tests ... mesh over fake devices')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.parallel.mesh import make_mesh, parse_mesh_shape
+from cadence_rag_tpu.parallel.sharded import sharded_dense_topk
+from cadence_rag_tpu.ops.topk import reference_topk_numpy
+
+
+def _unit_rows(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestMesh:
+    def test_parse(self):
+        assert parse_mesh_shape("data:4,model:2") == [("data", 4), ("model", 2)]
+
+    def test_make_mesh_all_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == jax.device_count()
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh("data:3")  # 8 devices not divisible
+
+
+class TestShardedTopk:
+    def test_matches_single_device_oracle(self):
+        assert jax.device_count() == 8
+        mesh = make_mesh("data:8")
+        rng = np.random.default_rng(0)
+        n, dim, batch, k = 512, 64, 4, 10
+        emb = _unit_rows(rng, n, dim)
+        qs = _unit_rows(rng, batch, dim)
+        call_idx = np.zeros(n, dtype=np.int32)
+        started = np.full(n, 1000, dtype=np.int32)
+        allowed = np.ones((batch, 8), dtype=bool)
+        ref_scores, ref_idx = reference_topk_numpy(
+            qs, emb, np.ones((batch, n), bool), k
+        )
+        scores, pos = sharded_dense_topk(
+            mesh,
+            jnp.asarray(emb), jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.asarray(qs), jnp.asarray(allowed),
+            jnp.full((batch,), 0, jnp.int32),
+            jnp.full((batch,), 2**31 - 1, jnp.int32),
+            k,
+        )
+        # same candidate sets and scores (order may differ on exact ties)
+        for b in range(batch):
+            assert set(map(int, np.asarray(pos)[b])) == set(map(int, ref_idx[b]))
+        np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-5)
+
+    def test_filters_respected_across_shards(self):
+        mesh = make_mesh("data:8")
+        rng = np.random.default_rng(1)
+        n, dim = 256, 32
+        emb = _unit_rows(rng, n, dim)
+        call_idx = (np.arange(n) % 4).astype(np.int32)
+        started = np.full(n, 500, dtype=np.int32)
+        qs = _unit_rows(rng, 1, dim)
+        allowed = np.zeros((1, 4), dtype=bool)
+        allowed[0, 2] = True
+        scores, pos = sharded_dense_topk(
+            mesh,
+            jnp.asarray(emb), jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.asarray(qs), jnp.asarray(allowed),
+            jnp.asarray([0], jnp.int32), jnp.asarray([2**31 - 1], jnp.int32),
+            8,
+        )
+        pos = np.asarray(pos)[0]
+        scores = np.asarray(scores)[0]
+        for p, s in zip(pos, scores):
+            if np.isfinite(s):
+                assert call_idx[p] == 2
