@@ -20,17 +20,18 @@ from ..ops.hashing import lexical_features
 from .provider import EmbeddingResult
 
 _MODEL_ID = "hash-embedder-v1"
-_cache: Dict[int, np.ndarray] = {}
+_cache: Dict[tuple, np.ndarray] = {}
 _CACHE_MAX = 200_000
 
 
 def _feature_direction(h: int, dim: int) -> np.ndarray:
-    vec = _cache.get(h)
+    key = (h, dim)
+    vec = _cache.get(key)
     if vec is None:
         rng = np.random.default_rng(h & 0x7FFFFFFFFFFFFFFF)
         vec = rng.standard_normal(dim).astype(np.float32)
         if len(_cache) < _CACHE_MAX:
-            _cache[h] = vec
+            _cache[key] = vec
     return vec
 
 
