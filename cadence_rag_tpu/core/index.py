@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import settings
-from ..ops.fused import multi_lane_retrieve
+from ..ops.fused import dual_corpus_retrieve, multi_lane_retrieve
 from ..ops.techlane import INT32_MIN as _DEV_INT32_MIN
 
 INT32_MIN = np.int32(-2147483648)
@@ -367,6 +367,12 @@ class CorpusIndex:
             ),
             dense_enabled=dense_enabled,
         )
+        return self.postprocess_lanes(out, batch)
+
+    def postprocess_lanes(
+        self, out: Dict[str, Tuple[jax.Array, jax.Array]], batch: int
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        """Strip padding/non-matches and map device positions -> doc ids."""
         result: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for lane, (scores, pos) in out.items():
             scores = np.asarray(scores)
@@ -383,6 +389,17 @@ class CorpusIndex:
                 score_rows.append(scores[b][keep].astype(np.float32))
             result[lane] = (ids_rows, score_rows)  # type: ignore[assignment]
         return result
+
+    def device_arrays(self) -> Tuple[jax.Array, ...]:
+        return (self.emb, self.lex, self.tech, self.call_idx, self.started)
+
+    def empty_lanes(self, batch: int, dense_enabled: bool):
+        empty = ([np.zeros(0, dtype=np.int64)] * batch,
+                 [np.zeros(0, dtype=np.float32)] * batch)
+        lanes = {"lex": empty, "tech": empty}
+        if dense_enabled:
+            lanes["dense"] = empty
+        return lanes
 
 
 class DeviceIndexManager:
@@ -411,6 +428,79 @@ class DeviceIndexManager:
     def ensure_call_capacity(self, n_calls: int) -> None:
         while self.call_capacity < n_calls:
             self.call_capacity *= 2
+
+    def query_both(
+        self,
+        q_emb: Optional[np.ndarray],
+        chunk_q_lex: np.ndarray,
+        artifact_q_lex: np.ndarray,
+        q_tech: np.ndarray,
+        allowed_calls: np.ndarray,
+        date_min: np.ndarray,
+        date_max: np.ndarray,
+        *,
+        chunk_ks: Tuple[int, int, int],
+        artifact_ks: Tuple[int, int, int],
+        chunk_mode: str,
+        artifact_mode: str,
+        recall_target: float,
+    ) -> Tuple[Dict, Dict]:
+        """Six lanes over both corpora in ONE device dispatch (the /retrieve
+        hot path). Falls back to per-corpus calls while either corpus is
+        still empty (cold start)."""
+        batch = chunk_q_lex.shape[0]
+        dense_enabled = q_emb is not None
+        if self.chunks.count == 0 or self.artifacts.count == 0:
+            chunks_out = (
+                self.chunks.query(
+                    q_emb, chunk_q_lex, q_tech, allowed_calls, date_min,
+                    date_max, k_dense=chunk_ks[0], k_lex=chunk_ks[1],
+                    k_tech=chunk_ks[2], dense_mode=chunk_mode,
+                    recall_target=recall_target,
+                )
+                if self.chunks.count
+                else self.chunks.empty_lanes(batch, dense_enabled)
+            )
+            artifacts_out = (
+                self.artifacts.query(
+                    q_emb, artifact_q_lex, q_tech, allowed_calls, date_min,
+                    date_max, k_dense=artifact_ks[0], k_lex=artifact_ks[1],
+                    k_tech=artifact_ks[2], dense_mode=artifact_mode,
+                    recall_target=recall_target,
+                )
+                if self.artifacts.count
+                else self.artifacts.empty_lanes(batch, dense_enabled)
+            )
+            return chunks_out, artifacts_out
+
+        def clamp(ks, cap):
+            return tuple(min(k, cap) for k in ks)
+
+        q_emb_arr = jnp.asarray(
+            q_emb if dense_enabled
+            else np.zeros((batch, self.chunks.dim), np.float32)
+        )
+        chunks_raw, artifacts_raw = dual_corpus_retrieve(
+            self.chunks.device_arrays(),
+            self.artifacts.device_arrays(),
+            q_emb_arr,
+            jnp.asarray(chunk_q_lex.astype(np.float32)),
+            jnp.asarray(artifact_q_lex.astype(np.float32)),
+            jnp.asarray(q_tech),
+            jnp.asarray(allowed_calls),
+            jnp.asarray(date_min),
+            jnp.asarray(date_max),
+            chunk_ks=clamp(chunk_ks, self.chunks.capacity),
+            artifact_ks=clamp(artifact_ks, self.artifacts.capacity),
+            chunk_mode=chunk_mode,
+            artifact_mode=artifact_mode,
+            recall_target=float(recall_target),
+            dense_enabled=dense_enabled,
+        )
+        return (
+            self.chunks.postprocess_lanes(chunks_raw, batch),
+            self.artifacts.postprocess_lanes(artifacts_raw, batch),
+        )
 
     def corpus(self, name: str) -> CorpusIndex:
         if name == "chunks":

@@ -62,36 +62,7 @@ def _clip(text: str, max_chars: int) -> str:
 LaneRows = List[Tuple[int, Optional[float]]]  # (doc_id, score) ranked
 
 
-def _run_corpus(
-    corpus: CorpusIndex,
-    resolved: ResolvedFilters,
-    q_emb: Optional[np.ndarray],
-    query: str,
-    q_tech: np.ndarray,
-    *,
-    k_dense: int,
-    k_lex: int,
-    k_tech: int,
-    dense_mode: str,
-) -> Dict[str, LaneRows]:
-    q_lex = featurize.query_lexical_vector(
-        query, corpus.doc_freq, corpus.count
-    )[None, :]
-    out = corpus.query(
-        q_emb[None, :] if q_emb is not None else None,
-        q_lex.astype(np.float32),
-        q_tech[None, :],
-        resolved.allowed_calls[None, :],
-        np.array([resolved.date_min], dtype=np.int32),
-        np.array([resolved.date_max], dtype=np.int32),
-        k_dense=k_dense,
-        k_lex=k_lex,
-        k_tech=k_tech,
-        dense_mode=dense_mode,
-        recall_target=recall_target_for_ef_search(
-            settings.embeddings_hnsw_ef_search
-        ),
-    )
+def _format_lanes(out: Dict[str, Any]) -> Dict[str, LaneRows]:
     lanes: Dict[str, LaneRows] = {}
     ids, scores = out["lex"]
     lanes["bm25"] = [(int(i), float(s)) for i, s in zip(ids[0], scores[0])]
@@ -197,18 +168,30 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
         artifact_mode = choose_dense_mode(artifact_candidates, resolved.scoped)
 
     t0 = time.perf_counter()
-    chunk_lanes = _run_corpus(
-        index.chunks, resolved,
-        q_emb if dense_enabled else None, query, q_tech,
-        k_dense=DENSE_CHUNK_TOPK, k_lex=CHUNK_BM25_TOPK, k_tech=TECH_TOPK,
-        dense_mode=chunk_mode or "exact",
+    chunk_q_lex = featurize.query_lexical_vector(
+        query, index.chunks.doc_freq, index.chunks.count
+    )[None, :]
+    artifact_q_lex = featurize.query_lexical_vector(
+        query, index.artifacts.doc_freq, index.artifacts.count
+    )[None, :]
+    chunks_out, artifacts_out = index.query_both(
+        q_emb[None, :] if (dense_enabled and q_emb is not None) else None,
+        chunk_q_lex,
+        artifact_q_lex,
+        q_tech[None, :],
+        resolved.allowed_calls[None, :],
+        np.array([resolved.date_min], dtype=np.int32),
+        np.array([resolved.date_max], dtype=np.int32),
+        chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
+        artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),
+        chunk_mode=chunk_mode or "exact",
+        artifact_mode=artifact_mode or "exact",
+        recall_target=recall_target_for_ef_search(
+            settings.embeddings_hnsw_ef_search
+        ),
     )
-    artifact_lanes = _run_corpus(
-        index.artifacts, resolved,
-        q_emb if dense_enabled else None, query, q_tech,
-        k_dense=DENSE_ARTIFACT_TOPK, k_lex=ARTIFACT_BM25_TOPK, k_tech=TECH_TOPK,
-        dense_mode=artifact_mode or "exact",
-    )
+    chunk_lanes = _format_lanes(chunks_out)
+    artifact_lanes = _format_lanes(artifacts_out)
     timings["device_ms"] = (time.perf_counter() - t0) * 1e3
 
     debug_payload = None

@@ -1,0 +1,135 @@
+// Native lexical featurizer: text -> quantized BM25 signature row.
+//
+// Hot ingest/backfill path (reference analogue: pg_search's Rust tokenizer +
+// BM25 indexer run inside Postgres; SURVEY.md §2.3). Must match
+// cadence_rag_tpu/ops/hashing.py BIT-FOR-BIT:
+//   - FNV-1a 64 over "w:"+word / "g:"+byte-trigram of the (Python-side)
+//     normalized text; first-occurrence feature ordering;
+//   - bucket = h % dim, sign from bit 33;
+//   - per-feature weight tf*(k1+1)/(tf+k1*(1-b+b*dl/avgdl)) accumulated in
+//     float32 in insertion order (float64 math, f32 store — numpy's
+//     "f32 += f64" semantics);
+//   - quantization rint (round-half-even) clipped to [-127, 127].
+//
+// Build: g++ -O3 -shared -fPIC -o _lexhash.so lexhash.cpp
+// (driven by cadence_rag_tpu/native/__init__.py at first import)
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fenv.h>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t kFnvOffset = 0xcbf29ce484222325ULL;
+constexpr uint64_t kFnvPrime = 0x100000001b3ULL;
+
+inline uint64_t fnv1a(const uint8_t* data, size_t n, uint64_t h) {
+  for (size_t i = 0; i < n; ++i) {
+    h ^= data[i];
+    h *= kFnvPrime;
+  }
+  return h;
+}
+
+inline bool is_word_byte(uint8_t c) {
+  return (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_';
+}
+
+struct FeatureCounts {
+  std::unordered_map<uint64_t, int32_t> slot_of;  // hash -> slot
+  std::vector<uint64_t> keys;                     // insertion order
+  std::vector<int64_t> tf;
+
+  void add(uint64_t h) {
+    auto it = slot_of.find(h);
+    if (it == slot_of.end()) {
+      slot_of.emplace(h, static_cast<int32_t>(keys.size()));
+      keys.push_back(h);
+      tf.push_back(1);
+    } else {
+      ++tf[it->second];
+    }
+  }
+};
+
+void extract_features(const uint8_t* text, int64_t len, FeatureCounts* out) {
+  // word tokens: maximal [a-z0-9_]+ runs (ASCII; multi-byte UTF-8 chars are
+  // boundaries, matching the Python regex [a-z0-9_]+ on normalized text)
+  int64_t i = 0;
+  while (i < len) {
+    if (!is_word_byte(text[i])) {
+      ++i;
+      continue;
+    }
+    int64_t j = i;
+    while (j < len && is_word_byte(text[j])) ++j;
+    uint64_t h = fnv1a(reinterpret_cast<const uint8_t*>("w:"), 2, kFnvOffset);
+    h = fnv1a(text + i, static_cast<size_t>(j - i), h);
+    out->add(h);
+    i = j;
+  }
+  // byte trigrams
+  for (int64_t k = 0; k + 2 < len; ++k) {
+    uint64_t h = fnv1a(reinterpret_cast<const uint8_t*>("g:"), 2, kFnvOffset);
+    h = fnv1a(text + k, 3, h);
+    out->add(h);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of touched buckets written to out_touched, or -1 on
+// error. out_w must hold `dim` int8s; out_touched `dim` int32s.
+int64_t lex_doc_signature(const uint8_t* text, int64_t len, int32_t dim,
+                          double avgdl, double k1, double b,
+                          double quant_scale, int8_t* out_w,
+                          int32_t* out_touched, int64_t* out_dl) {
+  if (dim <= 0 || len < 0) return -1;
+  FeatureCounts counts;
+  extract_features(text, len, &counts);
+
+  int64_t dl = 0;
+  for (int64_t f : counts.tf) dl += f;
+  *out_dl = dl;
+
+  double denom_avgdl = avgdl > 1.0 ? avgdl : 1.0;
+  double norm = 1.0 - b + b * (static_cast<double>(dl) / denom_avgdl);
+
+  std::vector<float> acc(static_cast<size_t>(dim), 0.0f);
+  for (size_t s = 0; s < counts.keys.size(); ++s) {
+    uint64_t h = counts.keys[s];
+    int32_t bucket = static_cast<int32_t>(h % static_cast<uint64_t>(dim));
+    double sign = ((h >> 33) & 1ULL) ? 1.0 : -1.0;
+    double tfv = static_cast<double>(counts.tf[s]);
+    double w = sign * (tfv * (k1 + 1.0)) / (tfv + k1 * norm);
+    // numpy 2.x weak-promotion semantics: the float64 addend is rounded to
+    // float32 BEFORE a single-precision add (f32 += pyfloat keeps f32)
+    acc[bucket] = acc[bucket] + static_cast<float>(w);
+  }
+
+  int old_round = fegetround();
+  fesetround(FE_TONEAREST);  // rint = round-half-even
+  int64_t touched = 0;
+  float scale_f = static_cast<float>(quant_scale);
+  for (int32_t i = 0; i < dim; ++i) {
+    // numpy weak promotion again: f32 * pyfloat stays f32, rint on f32
+    float scaled = acc[i] * scale_f;
+    float rounded = nearbyintf(scaled);
+    if (rounded > 127.0f) rounded = 127.0f;
+    if (rounded < -127.0f) rounded = -127.0f;
+    out_w[i] = static_cast<int8_t>(rounded);
+    if (acc[i] != 0.0f) out_touched[touched++] = i;
+  }
+  fesetround(old_round);
+  return touched;
+}
+
+// Simple self-description for version checks.
+int32_t lexhash_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,91 @@
+"""ctypes binding for the native lexical featurizer (lexhash.cpp).
+
+Exposes ``doc_signature(text, dim, avgdl)`` with the exact contract of
+``ops.hashing.doc_signature``; normalization stays in Python (the canonical
+definition), tokenize+hash+weight+quantize run native.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ops.hashing import BM25_B, BM25_K1, LEX_QUANT_SCALE, normalize_text
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "lexhash.cpp"
+_LIB = _HERE / "_lexhash.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.lex_doc_signature.restype = ctypes.c_int64
+        lib.lex_doc_signature.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def doc_signature(
+    text: str, dim: int, avgdl: float,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native lexhash unavailable")
+    data = normalize_text(text).encode("utf-8")
+    out_w = np.zeros(dim, dtype=np.int8)
+    out_touched = np.zeros(dim, dtype=np.int32)
+    out_dl = ctypes.c_int64(0)
+    n_touched = lib.lex_doc_signature(
+        data, len(data), dim, float(avgdl), float(k1), float(b),
+        float(LEX_QUANT_SCALE),
+        out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        out_touched.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(out_dl),
+    )
+    if n_touched < 0:
+        raise RuntimeError("lex_doc_signature failed")
+    return out_w, out_touched[:n_touched].copy(), int(out_dl.value)

@@ -28,6 +28,24 @@ from .topk import masked_topk_approx, masked_topk_exact, dense_scores
 LaneResult = Tuple[jax.Array, jax.Array]
 
 
+def _lanes_one_corpus(
+    emb, lex_w, tech, call_idx, started_sec,
+    q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
+    *, k_dense, k_lex, k_tech, dense_mode, recall_target, dense_enabled,
+) -> Dict[str, LaneResult]:
+    mask = filter_mask(call_idx, started_sec, allowed_calls, date_min, date_max)
+    out: Dict[str, LaneResult] = {}
+    out["lex"] = lexical_topk(q_lex, lex_w, mask, k_lex)
+    out["tech"] = tech_topk(tech, started_sec, q_tech, mask, k_tech)
+    if dense_enabled:
+        scores = dense_scores(q_emb, emb)
+        if dense_mode == "exact":
+            out["dense"] = masked_topk_exact(scores, mask, k_dense)
+        else:
+            out["dense"] = masked_topk_approx(scores, mask, k_dense, recall_target)
+    return out
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -55,18 +73,56 @@ def multi_lane_retrieve(
     recall_target: float = 0.95,
     dense_enabled: bool = True,
 ) -> Dict[str, LaneResult]:
-    mask = filter_mask(call_idx, started_sec, allowed_calls, date_min, date_max)
+    return _lanes_one_corpus(
+        emb, lex_w, tech, call_idx, started_sec,
+        q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
+        k_dense=k_dense, k_lex=k_lex, k_tech=k_tech,
+        dense_mode=dense_mode, recall_target=recall_target,
+        dense_enabled=dense_enabled,
+    )
 
-    out: Dict[str, LaneResult] = {}
-    out["lex"] = lexical_topk(q_lex, lex_w, mask, k_lex)
-    out["tech"] = tech_topk(tech, started_sec, q_tech, mask, k_tech)
 
-    if dense_enabled:
-        scores = dense_scores(q_emb, emb)
-        if dense_mode == "exact":
-            out["dense"] = masked_topk_exact(scores, mask, k_dense)
-        else:
-            out["dense"] = masked_topk_approx(
-                scores, mask, k_dense, recall_target
-            )
-    return out
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chunk_ks", "artifact_ks", "chunk_mode", "artifact_mode",
+        "recall_target", "dense_enabled",
+    ),
+)
+def dual_corpus_retrieve(
+    chunk_arrays: Tuple[jax.Array, ...],     # (emb, lex, tech, call_idx, started)
+    artifact_arrays: Tuple[jax.Array, ...],
+    q_emb: jax.Array,
+    chunk_q_lex: jax.Array,
+    artifact_q_lex: jax.Array,
+    q_tech: jax.Array,
+    allowed_calls: jax.Array,
+    date_min: jax.Array,
+    date_max: jax.Array,
+    *,
+    chunk_ks: Tuple[int, int, int],          # (k_dense, k_lex, k_tech)
+    artifact_ks: Tuple[int, int, int],
+    chunk_mode: str = "exact",
+    artifact_mode: str = "exact",
+    recall_target: float = 0.95,
+    dense_enabled: bool = True,
+) -> Tuple[Dict[str, LaneResult], Dict[str, LaneResult]]:
+    """Both corpora's six lanes in ONE device program — one dispatch per
+    /retrieve instead of the reference's five SQL round-trips (and instead
+    of two separate device calls; dispatch latency through the host->TPU
+    link is the dominant serving cost at small batch)."""
+    chunks_out = _lanes_one_corpus(
+        *chunk_arrays, q_emb, chunk_q_lex, q_tech,
+        allowed_calls, date_min, date_max,
+        k_dense=chunk_ks[0], k_lex=chunk_ks[1], k_tech=chunk_ks[2],
+        dense_mode=chunk_mode, recall_target=recall_target,
+        dense_enabled=dense_enabled,
+    )
+    artifacts_out = _lanes_one_corpus(
+        *artifact_arrays, q_emb, artifact_q_lex, q_tech,
+        allowed_calls, date_min, date_max,
+        k_dense=artifact_ks[0], k_lex=artifact_ks[1], k_tech=artifact_ks[2],
+        dense_mode=artifact_mode, recall_target=recall_target,
+        dense_enabled=dense_enabled,
+    )
+    return chunks_out, artifacts_out

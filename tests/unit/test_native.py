@@ -1,0 +1,53 @@
+"""Native featurizer parity: lexhash.cpp must match ops/hashing.py
+bit-for-bit (signature bytes, touched buckets, doc length)."""
+
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.native import lexhash
+from cadence_rag_tpu.ops import hashing
+
+CASES = [
+    "the ECONNRESET storm started after the object store upgrade",
+    "rolling back to v2.3.1 stopped the resets immediately",
+    "short",
+    "",
+    "   whitespace   collapse\t\ttest\n\nlines   ",
+    "unicode naïve café 模型 text mixed with ascii_words_123",
+    "repeated repeated repeated repeated tokens tokens tokens",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "punctuation!!! and, some; (symbols) [here] {ok}",
+    "x" * 5000,
+]
+
+
+@pytest.mark.skipif(not lexhash.available(), reason="no native toolchain")
+class TestNativeParity:
+    @pytest.mark.parametrize("dim", [512, 1024, 4096])
+    @pytest.mark.parametrize("avgdl", [1.0, 40.0, 1500.0])
+    def test_signature_bit_parity(self, dim, avgdl):
+        for text in CASES:
+            py_sig, py_touched, py_dl = hashing.doc_signature(text, dim, avgdl)
+            c_sig, c_touched, c_dl = lexhash.doc_signature(text, dim, avgdl)
+            assert c_dl == py_dl, f"dl mismatch for {text[:40]!r}"
+            np.testing.assert_array_equal(
+                c_sig, py_sig, err_msg=f"sig mismatch for {text[:40]!r}"
+            )
+            np.testing.assert_array_equal(c_touched, py_touched)
+
+    def test_native_is_faster(self):
+        import time
+
+        text = " ".join(
+            f"token{i} ECONNRESET v1.{i}.3 the quick brown fox" for i in range(60)
+        )
+        lexhash.doc_signature(text, 4096, 500.0)  # warm/build
+        t0 = time.perf_counter()
+        for _ in range(50):
+            lexhash.doc_signature(text, 4096, 500.0)
+        native_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(50):
+            hashing.doc_signature(text, 4096, 500.0)
+        python_t = time.perf_counter() - t0
+        assert native_t < python_t, (native_t, python_t)
