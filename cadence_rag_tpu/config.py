@@ -89,6 +89,10 @@ class Settings:
     tech_hash_slots: int = 16                # token-hash slots per document
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     retrieve_batch_window_ms: int = 0        # server-side query batching
+    # Phase-4 rerank lane (BASELINE.md config 5)
+    rerank_enabled: bool = False
+    rerank_provider: str = "lexical"         # "lexical" | "neural"
+    rerank_topk: int = 50
     mesh_shape: str = ""                     # e.g. "data:4,model:2"; empty = single chip
     use_pallas_fused: bool = False           # fused multi-lane Pallas kernel
 

@@ -1,0 +1,119 @@
+"""Rerank lane: rescore the fused top candidates before pack assembly.
+
+Phase-4 of the reference's roadmap (BASELINE.md config 5: "cross-encoder
+rerank of top-50 candidates gated by regression thresholds"; the reference
+reserves the response field at app/retrieve.py:657 `reranked_from: None`).
+
+Providers:
+- ``lexical``: deterministic full-precision BM25 rescoring of the candidate
+  set (f32 dot of the query idf vector with each candidate's stored
+  signature, plus an exact tech-token overlap bonus) — no weights needed,
+  gate-stable, the default;
+- ``neural``: the cross-encoder (models/reranker.py) once fine-tuned.
+
+Fused RRF order breaks ties for equal rerank scores (stable sort).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..config import settings
+from ..ingest import featurize
+from ..ingest.chunking import extract_tech_tokens
+from ..ops.hashing import LEX_QUANT_SCALE
+from ..store.db import get_store
+
+TECH_OVERLAP_BONUS = 2.0
+
+RankedItem = Tuple[int, Set[str], float]  # (doc_id, lane_hits, rrf_score)
+
+
+def _lexical_scores(
+    query: str, table: str, id_col: str, text_col: str,
+    doc_ids: Sequence[int], doc_freq: np.ndarray, n_docs: int,
+) -> Dict[int, float]:
+    store = get_store()
+    placeholders = ",".join("?" * len(doc_ids))
+    with store.read() as conn:
+        rows = conn.execute(
+            f"SELECT {id_col} AS i, lex_sig, tech_tokens FROM {table} "
+            f"WHERE {id_col} IN ({placeholders})",
+            [int(d) for d in doc_ids],
+        ).fetchall()
+    q_vec = featurize.query_lexical_vector(query, doc_freq, n_docs)
+    q_tokens = {t.lower() for t in extract_tech_tokens(query)}
+    scores: Dict[int, float] = {}
+    for row in rows:
+        sig = (
+            np.frombuffer(row["lex_sig"], dtype=np.int8).astype(np.float32)
+            if row["lex_sig"] else
+            np.zeros_like(q_vec)
+        )
+        if sig.shape[0] != q_vec.shape[0]:
+            sig = np.zeros_like(q_vec)
+        score = float(q_vec @ sig)
+        doc_tokens = {
+            t.lower() for t in (json.loads(row["tech_tokens"]) or [])
+        }
+        score += TECH_OVERLAP_BONUS * len(q_tokens & doc_tokens)
+        scores[int(row["i"])] = score
+    return scores
+
+
+def _neural_scores(
+    query: str, table: str, id_col: str, text_col: str,
+    doc_ids: Sequence[int],
+) -> Dict[int, float]:
+    from ..models.reranker import NeuralReranker
+
+    store = get_store()
+    placeholders = ",".join("?" * len(doc_ids))
+    with store.read() as conn:
+        rows = conn.execute(
+            f"SELECT {id_col} AS i, {text_col} AS text FROM {table} "
+            f"WHERE {id_col} IN ({placeholders})",
+            [int(d) for d in doc_ids],
+        ).fetchall()
+    texts = [row["text"] for row in rows]
+    logits = NeuralReranker.shared().score(query, texts)
+    return {int(row["i"]): float(s) for row, s in zip(rows, logits)}
+
+
+def rerank(
+    query: str,
+    ranked: List[RankedItem],
+    corpus_name: str,
+    doc_freq: np.ndarray,
+    n_docs: int,
+    *,
+    topk: int,
+    provider: str,
+) -> List[RankedItem]:
+    """Rescore the top ``topk`` candidates; the tail keeps RRF order."""
+    head, tail = ranked[:topk], ranked[topk:]
+    if not head:
+        return ranked
+    table, id_col, text_col = {
+        "chunks": ("chunks", "chunk_id", "text"),
+        "artifact_chunks": ("artifact_chunks", "artifact_chunk_id", "content"),
+    }[corpus_name]
+    doc_ids = [doc_id for doc_id, _, _ in head]
+    if provider == "neural":
+        scores = _neural_scores(query, table, id_col, text_col, doc_ids)
+    else:
+        scores = _lexical_scores(
+            query, table, id_col, text_col, doc_ids, doc_freq, n_docs
+        )
+    reordered = sorted(
+        head,
+        key=lambda item: scores.get(item[0], float("-inf")),
+        reverse=True,
+    )
+    return [
+        (doc_id, lanes, scores.get(doc_id, rrf))
+        for doc_id, lanes, rrf in reordered
+    ] + tail

@@ -239,6 +239,20 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
         k=RRF_K,
     )
 
+    reranked_from: Optional[int] = None
+    if settings.rerank_enabled and chunk_ranked:
+        from .rerank import rerank
+
+        t0 = time.perf_counter()
+        reranked_from = min(int(settings.rerank_topk), len(chunk_ranked))
+        chunk_ranked = rerank(
+            query, chunk_ranked, "chunks",
+            index.chunks.doc_freq, index.chunks.count,
+            topk=reranked_from,
+            provider=settings.rerank_provider,
+        )
+        timings["rerank_ms"] = (time.perf_counter() - t0) * 1e3
+
     if payload.return_style == "ids_only":
         combined: List[Tuple[str, int, float]] = []
         for doc_id, _lanes, score in artifact_ranked:
@@ -347,7 +361,7 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
                 ),
                 "lex_topk": CHUNK_BM25_TOPK,
                 "artifact_chunk_lex_topk": ARTIFACT_BM25_TOPK,
-                "reranked_from": None,
+                "reranked_from": reranked_from,
                 "bm25_chunk_topk": CHUNK_BM25_TOPK,
                 "bm25_artifact_chunk_topk": ARTIFACT_BM25_TOPK,
                 "tech_token_topk": TECH_TOPK,

@@ -1,0 +1,114 @@
+"""Cross-encoder reranker (Phase-4 lane; BASELINE.md config 5).
+
+Scores (query, candidate) pairs jointly: hash-tokenized
+``query [SEP] doc`` through a small bidirectional transformer, mean-pooled
+to a scalar relevance logit. Shares the embedder's TPU-first choices
+(static shapes, bf16 matmuls/f32 accum, hash tokenizer). Randomly
+initialized until fine-tuned — the engine's default rerank provider is the
+deterministic lexical scorer (engine/rerank.py); this model is the neural
+drop-in once weights exist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hashing import fnv1a64
+from .embedder import EmbedderConfig, init_params as _init_encoder_params
+
+SEP_TOKEN_ID = 1  # reserved: hash ids start at 2
+
+
+@dataclasses.dataclass(frozen=True)
+class RerankerConfig:
+    vocab_buckets: int = 32768
+    d_model: int = 128
+    n_layers: int = 2
+    n_heads: int = 4
+    d_ff: int = 512
+    max_len: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def pair_tokenize(query: str, doc: str, cfg: RerankerConfig) -> np.ndarray:
+    ids: List[int] = []
+    for word in query.lower().split():
+        h = fnv1a64(b"tok:" + word.encode("utf-8"))
+        ids.append(int(h % (cfg.vocab_buckets - 2)) + 2)
+    ids.append(SEP_TOKEN_ID)
+    for word in doc.lower().split():
+        h = fnv1a64(b"tok:" + word.encode("utf-8"))
+        ids.append(int(h % (cfg.vocab_buckets - 2)) + 2)
+        if len(ids) >= cfg.max_len:
+            break
+    out = np.zeros(cfg.max_len, dtype=np.int32)
+    ids = ids[: cfg.max_len]
+    out[: len(ids)] = ids
+    return out
+
+
+def init_params(cfg: RerankerConfig, key: jax.Array) -> Dict[str, Any]:
+    enc_cfg = EmbedderConfig(
+        vocab_buckets=cfg.vocab_buckets, d_model=cfg.d_model,
+        n_layers=cfg.n_layers, n_heads=cfg.n_heads, d_ff=cfg.d_ff,
+        max_len=cfg.max_len, embed_dim=1,
+    )
+    params = _init_encoder_params(enc_cfg, key)
+    # out_proj (d_model, 1) acts as the relevance head
+    return params
+
+
+def score_pairs(params: Dict[str, Any], token_ids: jax.Array,
+                cfg: RerankerConfig) -> jax.Array:
+    """(P, L) int32 -> (P,) relevance logits (mean-pooled encoder +
+    linear head). Bidirectional attention (no causal mask) — rerankers see
+    the full pair."""
+    from .embedder import _block, _layer_norm  # shared blocks
+
+    enc_cfg = EmbedderConfig(
+        vocab_buckets=cfg.vocab_buckets, d_model=cfg.d_model,
+        n_layers=cfg.n_layers, n_heads=cfg.n_heads, d_ff=cfg.d_ff,
+        max_len=cfg.max_len, embed_dim=1, dtype=cfg.dtype,
+    )
+    mask = token_ids != 0
+    x = jnp.take(params["tok_emb"], token_ids, axis=0)
+    x = x + params["pos_emb"][None, : token_ids.shape[1]]
+    for block_params in params["blocks"]:
+        x = _block(x, block_params, enc_cfg, mask, sharded=False)
+    x = _layer_norm(x, params["final_ln"]["scale"], params["final_ln"]["bias"])
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1)
+    pooled = (x * mask[..., None]).sum(axis=1) / denom
+    logits = jnp.dot(
+        pooled.astype(cfg.dtype), params["out_proj"].astype(cfg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits[:, 0]
+
+
+class NeuralReranker:
+    _instance: Optional["NeuralReranker"] = None
+
+    def __init__(self, cfg: Optional[RerankerConfig] = None, seed: int = 0):
+        self.cfg = cfg or RerankerConfig()
+        self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        self._score = jax.jit(partial(score_pairs, cfg=self.cfg))
+
+    @classmethod
+    def shared(cls) -> "NeuralReranker":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def score(self, query: str, docs: Sequence[str]) -> np.ndarray:
+        tokens = np.stack([pair_tokenize(query, d, self.cfg) for d in docs])
+        return np.asarray(self._score(self.params, jnp.asarray(tokens)))

@@ -1,0 +1,88 @@
+"""Index checkpoint/restore roundtrip (SURVEY.md §5: the on-device index
+needs real checkpointing — no reference counterpart)."""
+
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.core.checkpoint import restore_index, save_index
+from cadence_rag_tpu.core.index import get_index, reset_index
+from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
+from cadence_rag_tpu.engine.retrieve import retrieve_evidence
+from cadence_rag_tpu.ingest.ingest import ingest_analysis, ingest_transcript
+from cadence_rag_tpu.schemas import (
+    AnalysisArtifactIn,
+    CallRef,
+    ChunkingOptions,
+    RetrieveRequest,
+    UtteranceIn,
+)
+
+
+@pytest.fixture()
+def populated(tmp_store):
+    ref = CallRef(external_id="ckpt-1", title="checkpoint test")
+    utts = [
+        UtteranceIn(speaker="Ana", start_ts_ms=i * 1000, end_ts_ms=i * 1000 + 900,
+                    text=t)
+        for i, t in enumerate([
+            "the ECONNRESET fix landed in v2.3.1",
+            "object store tiering to SSD approved",
+            "lenovo BOM finalized for the bake-off",
+        ])
+    ]
+    call_id, _, _ = ingest_transcript(
+        ref, utts, ChunkingOptions(target_tokens=10, max_tokens=30, overlap_tokens=2)
+    )
+    ingest_analysis(
+        CallRef(call_id=call_id),
+        [AnalysisArtifactIn(kind="summary", content="ECONNRESET fixed by rollback.")],
+    )
+    run_embedding_backfill(batch_size=8)
+    return call_id
+
+
+class TestCheckpoint:
+    def test_roundtrip_preserves_results(self, populated, tmp_path):
+        req = RetrieveRequest(query="ECONNRESET v2.3.1", return_style="ids_only")
+        before = retrieve_evidence(req)["retrieved_ids"]
+        assert before
+
+        index = get_index()
+        counts_before = (index.chunks.count, index.artifacts.count)
+        meta = save_index(str(tmp_path / "snap"))
+        assert meta["counts"]["chunks"] == counts_before[0]
+
+        reset_index()
+        restore_index(str(tmp_path / "snap"))
+        index2 = get_index()
+        assert (index2.chunks.count, index2.artifacts.count) == counts_before
+        np.testing.assert_array_equal(
+            index2.chunks.h_ids[: index2.chunks.count],
+            index.chunks.h_ids[: index.chunks.count],
+        )
+        after = retrieve_evidence(req)["retrieved_ids"]
+        assert after == before
+
+    def test_dimension_mismatch_rejected(self, populated, tmp_path, tmp_store,
+                                         monkeypatch):
+        save_index(str(tmp_path / "snap"))
+        reset_index()
+        monkeypatch.setattr(tmp_store, "embeddings_dim", 32)
+        with pytest.raises(ValueError, match="embeddings_dim"):
+            restore_index(str(tmp_path / "snap"))
+
+    def test_insert_after_restore(self, populated, tmp_path):
+        save_index(str(tmp_path / "snap"))
+        reset_index()
+        restore_index(str(tmp_path / "snap"))
+        call_id, n_utt, n_chunks = ingest_transcript(
+            CallRef(external_id="ckpt-2"),
+            [UtteranceIn(speaker="Raj", start_ts_ms=0, end_ts_ms=900,
+                         text="new call about azure migration")],
+            ChunkingOptions(target_tokens=10, max_tokens=30, overlap_tokens=2),
+        )
+        assert n_chunks >= 1
+        resp = retrieve_evidence(
+            RetrieveRequest(query="azure migration", return_style="ids_only")
+        )
+        assert resp["retrieved_ids"]
