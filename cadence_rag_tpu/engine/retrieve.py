@@ -9,9 +9,11 @@ Response-shape and ranking-semantics parity with the reference
   dense degrade to lexical_only on provider failure;
 
 but where the reference issues five SQL queries per request, all lanes for
-a corpus execute as ONE jitted device program (ops/fused.py) and the
-planner's candidate estimate is a host-mirror numpy pass instead of a
-COUNT(*) round-trip.
+BOTH corpora execute as ONE jitted device program (ops/fused.py), and
+requests are batchable: ``retrieve_evidence_batch`` coalesces many queries
+into one device dispatch (grouped by planner mode), which is how the
+>10x-QPS target is met — the reference serves one query per request
+(app/retrieve.py:427), we serve a device batch per dispatch.
 
 Observability parity+: query_id per request, per-lane debug traces, a
 notes.retrieval config snapshot, plus per-phase timings (SURVEY.md §5 asks
@@ -20,6 +22,7 @@ the TPU build to add kernel timing to the notes block).
 
 from __future__ import annotations
 
+import dataclasses
 import time
 import uuid
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -27,7 +30,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import settings
-from ..core.index import CorpusIndex, get_index
+from ..core.index import get_index
 from ..embed import EmbeddingError, embed_texts, embeddings_enabled
 from ..ingest import featurize
 from ..ingest.chunking import extract_tech_tokens
@@ -50,6 +53,8 @@ MAX_ARTIFACTS = 2
 MAX_QUOTES_PER_CALL = 2
 SNIPPET_CHARS = 800
 
+LaneRows = List[Tuple[int, Optional[float]]]  # (doc_id, score) ranked
+
 
 def _clip(text: str, max_chars: int) -> str:
     if max_chars <= 0:
@@ -59,20 +64,162 @@ def _clip(text: str, max_chars: int) -> str:
     return text[: max_chars - 1].rstrip() + "…"
 
 
-LaneRows = List[Tuple[int, Optional[float]]]  # (doc_id, score) ranked
+# ------------------------------------------------------------------ plan ----
+
+@dataclasses.dataclass
+class QueryPlan:
+    payload: RetrieveRequest
+    query_id: str
+    query: str
+    budget: Budget
+    empty: bool = False
+    tech_tokens: List[str] = dataclasses.field(default_factory=list)
+    q_tech: Optional[np.ndarray] = None
+    resolved: Optional[ResolvedFilters] = None
+    dense_enabled: bool = False
+    dense_error: Optional[str] = None
+    dense_model_id: Optional[str] = None
+    q_emb: Optional[np.ndarray] = None
+    chunk_mode: Optional[str] = None
+    artifact_mode: Optional[str] = None
+    chunk_candidates: int = 0
+    artifact_candidates: int = 0
+    chunk_lanes: Dict[str, LaneRows] = dataclasses.field(default_factory=dict)
+    artifact_lanes: Dict[str, LaneRows] = dataclasses.field(default_factory=dict)
+    timings: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
-def _format_lanes(out: Dict[str, Any]) -> Dict[str, LaneRows]:
+def _make_plan(payload: RetrieveRequest) -> QueryPlan:
+    query_id = str(uuid.uuid4())
+    query = payload.query.strip()
+    plan = QueryPlan(
+        payload=payload,
+        query_id=query_id,
+        query=query,
+        budget=payload.budget or Budget(),
+    )
+    logger.info(
+        "retrieve.start query_id=%s intent=%s return_style=%s debug=%s",
+        query_id, payload.intent, payload.return_style, payload.debug,
+    )
+    if not query:
+        plan.empty = True
+        return plan
+    plan.tech_tokens = extract_tech_tokens(query)
+    plan.q_tech = featurize.query_tech_hashes(plan.tech_tokens)
+    plan.dense_enabled = embeddings_enabled()
+    plan.resolved = resolve_filters(
+        get_store(), payload.filters, get_index().call_capacity
+    )
+    return plan
+
+
+def _embed_plans(plans: Sequence[QueryPlan]) -> None:
+    """One provider call embeds every dense-enabled query in the batch; a
+    provider failure degrades the batch to lexical_only (per-request ladder
+    parity: app/retrieve.py:425-431)."""
+    pending = [p for p in plans if not p.empty and p.dense_enabled]
+    if not pending:
+        return
+    t0 = time.perf_counter()
+    try:
+        embedded = embed_texts([p.query for p in pending])
+        for plan, vector in zip(pending, embedded.vectors):
+            plan.dense_model_id = embedded.model
+            plan.q_emb = np.asarray(vector, dtype=np.float32)
+    except EmbeddingError as exc:
+        for plan in pending:
+            plan.dense_enabled = False
+            plan.dense_error = str(exc)
+    embed_ms = (time.perf_counter() - t0) * 1e3
+    for plan in pending:
+        plan.timings["embed_ms"] = embed_ms
+
+
+def _finish_planning(plan: QueryPlan) -> None:
+    if plan.empty or not plan.dense_enabled:
+        return
+    index = get_index()
+    resolved = plan.resolved
+    plan.chunk_candidates = index.chunks.estimate_candidates(
+        resolved.allowed_calls, resolved.date_min, resolved.date_max
+    )
+    plan.artifact_candidates = index.artifacts.estimate_candidates(
+        resolved.allowed_calls, resolved.date_min, resolved.date_max
+    )
+    plan.chunk_mode = choose_dense_mode(plan.chunk_candidates, resolved.scoped)
+    plan.artifact_mode = choose_dense_mode(
+        plan.artifact_candidates, resolved.scoped
+    )
+
+
+def _format_lanes(out: Dict[str, Any], row: int) -> Dict[str, LaneRows]:
     lanes: Dict[str, LaneRows] = {}
     ids, scores = out["lex"]
-    lanes["bm25"] = [(int(i), float(s)) for i, s in zip(ids[0], scores[0])]
+    lanes["bm25"] = [(int(i), float(s)) for i, s in zip(ids[row], scores[row])]
     ids, _keys = out["tech"]
-    lanes["tech_tokens"] = [(int(i), None) for i in ids[0]]
+    lanes["tech_tokens"] = [(int(i), None) for i in ids[row]]
     if "dense" in out:
         ids, scores = out["dense"]
-        lanes["dense"] = [(int(i), float(s)) for i, s in zip(ids[0], scores[0])]
+        lanes["dense"] = [
+            (int(i), float(s)) for i, s in zip(ids[row], scores[row])
+        ]
     return lanes
 
+
+def _execute_plans(plans: Sequence[QueryPlan]) -> None:
+    """Group by (modes, dense) and run one device dispatch per group."""
+    index = get_index()
+    runnable = [p for p in plans if not p.empty]
+    groups: Dict[Tuple, List[QueryPlan]] = {}
+    for plan in runnable:
+        key = (plan.chunk_mode or "exact", plan.artifact_mode or "exact",
+               plan.dense_enabled and plan.q_emb is not None)
+        groups.setdefault(key, []).append(plan)
+
+    for (chunk_mode, artifact_mode, dense_on), group in groups.items():
+        t0 = time.perf_counter()
+        batch = len(group)
+        chunk_q_lex = np.stack([
+            featurize.query_lexical_vector(
+                p.query, index.chunks.doc_freq, index.chunks.count
+            )
+            for p in group
+        ])
+        artifact_q_lex = np.stack([
+            featurize.query_lexical_vector(
+                p.query, index.artifacts.doc_freq, index.artifacts.count
+            )
+            for p in group
+        ])
+        q_tech = np.stack([p.q_tech for p in group])
+        allowed = np.stack([p.resolved.allowed_calls for p in group])
+        date_min = np.array([p.resolved.date_min for p in group], dtype=np.int32)
+        date_max = np.array([p.resolved.date_max for p in group], dtype=np.int32)
+        q_emb = (
+            np.stack([p.q_emb for p in group]).astype(np.float32)
+            if dense_on else None
+        )
+        chunks_out, artifacts_out = index.query_both(
+            q_emb, chunk_q_lex, artifact_q_lex, q_tech,
+            allowed, date_min, date_max,
+            chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
+            artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),
+            chunk_mode=chunk_mode,
+            artifact_mode=artifact_mode,
+            recall_target=recall_target_for_ef_search(
+                settings.embeddings_hnsw_ef_search
+            ),
+        )
+        device_ms = (time.perf_counter() - t0) * 1e3
+        for row, plan in enumerate(group):
+            plan.chunk_lanes = _format_lanes(chunks_out, row)
+            plan.artifact_lanes = _format_lanes(artifacts_out, row)
+            plan.timings["device_ms"] = device_ms
+            plan.timings["device_batch"] = float(batch)
+
+
+# -------------------------------------------------------------- assembly ----
 
 def _debug_lane(rows: LaneRows, id_field: str) -> List[Dict[str, Any]]:
     return [
@@ -81,161 +228,81 @@ def _debug_lane(rows: LaneRows, id_field: str) -> List[Dict[str, Any]]:
     ]
 
 
-def _fetch_chunk_rows(ids: Sequence[int]) -> Dict[int, Dict[str, Any]]:
+def _fetch_rows(table: str, id_col: str, columns: str,
+                ids: Sequence[int]) -> Dict[int, Dict[str, Any]]:
     if not ids:
         return {}
     store = get_store()
     placeholders = ",".join("?" * len(ids))
     with store.read() as conn:
         rows = conn.execute(
-            f"SELECT chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text "
-            f"FROM chunks WHERE chunk_id IN ({placeholders})",
+            f"SELECT {columns} FROM {table} WHERE {id_col} IN ({placeholders})",
             [int(i) for i in ids],
         ).fetchall()
-    return {int(r["chunk_id"]): dict(r) for r in rows}
+    return {int(r[id_col]): dict(r) for r in rows}
 
 
-def _fetch_artifact_rows(ids: Sequence[int]) -> Dict[int, Dict[str, Any]]:
-    if not ids:
-        return {}
-    store = get_store()
-    placeholders = ",".join("?" * len(ids))
-    with store.read() as conn:
-        rows = conn.execute(
-            f"SELECT artifact_chunk_id, artifact_id, call_id, kind, content "
-            f"FROM artifact_chunks WHERE artifact_chunk_id IN ({placeholders})",
-            [int(i) for i in ids],
-        ).fetchall()
-    return {int(r["artifact_chunk_id"]): dict(r) for r in rows}
-
-
-def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
-    query_id = str(uuid.uuid4())
-    query = payload.query.strip()
-    budget = payload.budget or Budget()
-    timings: Dict[str, float] = {}
-    logger.info(
-        "retrieve.start query_id=%s intent=%s return_style=%s debug=%s",
-        query_id, payload.intent, payload.return_style, payload.debug,
-    )
-
-    if not query:
+def _assemble(plan: QueryPlan) -> Dict[str, Any]:
+    payload = plan.payload
+    if plan.empty:
         if payload.return_style == "ids_only":
-            return {"query_id": query_id, "retrieved_ids": []}
+            return {"query_id": plan.query_id, "retrieved_ids": []}
         return {
-            "query_id": query_id,
+            "query_id": plan.query_id,
             "intent": payload.intent,
-            "budget": budget.model_dump(),
+            "budget": plan.budget.model_dump(),
             "artifacts": [],
             "quotes": [],
             "notes": {"error": "empty query"},
         }
 
-    store = get_store()
     index = get_index()
-
-    tech_tokens = extract_tech_tokens(query)
-    q_tech = featurize.query_tech_hashes(tech_tokens)
-
-    dense_enabled = embeddings_enabled()
-    dense_error: Optional[str] = None
-    dense_model_id: Optional[str] = None
-    q_emb: Optional[np.ndarray] = None
-    t0 = time.perf_counter()
-    if dense_enabled:
-        try:
-            embedded = embed_texts([query])
-            dense_model_id = embedded.model
-            q_emb = np.asarray(embedded.vectors[0], dtype=np.float32)
-        except EmbeddingError as exc:
-            dense_enabled = False
-            dense_error = str(exc)
-    timings["embed_ms"] = (time.perf_counter() - t0) * 1e3
-
-    resolved = resolve_filters(store, payload.filters, index.call_capacity)
-
-    chunk_candidates = artifact_candidates = 0
-    chunk_mode: Optional[str] = None
-    artifact_mode: Optional[str] = None
-    if dense_enabled:
-        chunk_candidates = index.chunks.estimate_candidates(
-            resolved.allowed_calls, resolved.date_min, resolved.date_max
-        )
-        artifact_candidates = index.artifacts.estimate_candidates(
-            resolved.allowed_calls, resolved.date_min, resolved.date_max
-        )
-        chunk_mode = choose_dense_mode(chunk_candidates, resolved.scoped)
-        artifact_mode = choose_dense_mode(artifact_candidates, resolved.scoped)
-
-    t0 = time.perf_counter()
-    chunk_q_lex = featurize.query_lexical_vector(
-        query, index.chunks.doc_freq, index.chunks.count
-    )[None, :]
-    artifact_q_lex = featurize.query_lexical_vector(
-        query, index.artifacts.doc_freq, index.artifacts.count
-    )[None, :]
-    chunks_out, artifacts_out = index.query_both(
-        q_emb[None, :] if (dense_enabled and q_emb is not None) else None,
-        chunk_q_lex,
-        artifact_q_lex,
-        q_tech[None, :],
-        resolved.allowed_calls[None, :],
-        np.array([resolved.date_min], dtype=np.int32),
-        np.array([resolved.date_max], dtype=np.int32),
-        chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
-        artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),
-        chunk_mode=chunk_mode or "exact",
-        artifact_mode=artifact_mode or "exact",
-        recall_target=recall_target_for_ef_search(
-            settings.embeddings_hnsw_ef_search
-        ),
-    )
-    chunk_lanes = _format_lanes(chunks_out)
-    artifact_lanes = _format_lanes(artifacts_out)
-    timings["device_ms"] = (time.perf_counter() - t0) * 1e3
-
     debug_payload = None
     if payload.debug:
-        chunk_dbg = {
-            name: _debug_lane(rows, "chunk_id")
-            for name, rows in chunk_lanes.items()
-        }
-        artifact_dbg = {
-            name: _debug_lane(rows, "artifact_chunk_id")
-            for name, rows in artifact_lanes.items()
-        }
         debug_payload = {
-            "lanes": {"chunks": chunk_dbg, "artifacts": artifact_dbg},
+            "lanes": {
+                "chunks": {
+                    name: _debug_lane(rows, "chunk_id")
+                    for name, rows in plan.chunk_lanes.items()
+                },
+                "artifacts": {
+                    name: _debug_lane(rows, "artifact_chunk_id")
+                    for name, rows in plan.artifact_lanes.items()
+                },
+            },
             "limits": {
                 "bm25_chunk_topk": CHUNK_BM25_TOPK,
                 "bm25_artifact_chunk_topk": ARTIFACT_BM25_TOPK,
                 "tech_token_topk": TECH_TOPK,
-                "dense_chunk_topk": DENSE_CHUNK_TOPK if dense_enabled else 0,
+                "dense_chunk_topk": DENSE_CHUNK_TOPK if plan.dense_enabled else 0,
                 "dense_artifact_chunk_topk": (
-                    DENSE_ARTIFACT_TOPK if dense_enabled else 0
+                    DENSE_ARTIFACT_TOPK if plan.dense_enabled else 0
                 ),
             },
             "dense": {
-                "enabled": dense_enabled,
-                "model_id": dense_model_id,
-                "error": dense_error,
-                "modes": {"chunks": chunk_mode, "artifact_chunks": artifact_mode},
+                "enabled": plan.dense_enabled,
+                "model_id": plan.dense_model_id,
+                "error": plan.dense_error,
+                "modes": {
+                    "chunks": plan.chunk_mode,
+                    "artifact_chunks": plan.artifact_mode,
+                },
                 "candidate_rows": {
-                    "chunks": chunk_candidates,
-                    "artifact_chunks": artifact_candidates,
+                    "chunks": plan.chunk_candidates,
+                    "artifact_chunks": plan.artifact_candidates,
                 },
             },
-            "timings_ms": timings,
+            "timings_ms": plan.timings,
         }
 
     chunk_ranked = rrf_merge(
         {name: [doc_id for doc_id, _ in rows]
-         for name, rows in chunk_lanes.items()},
+         for name, rows in plan.chunk_lanes.items()},
         k=RRF_K,
     )
     artifact_ranked = rrf_merge(
         {name: [doc_id for doc_id, _ in rows]
-         for name, rows in artifact_lanes.items()},
+         for name, rows in plan.artifact_lanes.items()},
         k=RRF_K,
     )
 
@@ -246,12 +313,12 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
         t0 = time.perf_counter()
         reranked_from = min(int(settings.rerank_topk), len(chunk_ranked))
         chunk_ranked = rerank(
-            query, chunk_ranked, "chunks",
+            plan.query, chunk_ranked, "chunks",
             index.chunks.doc_freq, index.chunks.count,
             topk=reranked_from,
             provider=settings.rerank_provider,
         )
-        timings["rerank_ms"] = (time.perf_counter() - t0) * 1e3
+        plan.timings["rerank_ms"] = (time.perf_counter() - t0) * 1e3
 
     if payload.return_style == "ids_only":
         combined: List[Tuple[str, int, float]] = []
@@ -262,22 +329,33 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
         kind_order = {"artifact_chunk": 0, "chunk": 1}
         combined.sort(key=lambda it: (-it[2], kind_order[it[0]], it[1]))
         response: Dict[str, Any] = {
-            "query_id": query_id,
-            "retrieved_ids": [f"{kind}:{doc_id}" for kind, doc_id, _ in combined],
+            "query_id": plan.query_id,
+            "retrieved_ids": [
+                f"{kind}:{doc_id}" for kind, doc_id, _ in combined
+            ],
         }
         if debug_payload is not None:
             response["debug"] = debug_payload
         logger.info(
             "retrieve.complete query_id=%s mode=ids_only ids=%s dense=%s",
-            query_id, len(response["retrieved_ids"]), dense_enabled,
+            plan.query_id, len(response["retrieved_ids"]), plan.dense_enabled,
         )
         return response
 
-    # ----- evidence pack under budget --------------------------------
+    # ----- evidence pack under budget -------------------------------------
     t0 = time.perf_counter()
-    artifact_rows = _fetch_artifact_rows([doc_id for doc_id, _, _ in artifact_ranked])
-    chunk_rows = _fetch_chunk_rows([doc_id for doc_id, _, _ in chunk_ranked])
+    artifact_rows = _fetch_rows(
+        "artifact_chunks", "artifact_chunk_id",
+        "artifact_chunk_id, artifact_id, call_id, kind, content",
+        [doc_id for doc_id, _, _ in artifact_ranked],
+    )
+    chunk_rows = _fetch_rows(
+        "chunks", "chunk_id",
+        "chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text",
+        [doc_id for doc_id, _, _ in chunk_ranked],
+    )
 
+    budget = plan.budget
     max_items = budget.max_evidence_items
     remaining_chars = budget.max_total_chars
     artifacts_out: List[Dict[str, Any]] = []
@@ -336,10 +414,10 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
         )
         quotes_per_call[call_id] = quotes_per_call.get(call_id, 0) + 1
         evidence_count += 1
-    timings["pack_ms"] = (time.perf_counter() - t0) * 1e3
+    plan.timings["pack_ms"] = (time.perf_counter() - t0) * 1e3
 
     response = {
-        "query_id": query_id,
+        "query_id": plan.query_id,
         "intent": payload.intent,
         "budget": budget.model_dump(),
         "artifacts": artifacts_out,
@@ -348,16 +426,17 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
             "retrieval": {
                 "planner": (
                     "lexical_only"
-                    if not dense_enabled
+                    if not plan.dense_enabled
                     else (
                         "ann"
-                        if chunk_mode == "ann" or artifact_mode == "ann"
+                        if plan.chunk_mode == "ann"
+                        or plan.artifact_mode == "ann"
                         else "exact"
                     )
                 ),
                 "dense_topk": (
                     max(DENSE_CHUNK_TOPK, DENSE_ARTIFACT_TOPK)
-                    if dense_enabled else 0
+                    if plan.dense_enabled else 0
                 ),
                 "lex_topk": CHUNK_BM25_TOPK,
                 "artifact_chunk_lex_topk": ARTIFACT_BM25_TOPK,
@@ -365,30 +444,33 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
                 "bm25_chunk_topk": CHUNK_BM25_TOPK,
                 "bm25_artifact_chunk_topk": ARTIFACT_BM25_TOPK,
                 "tech_token_topk": TECH_TOPK,
-                "tech_tokens": tech_tokens,
+                "tech_tokens": plan.tech_tokens,
                 "lanes": {
                     "bm25": True,
                     "tech_tokens": True,
-                    "dense": dense_enabled,
+                    "dense": plan.dense_enabled,
                 },
-                "dense_model_id": dense_model_id,
-                "dense_error": dense_error,
+                "dense_model_id": plan.dense_model_id,
+                "dense_error": plan.dense_error,
                 "dense_modes": {
-                    "chunks": chunk_mode,
-                    "artifact_chunks": artifact_mode,
+                    "chunks": plan.chunk_mode,
+                    "artifact_chunks": plan.artifact_mode,
                 },
                 "dense_candidate_rows": {
-                    "chunks": chunk_candidates,
-                    "artifact_chunks": artifact_candidates,
+                    "chunks": plan.chunk_candidates,
+                    "artifact_chunks": plan.artifact_candidates,
                 },
                 "hnsw_ef_search": (
-                    settings.embeddings_hnsw_ef_search if dense_enabled else None
+                    settings.embeddings_hnsw_ef_search
+                    if plan.dense_enabled else None
                 ),
                 "ann_recall_target": (
-                    recall_target_for_ef_search(settings.embeddings_hnsw_ef_search)
-                    if dense_enabled else None
+                    recall_target_for_ef_search(
+                        settings.embeddings_hnsw_ef_search
+                    )
+                    if plan.dense_enabled else None
                 ),
-                "timings_ms": timings,
+                "timings_ms": plan.timings,
             }
         },
     }
@@ -396,6 +478,24 @@ def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
         response["debug"] = debug_payload
     logger.info(
         "retrieve.complete query_id=%s artifacts=%s quotes=%s dense=%s",
-        query_id, len(artifacts_out), len(quotes_out), dense_enabled,
+        plan.query_id, len(artifacts_out), len(quotes_out), plan.dense_enabled,
     )
     return response
+
+
+# ------------------------------------------------------------- public API ----
+
+def retrieve_evidence_batch(
+    payloads: Sequence[RetrieveRequest],
+) -> List[Dict[str, Any]]:
+    """Serve many queries with one device dispatch per planner-mode group."""
+    plans = [_make_plan(p) for p in payloads]
+    _embed_plans(plans)
+    for plan in plans:
+        _finish_planning(plan)
+    _execute_plans(plans)
+    return [_assemble(plan) for plan in plans]
+
+
+def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
+    return retrieve_evidence_batch([payload])[0]

@@ -1,0 +1,73 @@
+"""Async micro-batcher for /retrieve.
+
+Concurrent requests arriving within ``retrieve_batch_window_ms`` coalesce
+into one ``retrieve_evidence_batch`` call (one device dispatch per planner
+group). With a ~25ms host->device dispatch cost, batching is the dominant
+throughput lever — the reference serves one query per request
+(app/retrieve.py:427); this layer is how the TPU build turns that into
+device-batched execution (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..config import settings
+from ..logging_utils import get_logger
+from ..schemas import RetrieveRequest
+
+logger = get_logger(__name__)
+
+
+class RetrieveBatcher:
+    def __init__(self, window_ms: Optional[float] = None, max_batch: int = 64):
+        self.window_s = (
+            window_ms if window_ms is not None
+            else float(settings.retrieve_batch_window_ms)
+        ) / 1e3
+        self.max_batch = max_batch
+        self._pending: List[Tuple[RetrieveRequest, asyncio.Future]] = []
+        self._flusher: Optional[asyncio.Task] = None
+        self._lock = asyncio.Lock()
+
+    async def submit(self, payload: RetrieveRequest) -> Dict[str, Any]:
+        loop = asyncio.get_running_loop()
+        future: asyncio.Future = loop.create_future()
+        async with self._lock:
+            self._pending.append((payload, future))
+            if len(self._pending) >= self.max_batch:
+                await self._flush_locked()
+            elif self._flusher is None or self._flusher.done():
+                self._flusher = asyncio.create_task(self._delayed_flush())
+        return await future
+
+    async def _delayed_flush(self) -> None:
+        await asyncio.sleep(self.window_s)
+        async with self._lock:
+            await self._flush_locked()
+
+    async def _flush_locked(self) -> None:
+        if not self._pending:
+            return
+        batch, self._pending = self._pending, []
+        payloads = [payload for payload, _ in batch]
+        loop = asyncio.get_running_loop()
+
+        def run():
+            from ..engine.retrieve import retrieve_evidence_batch
+
+            return retrieve_evidence_batch(payloads)
+
+        try:
+            responses = await loop.run_in_executor(None, run)
+        except Exception as exc:  # propagate to every waiter
+            for _, future in batch:
+                if not future.done():
+                    future.set_exception(exc)
+            return
+        for (_, future), response in zip(batch, responses):
+            if not future.done():
+                future.set_result(response)
+        if len(batch) > 1:
+            logger.info("retrieve.batched size=%s", len(batch))

@@ -27,7 +27,14 @@ def _to_multidict(query) -> dict:
 def make_app():
     from aiohttp import web
 
+    from ..config import settings
+    from ..schemas import RetrieveRequest
+    from .batcher import RetrieveBatcher
+
     router = build_router()
+    batcher = (
+        RetrieveBatcher() if int(settings.retrieve_batch_window_ms) > 0 else None
+    )
 
     async def handle(request: "web.Request") -> "web.Response":
         body: Any = None
@@ -40,6 +47,19 @@ def make_app():
                     return web.json_response(
                         {"detail": "invalid JSON body"}, status=400
                     )
+
+        # micro-batched /retrieve fast path
+        if (
+            batcher is not None
+            and request.method == "POST"
+            and request.path == "/retrieve"
+        ):
+            try:
+                payload = RetrieveRequest.model_validate(body)
+            except Exception as exc:
+                return web.json_response({"detail": str(exc)}, status=422)
+            result = await batcher.submit(payload)
+            return web.json_response(result)
         status, payload, headers = await asyncio.get_event_loop().run_in_executor(
             None,
             lambda: router.dispatch(

@@ -1,0 +1,93 @@
+"""Batched retrieval: many queries, one device dispatch per mode group,
+identical results to serial requests."""
+
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
+from cadence_rag_tpu.engine.retrieve import (
+    retrieve_evidence,
+    retrieve_evidence_batch,
+)
+from cadence_rag_tpu.ingest.ingest import ingest_transcript
+from cadence_rag_tpu.schemas import (
+    CallRef,
+    ChunkingOptions,
+    RetrieveFilters,
+    RetrieveRequest,
+    UtteranceIn,
+)
+
+
+@pytest.fixture()
+def corpus(tmp_store):
+    texts = [
+        "ECONNRESET errors flooded the object store gateway",
+        "lenovo BOM review for the dell bake-off next week",
+        "azure migration cutover runbook approved by finance",
+        "SSD tiering cut p99 latency on the ingest cluster",
+    ]
+    call_ids = []
+    for i, t in enumerate(texts):
+        cid, _, _ = ingest_transcript(
+            CallRef(external_id=f"batch-{i}"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900, text=t)],
+            ChunkingOptions(target_tokens=10, max_tokens=30, overlap_tokens=0),
+        )
+        call_ids.append(cid)
+    run_embedding_backfill(batch_size=8)
+    return call_ids
+
+
+class TestBatchRetrieve:
+    def test_batch_matches_serial(self, corpus):
+        queries = [
+            "ECONNRESET object store",
+            "lenovo BOM bake-off",
+            "azure migration runbook",
+        ]
+        reqs = [
+            RetrieveRequest(query=q, return_style="ids_only") for q in queries
+        ]
+        serial = [retrieve_evidence(r)["retrieved_ids"] for r in reqs]
+        batched = [
+            resp["retrieved_ids"] for resp in retrieve_evidence_batch(reqs)
+        ]
+        assert batched == serial
+
+    def test_batch_one_device_dispatch(self, corpus):
+        reqs = [
+            RetrieveRequest(query=q)
+            for q in ["ECONNRESET", "SSD tiering", "azure cutover"]
+        ]
+        responses = retrieve_evidence_batch(reqs)
+        batches = {
+            r["notes"]["retrieval"]["timings_ms"].get("device_batch")
+            for r in responses
+        }
+        assert batches == {3.0}, batches  # all three shared one dispatch
+
+    def test_mixed_modes_grouped(self, corpus):
+        # a scoped query (exact mode) and an unscoped one (ann) still both
+        # return correct results from separate dispatch groups
+        scoped = RetrieveRequest(
+            query="ECONNRESET object store",
+            filters=RetrieveFilters(call_ids=[corpus[0]]),
+            return_style="ids_only",
+        )
+        unscoped = RetrieveRequest(
+            query="ECONNRESET object store", return_style="ids_only"
+        )
+        batch = retrieve_evidence_batch([scoped, unscoped])
+        assert batch[0]["retrieved_ids"]
+        assert batch[1]["retrieved_ids"]
+        serial = retrieve_evidence(scoped)["retrieved_ids"]
+        assert batch[0]["retrieved_ids"] == serial
+
+    def test_empty_query_in_batch(self, corpus):
+        batch = retrieve_evidence_batch([
+            RetrieveRequest(query="  ", return_style="ids_only"),
+            RetrieveRequest(query="ECONNRESET", return_style="ids_only"),
+        ])
+        assert batch[0]["retrieved_ids"] == []
+        assert batch[1]["retrieved_ids"]

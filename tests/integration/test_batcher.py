@@ -1,0 +1,54 @@
+"""Async micro-batcher: concurrent submits coalesce into one device batch."""
+
+import asyncio
+
+import pytest
+
+from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
+from cadence_rag_tpu.ingest.ingest import ingest_transcript
+from cadence_rag_tpu.schemas import CallRef, ChunkingOptions, RetrieveRequest, UtteranceIn
+from cadence_rag_tpu.serve.batcher import RetrieveBatcher
+
+
+@pytest.fixture()
+def corpus(tmp_store):
+    ingest_transcript(
+        CallRef(external_id="bt-1"),
+        [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                     text="ECONNRESET on the object store gateway")],
+        ChunkingOptions(target_tokens=10, max_tokens=30, overlap_tokens=0),
+    )
+    run_embedding_backfill(batch_size=8)
+    return tmp_store
+
+
+class TestBatcher:
+    def test_concurrent_requests_share_dispatch(self, corpus):
+        async def scenario():
+            batcher = RetrieveBatcher(window_ms=50)
+            reqs = [
+                RetrieveRequest(query="ECONNRESET object store")
+                for _ in range(4)
+            ]
+            return await asyncio.gather(*(batcher.submit(r) for r in reqs))
+
+        responses = asyncio.run(scenario())
+        assert len(responses) == 4
+        batch_sizes = {
+            r["notes"]["retrieval"]["timings_ms"].get("device_batch")
+            for r in responses
+        }
+        assert batch_sizes == {4.0}, batch_sizes
+        assert all(r["quotes"] for r in responses)
+
+    def test_max_batch_flushes_early(self, corpus):
+        async def scenario():
+            batcher = RetrieveBatcher(window_ms=10_000, max_batch=2)
+            reqs = [RetrieveRequest(query="ECONNRESET") for _ in range(2)]
+            return await asyncio.wait_for(
+                asyncio.gather(*(batcher.submit(r) for r in reqs)),
+                timeout=30,
+            )
+
+        responses = asyncio.run(scenario())
+        assert len(responses) == 2

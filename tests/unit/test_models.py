@@ -1,0 +1,95 @@
+"""Model-family tests: embedder vector contract, contrastive training step
+actually learns, reranker scoring. All tiny-config CPU runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.models import embedder as emb
+from cadence_rag_tpu.models import reranker as rr
+
+TINY = emb.EmbedderConfig(
+    vocab_buckets=512, d_model=32, n_layers=2, n_heads=2, d_ff=64,
+    max_len=16, embed_dim=24,
+)
+
+
+class TestEmbedder:
+    def test_vector_contract_unit_norm(self):
+        params = emb.init_params(TINY, jax.random.PRNGKey(0))
+        tokens = jnp.asarray(emb.batch_tokenize(["hello world", "other text"], TINY))
+        out = emb.encode(params, tokens, TINY)
+        assert out.shape == (2, TINY.embed_dim)
+        norms = np.linalg.norm(np.asarray(out), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    def test_deterministic_tokenizer(self):
+        a = emb.hash_tokenize("The Quick Fox", TINY)
+        b = emb.hash_tokenize("the quick fox", TINY)
+        np.testing.assert_array_equal(a, b)  # case-normalized
+        assert (a > 0).all()
+
+    def test_last_token_pooling_ignores_padding(self):
+        params = emb.init_params(TINY, jax.random.PRNGKey(0))
+        short = jnp.asarray(emb.batch_tokenize(["hello world"], TINY))
+        # same text with trailing pads is identical by construction; instead
+        # check that ADDING tokens changes the embedding (pooling tracks the
+        # last real token)
+        longer = jnp.asarray(emb.batch_tokenize(["hello world extra"], TINY))
+        va = np.asarray(emb.encode(params, short, TINY))
+        vb = np.asarray(emb.encode(params, longer, TINY))
+        assert not np.allclose(va, vb)
+
+    def test_train_step_reduces_loss(self):
+        params = emb.init_params(TINY, jax.random.PRNGKey(0))
+        opt = emb.adamw_init(params)
+        rng = np.random.default_rng(0)
+        anchors = jnp.asarray(
+            rng.integers(1, TINY.vocab_buckets, size=(8, TINY.max_len)).astype(np.int32)
+        )
+        positives = jnp.asarray(
+            rng.integers(1, TINY.vocab_buckets, size=(8, TINY.max_len)).astype(np.int32)
+        )
+        step = jax.jit(lambda p, o, a, b: emb.train_step(p, o, a, b, TINY))
+        first_loss = None
+        loss = None
+        for i in range(30):
+            params, opt, loss = step(params, opt, anchors, positives)
+            if first_loss is None:
+                first_loss = float(loss)
+        assert float(loss) < first_loss * 0.8, (first_loss, float(loss))
+
+    def test_provider_interface(self, tmp_store, monkeypatch):
+        from cadence_rag_tpu.models.embedder import NeuralEmbeddingProvider
+
+        monkeypatch.setattr(tmp_store, "embeddings_dim", 24)
+        provider = NeuralEmbeddingProvider(cfg=TINY)
+        result = provider.embed(["some text", "more text"])
+        assert len(result.vectors) == 2
+        assert len(result.vectors[0]) == 24
+        assert "cadence-neural-embedder" in result.model
+
+
+class TestReranker:
+    CFG = rr.RerankerConfig(
+        vocab_buckets=256, d_model=32, n_layers=1, n_heads=2, d_ff=64,
+        max_len=32,
+    )
+
+    def test_pair_tokenize_sep(self):
+        tokens = rr.pair_tokenize("query words", "doc words here", self.CFG)
+        assert rr.SEP_TOKEN_ID in tokens.tolist()
+
+    def test_score_shape_and_determinism(self):
+        params = rr.init_params(self.CFG, jax.random.PRNGKey(0))
+        tokens = jnp.asarray(
+            np.stack([
+                rr.pair_tokenize("q", "first doc", self.CFG),
+                rr.pair_tokenize("q", "second doc", self.CFG),
+            ])
+        )
+        s1 = np.asarray(rr.score_pairs(params, tokens, self.CFG))
+        s2 = np.asarray(rr.score_pairs(params, tokens, self.CFG))
+        assert s1.shape == (2,)
+        np.testing.assert_allclose(s1, s2)
