@@ -131,7 +131,7 @@ def bench_host_baseline(n, sample_n=100_000, queries=8):
 
 def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_000_000))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     lex_dim = int(os.environ.get("BENCH_LEX_DIM", 2048))
     dense_mode = os.environ.get("BENCH_DENSE_MODE", "ann")

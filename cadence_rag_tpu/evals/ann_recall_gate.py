@@ -9,7 +9,7 @@ fails below threshold — the same quality contract pgvector's
 ef_search=80 is held to.
 
 Usage: python -m cadence_rag_tpu.evals.ann_recall_gate [--n 100000]
-       [--queries 64] [--k 10] [--min-recall 0.95] [--mode ann|pallas]
+       [--queries 64] [--k 10] [--min-recall 0.95] [--mode ann|pallas|ivf]
 """
 
 from __future__ import annotations
@@ -41,16 +41,35 @@ def measure_recall(
     key = jax.random.PRNGKey(seed)
     k_docs, k_q = jax.random.split(key)
 
+    # Clustered synthetic corpus: text embeddings are not uniform on the
+    # sphere — they concentrate around topic directions. A mixture of
+    # n/64 unit centers with ~1/sqrt(dim)-sigma spread approximates that; queries
+    # are perturbed documents (how retrieval queries actually behave).
+    n_centers = max(64, n // 64)
+
     @jax.jit
     def gen_docs():
-        docs = jax.random.normal(k_docs, (n, 1024), dtype=jnp.float32)
+        kc, ka, kn = jax.random.split(k_docs, 3)
+        centers = jax.random.normal(kc, (n_centers, 1024), dtype=jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        assign = jax.random.randint(ka, (n,), 0, n_centers)
+        # sigma ~ 1/sqrt(dim): keeps cos(doc, center) ~ 0.85 so the corpus
+        # has the topical concentration real embeddings exhibit
+        docs = centers[assign] + 0.02 * jax.random.normal(
+            kn, (n, 1024), dtype=jnp.float32
+        )
         return (docs / jnp.linalg.norm(docs, axis=1, keepdims=True)).astype(
             jnp.bfloat16
         )
 
     docs = jax.block_until_ready(gen_docs())
     rng = np.random.default_rng(seed + 1)
-    queries = rng.standard_normal((n_queries, 1024)).astype(np.float32)
+    base = np.asarray(
+        docs[rng.choice(n, size=n_queries, replace=False)], dtype=np.float32
+    )
+    queries = base + 0.012 * rng.standard_normal((n_queries, 1024)).astype(
+        np.float32
+    )
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     recall_target = recall_target_for_ef_search(ef_search)
@@ -60,6 +79,27 @@ def measure_recall(
     )
     if mode == "pallas":
         ann_fn = jax.jit(lambda q, e, m: pallas_cosine_topk(q, e, m, k))
+    elif mode == "ivf":
+        from ..ops.ivf import build_buckets, ivf_topk, kmeans
+
+        n_clusters = max(16, int(np.sqrt(n)))
+        centroids, assign = kmeans(
+            docs, jax.random.PRNGKey(7), n_clusters=n_clusters, iters=10
+        )
+        bucket_cap = int(2.0 * n / n_clusters)
+        buckets_np, overflow_np = build_buckets(
+            np.asarray(assign), n_clusters, bucket_cap
+        )
+        if len(overflow_np) == 0:
+            overflow_np = np.full(8, -1, dtype=np.int32)
+        buckets = jnp.asarray(buckets_np)
+        overflow = jnp.asarray(overflow_np)
+        nprobe = max(4, int(n_clusters * 0.08))
+        ann_fn = jax.jit(
+            lambda q, e, m: ivf_topk(
+                q, e, centroids, buckets, overflow, m, k=k, nprobe=nprobe
+            )
+        )
     else:
         ann_fn = jax.jit(
             lambda q, e, m: topk.masked_topk_approx(
@@ -91,7 +131,7 @@ def main() -> None:
     parser.add_argument("--queries", type=int, default=64)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--min-recall", type=float, default=0.95)
-    parser.add_argument("--mode", choices=["ann", "pallas"], default="ann")
+    parser.add_argument("--mode", choices=["ann", "pallas", "ivf"], default="ann")
     parser.add_argument("--ef-search", type=int, default=80)
     args = parser.parse_args()
     result = measure_recall(

@@ -1,0 +1,119 @@
+"""IVF (inverted-file) ANN index: device k-means build + probed query.
+
+The large-corpus ANN path. pgvector's HNSW is a pointer-chasing graph —
+hostile to a vector machine: each hop gathers ef*M full embedding rows, so
+at ef_search=80 a 1M-doc traversal moves as many bytes as the brute-force
+matmul that already runs at HBM bandwidth (NOTES_DEV.md). The TPU-shaped
+alternative is IVF (Faiss's workhorse; PAPERS.md "The Faiss library"):
+
+- build: spherical k-means ON DEVICE — assignment is a (N,dim)x(dim,C)
+  MXU matmul + argmax, update is a scatter-add; O(iters) passes;
+- query: score C centroids (tiny matmul), probe the top-``nprobe``
+  clusters, gather only those buckets' rows, exact-score the gathered
+  subset. Per query it reads nprobe*bucket_cap rows instead of N — the win
+  grows with corpus size (at 1M docs, ~15x less HBM traffic per query).
+
+``nprobe`` is the recall knob (ef_search analogue). Padded fixed-size
+buckets keep shapes static; bucket overflow spills to the always-scanned
+tail bucket so results stay exact-over-probed-set.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .topk import NEG_INF
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def kmeans(
+    emb: jax.Array, key: jax.Array, *, n_clusters: int, iters: int = 10
+) -> Tuple[jax.Array, jax.Array]:
+    """Spherical k-means over unit vectors. Returns (centroids (C, dim) f32,
+    assignments (N,) int32). Empty clusters keep their previous centroid."""
+    n, dim = emb.shape
+    init_idx = jax.random.choice(key, n, shape=(n_clusters,), replace=False)
+    centroids = emb[init_idx].astype(jnp.float32)
+
+    def step(centroids, _):
+        scores = jax.lax.dot_general(
+            emb, centroids.astype(emb.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (N, C)
+        assign = jnp.argmax(scores, axis=1)          # (N,)
+        sums = jnp.zeros((n_clusters, dim), jnp.float32).at[assign].add(
+            emb.astype(jnp.float32)
+        )
+        counts = jnp.zeros((n_clusters,), jnp.float32).at[assign].add(1.0)
+        norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+        fresh = sums / jnp.maximum(norms, 1e-6)
+        keep_old = (counts == 0)[:, None]
+        new_centroids = jnp.where(keep_old, centroids, fresh)
+        return new_centroids, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    final_scores = jax.lax.dot_general(
+        emb, centroids.astype(emb.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return centroids, jnp.argmax(final_scores, axis=1).astype(jnp.int32)
+
+
+def build_buckets(
+    assignments: np.ndarray, n_clusters: int, bucket_cap: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack document positions into padded per-cluster buckets (host side;
+    runs once per build/compaction). Returns (buckets (C, cap) int32 with
+    -1 padding, overflow (V,) int32 positions that exceeded their bucket)."""
+    buckets = np.full((n_clusters, bucket_cap), -1, dtype=np.int32)
+    fill = np.zeros(n_clusters, dtype=np.int64)
+    overflow = []
+    for pos, cluster in enumerate(np.asarray(assignments)):
+        c = int(cluster)
+        if fill[c] < bucket_cap:
+            buckets[c, fill[c]] = pos
+            fill[c] += 1
+        else:
+            overflow.append(pos)
+    return buckets, np.asarray(overflow, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_topk(
+    q_emb: jax.Array,       # (B, dim) f32
+    emb: jax.Array,         # (N, dim) storage dtype
+    centroids: jax.Array,   # (C, dim) f32
+    buckets: jax.Array,     # (C, cap) int32, -1 padded
+    overflow: jax.Array,    # (V,) int32, -1 padded (always scanned)
+    mask: jax.Array,        # (B, N) bool
+    *,
+    k: int,
+    nprobe: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """-> (scores (B, k), positions (B, k)); positions -1 where no hit."""
+    c_scores = q_emb @ centroids.T                   # (B, C)
+    _, probe = jax.lax.top_k(c_scores, nprobe)       # (B, nprobe)
+
+    def one_query(q, probed, row_mask):
+        cand = buckets[probed].reshape(-1)           # (nprobe*cap,)
+        cand = jnp.concatenate([cand, overflow])     # + spill tail
+        valid = cand >= 0
+        safe = jnp.where(valid, cand, 0)
+        rows = emb[safe]                             # (L, dim) gather
+        scores = rows.astype(jnp.float32) @ q.astype(jnp.float32)
+        keep = valid & row_mask[safe]
+        scores = jnp.where(keep, scores, NEG_INF)
+        top_scores, top_i = jax.lax.top_k(scores, k)
+        top_pos = jnp.where(
+            jnp.isfinite(top_scores), safe[top_i], -1
+        )
+        return top_scores, top_pos
+
+    return jax.vmap(one_query)(q_emb, probe, mask)

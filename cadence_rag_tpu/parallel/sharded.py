@@ -63,8 +63,6 @@ def sharded_dense_topk(
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over a corpus sharded on ``axis``. Returns
     (scores (B,k), global positions (B,k))."""
-    n_axes = len(mesh.axis_names)
-    row_sharded = P(axis, *([None] * 0))
     fn = shard_map(
         partial(_local_dense_topk, k=k, axis=axis),
         mesh=mesh,
