@@ -15,7 +15,6 @@ from __future__ import annotations
 import dataclasses
 import os
 from pathlib import Path
-from typing import Optional
 
 
 def _parse_bool(raw: str) -> bool:

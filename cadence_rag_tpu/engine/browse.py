@@ -15,7 +15,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 from ..store.db import from_json, get_store
 from ..utils.errors import ApiError
-from ..utils.timeutil import parse_iso, to_iso
+from ..utils.timeutil import to_iso
 
 
 def _encode_cursor(started_at: str, call_id: str) -> str:

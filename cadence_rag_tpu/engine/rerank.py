@@ -17,14 +17,12 @@ Fused RRF order breaks ties for equal rerank scores (stable sort).
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List, Sequence, Set, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 import numpy as np
 
-from ..config import settings
 from ..ingest import featurize
 from ..ingest.chunking import extract_tech_tokens
-from ..ops.hashing import LEX_QUANT_SCALE
 from ..store.db import get_store
 
 TECH_OVERLAP_BONUS = 2.0

@@ -8,7 +8,7 @@ ops/hashing.py — both produce bit-identical features (tested).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

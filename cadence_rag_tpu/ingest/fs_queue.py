@@ -34,7 +34,7 @@ from pydantic import BaseModel, Field, ValidationError
 from ..config import settings
 from ..logging_utils import get_logger
 from ..schemas import AnalysisArtifactIn, CallRef, ChunkingOptions
-from ..store.db import from_json, get_store
+from ..store.db import get_store
 from ..utils.timeutil import now_utc, to_iso
 from .adapters import (
     AdapterError,

@@ -18,7 +18,6 @@ from functools import partial
 from typing import Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .lexical import lexical_topk
 from .masks import filter_mask

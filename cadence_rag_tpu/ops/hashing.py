@@ -19,7 +19,7 @@ bit-for-bit and is verified by tests.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

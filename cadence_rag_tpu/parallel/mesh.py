@@ -7,7 +7,7 @@ embedder's weights (Megatron tp). Collectives ride ICI within a pod.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
