@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from cadence_rag_tpu.parallel.mesh import make_mesh, parse_mesh_shape
-from cadence_rag_tpu.parallel.sharded import sharded_dense_topk
+from cadence_rag_tpu.parallel.sharded import sharded_dense_topk, sharded_multi_lane
+from cadence_rag_tpu.ops.fused import multi_lane_retrieve
 from cadence_rag_tpu.ops.topk import reference_topk_numpy
 
 
@@ -78,3 +79,52 @@ class TestShardedTopk:
         for p, s in zip(pos, scores):
             if np.isfinite(s):
                 assert call_idx[p] == 2
+
+
+class TestShardedMultiLane:
+    def test_matches_single_device_fused(self):
+        mesh = make_mesh("data:8")
+        rng = np.random.default_rng(5)
+        n, dim, dlex, s, batch = 512, 64, 256, 4, 2
+        emb = _unit_rows(rng, n, dim)
+        lex = rng.integers(-4, 5, size=(n, dlex)).astype(np.int8)
+        tech = np.zeros((n, s), dtype=np.int32)
+        tech[::7, 0] = 99
+        call_idx = (np.arange(n) % 16).astype(np.int32)
+        started = rng.integers(1000, 5000, size=n).astype(np.int32)
+        q_emb = _unit_rows(rng, batch, dim)
+        q_lex = (rng.standard_normal((batch, dlex)) * 0.1).astype(np.float32)
+        q_tech = np.full((batch, 2), 99, dtype=np.int32)
+        allowed = np.ones((batch, 16), dtype=bool)
+        dmin = np.zeros(batch, np.int32)
+        dmax = np.full(batch, 2**31 - 1, np.int32)
+
+        single = multi_lane_retrieve(
+            jnp.asarray(emb), jnp.asarray(lex), jnp.asarray(tech),
+            jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_tech),
+            jnp.asarray(allowed), jnp.asarray(dmin), jnp.asarray(dmax),
+            k_dense=8, k_lex=8, k_tech=8,
+        )
+        sharded = sharded_multi_lane(
+            mesh,
+            jnp.asarray(emb), jnp.asarray(lex), jnp.asarray(tech),
+            jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_tech),
+            jnp.asarray(allowed), jnp.asarray(dmin), jnp.asarray(dmax),
+            k_dense=8, k_lex=8, k_tech=8,
+        )
+        for lane in ("dense", "lex", "tech"):
+            s_scores, s_pos = (np.asarray(x) for x in single[lane])
+            m_scores, m_pos = (np.asarray(x) for x in sharded[lane])
+            for b in range(batch):
+                # same candidate sets (order can differ on exact ties)
+                s_set = {
+                    int(p) for p, v in zip(s_pos[b], s_scores[b])
+                    if np.isfinite(v)
+                }
+                m_set = {
+                    int(p) for p, v in zip(m_pos[b], m_scores[b])
+                    if np.isfinite(v)
+                }
+                assert m_set == s_set, (lane, b)
