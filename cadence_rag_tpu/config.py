@@ -88,6 +88,7 @@ class Settings:
     tech_hash_slots: int = 16                # token-hash slots per document
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     retrieve_batch_window_ms: int = 0        # server-side query batching
+    embedder_params_path: str = ""           # trained weights for "neural"
     # Phase-4 rerank lane (BASELINE.md config 5)
     rerank_enabled: bool = False
     rerank_provider: str = "lexical"         # "lexical" | "neural"

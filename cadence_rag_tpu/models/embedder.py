@@ -245,6 +245,39 @@ def train_step(params, opt_state, anchors, positives, cfg: EmbedderConfig,
     return new_params, new_opt, loss
 
 
+# ------------------------------------------------------------ persistence ----
+
+def save_params(path: str, params: Dict[str, Any], cfg: EmbedderConfig) -> None:
+    """Flat-key npz checkpoint (restorable without a device)."""
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(k) for k in key_path)
+        flat[name] = np.asarray(leaf)
+    flat["__cfg__"] = np.array(
+        [cfg.vocab_buckets, cfg.d_model, cfg.n_layers, cfg.n_heads,
+         cfg.d_ff, cfg.max_len, cfg.embed_dim], dtype=np.int64,
+    )
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> "tuple[Dict[str, Any], EmbedderConfig]":
+    with np.load(path) as data:
+        vals = data["__cfg__"]
+        cfg = EmbedderConfig(
+            vocab_buckets=int(vals[0]), d_model=int(vals[1]),
+            n_layers=int(vals[2]), n_heads=int(vals[3]), d_ff=int(vals[4]),
+            max_len=int(vals[5]), embed_dim=int(vals[6]),
+        )
+        template = init_params(cfg, jax.random.PRNGKey(0))
+        leaves_with_path = jax.tree_util.tree_flatten_with_path(template)
+        restored = [
+            jnp.asarray(data["/".join(str(k) for k in key_path)])
+            for key_path, _ in leaves_with_path[0]
+        ]
+        params = jax.tree_util.tree_unflatten(leaves_with_path[1], restored)
+    return params, cfg
+
+
 # ---------------------------------------------------- provider interface ----
 
 class NeuralEmbeddingProvider:
@@ -255,13 +288,20 @@ class NeuralEmbeddingProvider:
     def __init__(self, cfg: Optional[EmbedderConfig] = None, seed: int = 0):
         from ..config import settings
 
-        self.cfg = cfg or EmbedderConfig(
-            embed_dim=int(settings.embeddings_dim)
-        )
+        params_path = (settings.embedder_params_path or "").strip()
+        if cfg is None and params_path:
+            self.params, self.cfg = load_params(params_path)
+            suffix = "-tuned"
+        else:
+            self.cfg = cfg or EmbedderConfig(
+                embed_dim=int(settings.embeddings_dim)
+            )
+            self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
+            suffix = ""
         self.model_id = (
-            f"cadence-neural-embedder-{self.cfg.d_model}d{self.cfg.n_layers}L"
+            f"cadence-neural-embedder-{self.cfg.d_model}d"
+            f"{self.cfg.n_layers}L{suffix}"
         )
-        self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
         self._encode = jax.jit(partial(encode, cfg=self.cfg))
 
     @classmethod

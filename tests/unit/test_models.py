@@ -93,3 +93,27 @@ class TestReranker:
         s2 = np.asarray(rr.score_pairs(params, tokens, self.CFG))
         assert s1.shape == (2,)
         np.testing.assert_allclose(s1, s2)
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        params = emb.init_params(TINY, jax.random.PRNGKey(0))
+        path = str(tmp_path / "params.npz")
+        emb.save_params(path, params, TINY)
+        restored, cfg = emb.load_params(path)
+        assert cfg == TINY
+        tokens = jnp.asarray(emb.batch_tokenize(["roundtrip text"], TINY))
+        a = np.asarray(emb.encode(params, tokens, TINY))
+        b = np.asarray(emb.encode(restored, tokens, cfg))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_provider_loads_trained_params(self, tmp_path, tmp_store, monkeypatch):
+        from cadence_rag_tpu.models.embedder import NeuralEmbeddingProvider
+
+        params = emb.init_params(TINY, jax.random.PRNGKey(3))
+        path = str(tmp_path / "tuned.npz")
+        emb.save_params(path, params, TINY)
+        monkeypatch.setattr(tmp_store, "embedder_params_path", path)
+        provider = NeuralEmbeddingProvider()
+        assert provider.model_id.endswith("-tuned")
+        assert provider.cfg == TINY
