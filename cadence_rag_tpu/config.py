@@ -89,6 +89,7 @@ class Settings:
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     retrieve_batch_window_ms: int = 0        # server-side query batching
     embedder_params_path: str = ""           # trained weights for "neural"
+    profiler_port: int = 0                   # jax.profiler server (0 = off)
     # Phase-4 rerank lane (BASELINE.md config 5)
     rerank_enabled: bool = False
     rerank_provider: str = "lexical"         # "lexical" | "neural"

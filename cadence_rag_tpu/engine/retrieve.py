@@ -177,6 +177,8 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
                plan.dense_enabled and plan.q_emb is not None)
         groups.setdefault(key, []).append(plan)
 
+    import jax.profiler as _profiler
+
     for (chunk_mode, artifact_mode, dense_on), group in groups.items():
         t0 = time.perf_counter()
         batch = len(group)
@@ -200,17 +202,20 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
             np.stack([p.q_emb for p in group]).astype(np.float32)
             if dense_on else None
         )
-        chunks_out, artifacts_out = index.query_both(
-            q_emb, chunk_q_lex, artifact_q_lex, q_tech,
-            allowed, date_min, date_max,
-            chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
-            artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),
-            chunk_mode=chunk_mode,
-            artifact_mode=artifact_mode,
-            recall_target=recall_target_for_ef_search(
-                settings.embeddings_hnsw_ef_search
-            ),
-        )
+        # Shows as a named region in jax.profiler traces (SURVEY.md §5:
+        # "add jax.profiler trace hooks"); no-op when no trace is active.
+        with _profiler.TraceAnnotation("retrieve_device_dispatch"):
+            chunks_out, artifacts_out = index.query_both(
+                q_emb, chunk_q_lex, artifact_q_lex, q_tech,
+                allowed, date_min, date_max,
+                chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
+                artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),
+                chunk_mode=chunk_mode,
+                artifact_mode=artifact_mode,
+                recall_target=recall_target_for_ef_search(
+                    settings.embeddings_hnsw_ef_search
+                ),
+            )
         device_ms = (time.perf_counter() - t0) * 1e3
         for row, plan in enumerate(group):
             plan.chunk_lanes = _format_lanes(chunks_out, row)

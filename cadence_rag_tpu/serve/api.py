@@ -67,13 +67,15 @@ Handler = Callable[[Request], Tuple[int, Dict[str, Any]]]
 
 class Router:
     def __init__(self) -> None:
-        self.routes: List[Tuple[str, re.Pattern, Handler]] = []
+        self.routes: List[Tuple[str, re.Pattern, Handler, str]] = []
 
     def add(self, method: str, pattern: str, handler: Handler) -> None:
         regex = re.compile(
             "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern) + "$"
         )
-        self.routes.append((method.upper(), regex, handler))
+        self.routes.append(
+            (method.upper(), regex, handler, f"{method.upper()} {pattern}")
+        )
 
     def dispatch(
         self,
@@ -84,11 +86,15 @@ class Router:
         body: Any = None,
         headers: Optional[Dict[str, str]] = None,
     ) -> Tuple[int, Dict[str, Any], Dict[str, str]]:
+        import time as _time
+
+        from .metrics import registry
+
         headers = {k.lower(): v for k, v in (headers or {}).items()}
         request_id = headers.get("x-request-id") or uuid.uuid4().hex
         token = set_request_id(request_id)
         try:
-            for route_method, regex, handler in self.routes:
+            for route_method, regex, handler, family in self.routes:
                 if route_method != method.upper():
                     continue
                 match = regex.match(path)
@@ -102,6 +108,7 @@ class Router:
                     body=body,
                     headers=headers,
                 )
+                t0 = _time.perf_counter()
                 try:
                     status, payload = handler(request)
                 except ApiError as exc:
@@ -115,6 +122,9 @@ class Router:
                         "request.failed method=%s path=%s", method, path
                     )
                     status, payload = 500, {"detail": "internal error"}
+                registry.observe(
+                    family, _time.perf_counter() - t0, error=status >= 500
+                )
                 return status, payload, {"x-request-id": request_id}
             return 404, {"detail": "not found"}, {"x-request-id": request_id}
         finally:
@@ -273,10 +283,21 @@ def index_stats_endpoint(_req: Request):
     }
 
 
+def metrics_endpoint(_req: Request):
+    from .metrics import registry
+
+    return 200, registry.snapshot()
+
+
 def startup() -> None:
     """Fail-fast startup gate + index recovery (reference lifespan:
     app/main.py:33-39)."""
     configure_logging(settings.log_level)
+    if int(settings.profiler_port) > 0:
+        import jax.profiler
+
+        jax.profiler.start_server(int(settings.profiler_port))
+        logger.info("api.profiler_server port=%s", settings.profiler_port)
     store = get_store()
     if not settings.skip_version_check:
         ok, message = store.validate_versions()
@@ -306,4 +327,5 @@ def build_router() -> Router:
     router.add("POST", "/expand", expand_endpoint)
     router.add("POST", "/retrieve", retrieve_endpoint)
     router.add("GET", "/index/stats", index_stats_endpoint)
+    router.add("GET", "/metrics", metrics_endpoint)
     return router

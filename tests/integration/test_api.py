@@ -247,3 +247,14 @@ class TestJobsApi:
     def test_get_job_404(self, client):
         resp = client.get("/ingest/jobs/00000000-0000-0000-0000-000000000000")
         assert resp.status_code == 404
+
+
+class TestMetricsEndpoint:
+    def test_metrics_report_latencies(self, seeded):
+        client = seeded["client"]
+        client.post("/retrieve", json={"query": "ECONNRESET"})
+        body = client.get("/metrics").json()
+        assert body["uptime_s"] >= 0
+        retrieve = body["endpoints"].get("POST /retrieve")
+        assert retrieve and retrieve["count"] >= 1
+        assert retrieve["p50_ms"] > 0
