@@ -51,9 +51,33 @@ def _write_slab(buf: jax.Array, slab: jax.Array, start) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, slab, start_idx)
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+def _write_all_slabs(
+    emb, lex, tech, call_idx, started, has_emb,
+    emb_slab, lex_slab, tech_slab, call_slab, started_slab, has_slab,
+    start,
+):
+    """All six buffers updated in ONE device program — host->device dispatch
+    latency dominates incremental ingest, so one call instead of six."""
+    def upd(buf, slab):
+        start_idx = (start,) + (0,) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, slab, start_idx)
+
+    return (
+        upd(emb, emb_slab), upd(lex, lex_slab), upd(tech, tech_slab),
+        upd(call_idx, call_slab), upd(started, started_slab),
+        upd(has_emb, has_slab),
+    )
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buf: jax.Array, pos: jax.Array, rows: jax.Array) -> jax.Array:
     return buf.at[pos].set(rows)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_emb_and_flags(emb, has_emb, pos, rows, flags):
+    return emb.at[pos].set(rows), has_emb.at[pos].set(flags)
 
 
 def _pad_rows(arr: np.ndarray, padded: int) -> np.ndarray:
@@ -166,17 +190,17 @@ class CorpusIndex:
         pad_started = np.full(padded, INT32_MIN, dtype=np.int32)
         pad_started[:n] = started
 
-        self.emb = _write_slab(
-            self.emb, jnp.asarray(_pad_rows(emb, padded), dtype=self.emb_dtype), start
-        )
-        self.lex = _write_slab(self.lex, jnp.asarray(_pad_rows(lex, padded)), start)
-        self.tech = _write_slab(self.tech, jnp.asarray(_pad_rows(tech, padded)), start)
-        self.call_idx = _write_slab(
-            self.call_idx, jnp.asarray(_pad_rows(call, padded)), start
-        )
-        self.started = _write_slab(self.started, jnp.asarray(pad_started), start)
-        self.has_emb = _write_slab(
-            self.has_emb, jnp.asarray(_pad_rows(has, padded)), start
+        (self.emb, self.lex, self.tech, self.call_idx, self.started,
+         self.has_emb) = _write_all_slabs(
+            self.emb, self.lex, self.tech, self.call_idx, self.started,
+            self.has_emb,
+            jnp.asarray(_pad_rows(emb, padded), dtype=self.emb_dtype),
+            jnp.asarray(_pad_rows(lex, padded)),
+            jnp.asarray(_pad_rows(tech, padded)),
+            jnp.asarray(_pad_rows(call, padded)),
+            jnp.asarray(pad_started),
+            jnp.asarray(_pad_rows(has, padded)),
+            start,
         )
 
         for i, r in enumerate(rows):
@@ -207,12 +231,10 @@ class CorpusIndex:
         pad_vals = np.zeros((padded, self.dim), dtype=np.float32)
         pad_vals[:n] = vals
         pad_vals[n:] = vals[0] if n else 0.0
-        self.emb = _scatter_rows(
-            self.emb, jnp.asarray(pad_pos), jnp.asarray(pad_vals, dtype=self.emb_dtype)
-        )
-        flags = np.ones(padded, dtype=bool)
-        self.has_emb = _scatter_rows(
-            self.has_emb, jnp.asarray(pad_pos), jnp.asarray(flags)
+        self.emb, self.has_emb = _scatter_emb_and_flags(
+            self.emb, self.has_emb, jnp.asarray(pad_pos),
+            jnp.asarray(pad_vals, dtype=self.emb_dtype),
+            jnp.asarray(np.ones(padded, dtype=bool)),
         )
         self.h_has_emb[pos] = True
         return int(n)
