@@ -114,6 +114,10 @@ class CorpusIndex:
         self.capacity = max(8, capacity)
         self.emb_dtype = jnp.dtype(emb_dtype)
         self.count = 0
+        # Single-writer concurrency contract (SURVEY.md §5 race detection:
+        # ingest funnels through one writer); the lock makes the array-set
+        # swap atomic so concurrent queries never see a half-updated corpus.
+        self.lock = threading.RLock()
         self._alloc_device(self.capacity)
         # host mirrors (cheap per-doc scalars) for id mapping + planning
         self.h_ids = np.zeros(self.capacity, dtype=np.int64)
@@ -169,6 +173,10 @@ class CorpusIndex:
     def insert(self, rows: Sequence[DocRow]) -> None:
         if not rows:
             return
+        with self.lock:
+            self._insert_locked(rows)
+
+    def _insert_locked(self, rows: Sequence[DocRow]) -> None:
         self.ensure_capacity(len(rows))
         n = len(rows)
         padded = _next_pow2(n)
@@ -218,6 +226,12 @@ class CorpusIndex:
     ) -> int:
         """Backfill embeddings for existing rows (reference analogue:
         UPDATE ... SET embedding, app/embedding_pipeline.py:149-168)."""
+        with self.lock:
+            return self._set_embeddings_locked(doc_ids, vectors)
+
+    def _set_embeddings_locked(
+        self, doc_ids: Sequence[int], vectors: np.ndarray
+    ) -> int:
         id_to_pos = self.position_of(doc_ids)
         mask = id_to_pos >= 0
         if not mask.any():
@@ -243,6 +257,10 @@ class CorpusIndex:
         """Replace tech-token slots for existing rows (tech-token backfill
         after lexicon changes; reference analogue:
         app/scripts/tech_tokens_backfill.py)."""
+        with self.lock:
+            return self._set_tech_locked(doc_ids, tech_rows)
+
+    def _set_tech_locked(self, doc_ids: Sequence[int], tech_rows: np.ndarray) -> int:
         id_to_pos = self.position_of(doc_ids)
         mask = id_to_pos >= 0
         if not mask.any():
@@ -369,6 +387,8 @@ class CorpusIndex:
 
         batch = q_lex.shape[0]
         dense_enabled = q_emb is not None
+        with self.lock:
+            pass  # barrier: never read a half-swapped array set
         k_dense_c = min(k_dense, self.capacity)
         k_lex_c = min(k_lex, self.capacity)
         k_tech_c = min(k_tech, self.capacity)
@@ -468,6 +488,8 @@ class DeviceIndexManager:
         still empty (cold start)."""
         batch = chunk_q_lex.shape[0]
         dense_enabled = q_emb is not None
+        with self.chunks.lock, self.artifacts.lock:
+            pass  # barrier against concurrent writers (fixed lock order)
         if self.chunks.count == 0 or self.artifacts.count == 0:
             chunks_out = (
                 self.chunks.query(

@@ -1,0 +1,87 @@
+"""Adaptive embedding pipeline unit tests (coverage model: reference
+tests/unit/test_embedding_pipeline.py — limit parsing from provider error
+text, downshift call sequence, single-row failure, preconditions)."""
+
+import pytest
+
+from cadence_rag_tpu.embed.pipeline import (
+    embed_texts_adaptive,
+    infer_batch_size_limit,
+    run_embedding_backfill,
+)
+from cadence_rag_tpu.embed.provider import EmbeddingError, EmbeddingResult
+
+
+class TestInferBatchLimit:
+    def test_triton_style_message(self):
+        assert infer_batch_size_limit(
+            "inference request batch-size must be <= 8"
+        ) == 8
+
+    def test_max_batch_phrase(self):
+        assert infer_batch_size_limit("maximum batch size is 4 for model") == 4
+
+    def test_no_limit_in_message(self):
+        assert infer_batch_size_limit("internal server error") is None
+        assert infer_batch_size_limit("") is None
+
+
+class TestAdaptiveDownshift:
+    def test_downshift_sequence_from_error(self, tmp_store, monkeypatch):
+        calls = []
+
+        def fake_embed(texts):
+            calls.append(len(texts))
+            if len(texts) > 2:
+                raise EmbeddingError("max batch size 2 exceeded")
+            return EmbeddingResult([[0.0] * 4] * len(texts), "fake")
+
+        monkeypatch.setattr(
+            "cadence_rag_tpu.embed.pipeline.embed_texts", fake_embed
+        )
+        result = embed_texts_adaptive(["a", "b", "c", "d", "e"], batch_size=5)
+        assert len(result.vectors) == 5
+        # 5 fails -> limit parsed as 2 -> 2,2,1 succeed
+        assert calls == [5, 2, 2, 1]
+
+    def test_halving_when_no_limit_in_error(self, tmp_store, monkeypatch):
+        calls = []
+
+        def fake_embed(texts):
+            calls.append(len(texts))
+            if len(texts) > 1:
+                raise EmbeddingError("opaque failure")
+            return EmbeddingResult([[0.0] * 4], "fake")
+
+        monkeypatch.setattr(
+            "cadence_rag_tpu.embed.pipeline.embed_texts", fake_embed
+        )
+        result = embed_texts_adaptive(["a", "b", "c", "d"], batch_size=4)
+        assert len(result.vectors) == 4
+        assert calls == [4, 2, 1, 1, 1, 1]
+
+    def test_single_row_failure_raises(self, tmp_store, monkeypatch):
+        def fake_embed(texts):
+            raise EmbeddingError("hard failure")
+
+        monkeypatch.setattr(
+            "cadence_rag_tpu.embed.pipeline.embed_texts", fake_embed
+        )
+        with pytest.raises(EmbeddingError, match="hard failure"):
+            embed_texts_adaptive(["only one"], batch_size=4)
+
+    def test_empty_texts_rejected(self, tmp_store):
+        with pytest.raises(EmbeddingError, match="non-empty"):
+            embed_texts_adaptive(["   ", ""], batch_size=4)
+
+
+class TestBackfillPreconditions:
+    def test_requires_provider(self, tmp_store, monkeypatch):
+        monkeypatch.setattr(tmp_store, "embeddings_provider", "")
+        monkeypatch.setattr(tmp_store, "embeddings_base_url", "")
+        with pytest.raises(RuntimeError, match="provider"):
+            run_embedding_backfill(batch_size=4)
+
+    def test_requires_positive_batch(self, tmp_store):
+        with pytest.raises(RuntimeError, match="BATCH_SIZE"):
+            run_embedding_backfill(batch_size=0)
