@@ -9,7 +9,7 @@ fails below threshold — the same quality contract pgvector's
 ef_search=80 is held to.
 
 Usage: python -m cadence_rag_tpu.evals.ann_recall_gate [--n 100000]
-       [--queries 64] [--k 10] [--min-recall 0.95] [--mode ann|pallas|ivf]
+       [--queries 64] [--k 10] [--min-recall 0.95] [--mode ann|pallas|ivf|hnsw]
 """
 
 from __future__ import annotations
@@ -100,6 +100,15 @@ def measure_recall(
                 q, e, centroids, buckets, overflow, m, k=k, nprobe=nprobe
             )
         )
+    elif mode == "hnsw":
+        from ..native.hnsw import HnswIndex
+
+        docs_f32 = np.asarray(docs, dtype=np.float32)
+        index = HnswIndex(docs_f32, m=16, ef_construction=64)
+
+        def ann_fn(q, e, m):
+            sims, idx = index.search(np.asarray(q), k=k, ef_search=ef_search)
+            return jnp.asarray(sims), jnp.asarray(idx)
     else:
         ann_fn = jax.jit(
             lambda q, e, m: topk.masked_topk_approx(
@@ -131,7 +140,7 @@ def main() -> None:
     parser.add_argument("--queries", type=int, default=64)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--min-recall", type=float, default=0.95)
-    parser.add_argument("--mode", choices=["ann", "pallas", "ivf"], default="ann")
+    parser.add_argument("--mode", choices=["ann", "pallas", "ivf", "hnsw"], default="ann")
     parser.add_argument("--ef-search", type=int, default=80)
     args = parser.parse_args()
     result = measure_recall(
