@@ -177,9 +177,11 @@ class CorpusIndex:
             self._insert_locked(rows)
 
     def _insert_locked(self, rows: Sequence[DocRow]) -> None:
-        self.ensure_capacity(len(rows))
         n = len(rows)
         padded = _next_pow2(n)
+        # Reserve room for the PADDED slab: dynamic_update_slice silently
+        # clamps an out-of-bounds start, which would corrupt the index.
+        self.ensure_capacity(padded)
         start = self.count
 
         emb = np.zeros((n, self.dim), dtype=np.float32)
