@@ -13,7 +13,7 @@ against dense-only host scan.
 Prints ONE JSON line:
   {"metric": "...", "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
 
-Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (default 16),
+Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (default 64),
 BENCH_ITERS (default 20), BENCH_LEX_DIM (default 2048).
 """
 
@@ -141,7 +141,7 @@ def bench_host_baseline(n, sample_n=100_000, queries=8):
 
 def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_000_000))
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     lex_dim = int(os.environ.get("BENCH_LEX_DIM", 2048))
     dense_mode = os.environ.get("BENCH_DENSE_MODE", "ann")

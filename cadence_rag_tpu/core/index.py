@@ -387,10 +387,22 @@ class CorpusIndex:
                 lanes["dense"] = empty
             return lanes
 
+        with self.lock:
+            # Hold for the full dispatch: inserts DONATE the old buffers,
+            # which would invalidate array references a concurrent reader
+            # has already captured ("Array has been deleted").
+            return self._query_locked(
+                q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
+                k_dense=k_dense, k_lex=k_lex, k_tech=k_tech,
+                dense_mode=dense_mode, recall_target=recall_target,
+            )
+
+    def _query_locked(
+        self, q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
+        *, k_dense, k_lex, k_tech, dense_mode, recall_target,
+    ):
         batch = q_lex.shape[0]
         dense_enabled = q_emb is not None
-        with self.lock:
-            pass  # barrier: never read a half-swapped array set
         k_dense_c = min(k_dense, self.capacity)
         k_lex_c = min(k_lex, self.capacity)
         k_tech_c = min(k_tech, self.capacity)
@@ -490,8 +502,22 @@ class DeviceIndexManager:
         still empty (cold start)."""
         batch = chunk_q_lex.shape[0]
         dense_enabled = q_emb is not None
+        # Hold BOTH corpus locks (fixed order) for the full device dispatch:
+        # donated inserts invalidate buffers concurrent readers hold.
         with self.chunks.lock, self.artifacts.lock:
-            pass  # barrier against concurrent writers (fixed lock order)
+            return self._query_both_locked(
+                q_emb, chunk_q_lex, artifact_q_lex, q_tech, allowed_calls,
+                date_min, date_max, chunk_ks=chunk_ks,
+                artifact_ks=artifact_ks, chunk_mode=chunk_mode,
+                artifact_mode=artifact_mode, recall_target=recall_target,
+                batch=batch, dense_enabled=dense_enabled,
+            )
+
+    def _query_both_locked(
+        self, q_emb, chunk_q_lex, artifact_q_lex, q_tech, allowed_calls,
+        date_min, date_max, *, chunk_ks, artifact_ks, chunk_mode,
+        artifact_mode, recall_target, batch, dense_enabled,
+    ):
         if self.chunks.count == 0 or self.artifacts.count == 0:
             chunks_out = (
                 self.chunks.query(
