@@ -60,6 +60,27 @@ FIXTURE_CALLS: List[Tuple[str, str, List[str], List[Tuple[str, str]]]] = [
         ],
     ),
     (
+        "support escalation triage",
+        "eval-support",
+        [
+            "the customer hit ORA-00600 after the database patch on prod",
+            "their api calls return HTTP 503 from the load balancer",
+            "we traced it to a certificate that expired at the edge",
+            "JIRA ticket SUP-7731 tracks the root cause analysis",
+            "the workaround is routing around the edge at 192.168.4.9",
+            "a permanent fix ships with release v5.1.2 next tuesday",
+        ],
+        [
+            ("action_items",
+             "- renew the edge certificate\n"
+             "- attach the RCA to SUP-7731\n"
+             "- verify HTTP 503 alarms fire earlier\n"),
+            ("summary",
+             "Escalation: ORA-00600 plus HTTP 503 traced to an expired edge "
+             "certificate; fix in v5.1.2, tracked in SUP-7731."),
+        ],
+    ),
+    (
         "cloud migration sync",
         "eval-cloud",
         [
@@ -107,6 +128,19 @@ GOLD_QUERIES: List[Tuple[str, str, List[Tuple[str, str]]]] = [
       ("artifact_chunks", "database tier stays on OCI")]),
     ("q_ticket", "what is tracked in OPS-1842",
      [("chunks", "OPS-1842 to track the permanent fix")]),
+    ("q_ora", "ORA-00600 database error",
+     [("chunks", "ORA-00600 after the database patch"),
+      ("artifact_chunks", "ORA-00600 plus HTTP 503")]),
+    ("q_cert", "why did the api return HTTP 503",
+     [("chunks", "HTTP 503 from the load balancer"),
+      ("chunks", "certificate that expired at the edge"),
+      ("artifact_chunks", "renew the edge certificate")]),
+    ("q_sup_ticket", "status of SUP-7731",
+     [("chunks", "SUP-7731 tracks the root cause"),
+      ("artifact_chunks", "attach the RCA to SUP-7731")]),
+    ("q_runbook", "where is the migration runbook",
+     [("chunks", "/runbooks/cloud/cutover-v3"),
+      ("artifact_chunks", "runbook at /runbooks/cloud/cutover-v3")]),
 ]
 
 
