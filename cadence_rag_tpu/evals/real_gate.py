@@ -56,7 +56,7 @@ def run_gate(
     reset_index()
     try:
         from ..embed.pipeline import run_embedding_backfill
-        from ..engine.retrieve import retrieve_evidence
+        from ..engine.retrieve import retrieve_evidence_batch
         from ..schemas import RetrieveRequest
         from .fixtures import GOLD_QUERIES, ingest_fixtures, resolve_gold
         from .metrics import compute_metrics
@@ -68,12 +68,15 @@ def run_gate(
             if not ids:
                 raise RuntimeError(f"gold resolution empty for {query_id}")
 
-        results: Dict[str, List[str]] = {}
-        for query_id, query, _needles in GOLD_QUERIES:
-            response = retrieve_evidence(
-                RetrieveRequest(query=query, return_style="ids_only")
-            )
-            results[query_id] = response["retrieved_ids"]
+        # the production batched path: all gold queries in one dispatch group
+        responses = retrieve_evidence_batch([
+            RetrieveRequest(query=query, return_style="ids_only")
+            for _query_id, query, _needles in GOLD_QUERIES
+        ])
+        results: Dict[str, List[str]] = {
+            query_id: response["retrieved_ids"]
+            for (query_id, _q, _n), response in zip(GOLD_QUERIES, responses)
+        }
 
         metrics = compute_metrics(gold, results, ks=(5, 10, 20))
         failures = []
