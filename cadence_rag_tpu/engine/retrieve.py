@@ -75,6 +75,7 @@ class QueryPlan:
     empty: bool = False
     tech_tokens: List[str] = dataclasses.field(default_factory=list)
     q_tech: Optional[np.ndarray] = None
+    q_lex_feats: Optional[tuple] = None
     resolved: Optional[ResolvedFilters] = None
     dense_enabled: bool = False
     dense_error: Optional[str] = None
@@ -107,6 +108,7 @@ def _make_plan(payload: RetrieveRequest) -> QueryPlan:
         return plan
     plan.tech_tokens = extract_tech_tokens(query)
     plan.q_tech = featurize.query_tech_hashes(plan.tech_tokens)
+    plan.q_lex_feats = featurize.query_lexical_features(query)
     plan.dense_enabled = embeddings_enabled()
     plan.resolved = resolve_filters(
         get_store(), payload.filters, get_index().call_capacity
@@ -183,14 +185,14 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
         t0 = time.perf_counter()
         batch = len(group)
         chunk_q_lex = np.stack([
-            featurize.query_lexical_vector(
-                p.query, index.chunks.doc_freq, index.chunks.count
+            featurize.query_lexical_vector_from(
+                p.q_lex_feats, index.chunks.doc_freq, index.chunks.count
             )
             for p in group
         ])
         artifact_q_lex = np.stack([
-            featurize.query_lexical_vector(
-                p.query, index.artifacts.doc_freq, index.artifacts.count
+            featurize.query_lexical_vector_from(
+                p.q_lex_feats, index.artifacts.doc_freq, index.artifacts.count
             )
             for p in group
         ])

@@ -42,6 +42,20 @@ def query_lexical_vector(
     return hashing.query_vector(text, int(settings.lexical_dim), doc_freq, n_docs)
 
 
+def query_lexical_features(text: str):
+    """Hash once; reuse across corpora via query_lexical_vector_from."""
+    return hashing.query_feature_arrays(text, int(settings.lexical_dim))
+
+
+def query_lexical_vector_from(
+    feats, doc_freq: np.ndarray, n_docs: int
+) -> np.ndarray:
+    buckets, signs, tfs = feats
+    return hashing.query_vector_from_features(
+        buckets, signs, tfs, int(settings.lexical_dim), doc_freq, n_docs
+    )
+
+
 def tech_slots(tokens: Sequence[str]) -> np.ndarray:
     return hashing.tech_token_hashes(tokens, int(settings.tech_hash_slots))
 

@@ -99,6 +99,35 @@ def doc_signature(
     return quant, touched, dl
 
 
+def query_feature_arrays(text: str, dim: int):
+    """Hash a query once into vectorized (buckets, signs, clipped tfs) —
+    reusable across corpora (each corpus applies its own idf)."""
+    counts = lexical_features(text)
+    if not counts:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty.astype(np.float32), empty.astype(np.float32)
+    hashes = np.fromiter(counts.keys(), dtype=np.uint64, count=len(counts))
+    tfs = np.fromiter(counts.values(), dtype=np.float32, count=len(counts))
+    buckets = (hashes % np.uint64(dim)).astype(np.int64)
+    signs = np.where((hashes >> np.uint64(33)) & np.uint64(1), 1.0, -1.0).astype(
+        np.float32
+    )
+    return buckets, signs, np.minimum(tfs, 3.0)
+
+
+def query_vector_from_features(
+    buckets: np.ndarray, signs: np.ndarray, tfs: np.ndarray,
+    dim: int, doc_freq: np.ndarray, n_docs: int,
+) -> np.ndarray:
+    q = np.zeros(dim, dtype=np.float32)
+    if buckets.size == 0 or n_docs <= 0:
+        return q
+    df = doc_freq[buckets].astype(np.float32)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    np.add.at(q, buckets, signs * idf * tfs)
+    return q / LEX_QUANT_SCALE
+
+
 def query_vector(
     text: str, dim: int, doc_freq: np.ndarray, n_docs: int
 ) -> np.ndarray:
@@ -107,16 +136,8 @@ def query_vector(
     idf uses bucket-granularity document frequencies maintained by the index
     (an upper bound on true per-term df; collisions only dampen weights).
     """
-    counts = lexical_features(text)
-    q = np.zeros(dim, dtype=np.float32)
-    if not counts or n_docs <= 0:
-        return q
-    for h, tf in counts.items():
-        bucket, sign = bucket_and_sign(h, dim)
-        df = float(doc_freq[bucket])
-        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        q[bucket] += sign * idf * min(tf, 3)
-    return q / LEX_QUANT_SCALE
+    buckets, signs, tfs = query_feature_arrays(text, dim)
+    return query_vector_from_features(buckets, signs, tfs, dim, doc_freq, n_docs)
 
 
 def tech_token_hashes(tokens: Sequence[str], slots: int) -> np.ndarray:
