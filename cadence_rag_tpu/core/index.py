@@ -292,13 +292,17 @@ class CorpusIndex:
         date_min: int,
         date_max: int,
         require_embedding: bool = True,
+        unfiltered: bool = False,
     ) -> int:
         """Masked row count for the exact-vs-ANN planner (reference:
         app/retrieve.py:303-323 COUNT(*) under filters). Host mirrors make
-        this a vectorized numpy pass, no device round-trip."""
+        this a vectorized numpy pass — and the common unfiltered case is a
+        cached counter, no pass at all."""
         n = self.count
         if n == 0:
             return 0
+        if unfiltered:
+            return int(self.h_has_emb[:n].sum()) if require_embedding else n
         mask = (self.h_started[:n] >= date_min) & (self.h_started[:n] <= date_max)
         if allowed_calls is not None:
             mask &= allowed_calls[self.h_call[:n]]
@@ -422,7 +426,7 @@ class CorpusIndex:
             ),
             dense_enabled=dense_enabled,
         )
-        return self.postprocess_lanes(out, batch)
+        return self.postprocess_lanes(jax.device_get(out), batch)
 
     def postprocess_lanes(
         self, out: Dict[str, Tuple[jax.Array, jax.Array]], batch: int
@@ -565,9 +569,13 @@ class DeviceIndexManager:
             recall_target=float(recall_target),
             dense_enabled=dense_enabled,
         )
+        # ONE device->host transfer for all lane outputs: each np.asarray on
+        # a device array is a separate round trip (~25ms each through the
+        # tunneled chip; 12 arrays would dominate the request).
+        chunks_np, artifacts_np = jax.device_get((chunks_raw, artifacts_raw))
         return (
-            self.chunks.postprocess_lanes(chunks_raw, batch),
-            self.artifacts.postprocess_lanes(artifacts_raw, batch),
+            self.chunks.postprocess_lanes(chunks_np, batch),
+            self.artifacts.postprocess_lanes(artifacts_np, batch),
         )
 
     def corpus(self, name: str) -> CorpusIndex:

@@ -29,6 +29,10 @@ class ResolvedFilters:
     scoped: bool                # planner input (app/retrieve.py:267-274)
     call_ids: Optional[List[str]]  # resolved explicit scoping, or None
 
+    @property
+    def unfiltered(self) -> bool:
+        return not self.scoped
+
 
 def resolve_filters(
     store: Store,

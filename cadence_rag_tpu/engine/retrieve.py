@@ -144,10 +144,12 @@ def _finish_planning(plan: QueryPlan) -> None:
     index = get_index()
     resolved = plan.resolved
     plan.chunk_candidates = index.chunks.estimate_candidates(
-        resolved.allowed_calls, resolved.date_min, resolved.date_max
+        resolved.allowed_calls, resolved.date_min, resolved.date_max,
+        unfiltered=resolved.unfiltered,
     )
     plan.artifact_candidates = index.artifacts.estimate_candidates(
-        resolved.allowed_calls, resolved.date_min, resolved.date_max
+        resolved.allowed_calls, resolved.date_min, resolved.date_max,
+        unfiltered=resolved.unfiltered,
     )
     plan.chunk_mode = choose_dense_mode(plan.chunk_candidates, resolved.scoped)
     plan.artifact_mode = choose_dense_mode(
