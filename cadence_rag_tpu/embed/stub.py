@@ -41,9 +41,11 @@ def embed_one(text: str, dim: int) -> np.ndarray:
         out = np.zeros(dim, dtype=np.float32)
         out[0] = 1.0
         return out
-    acc = np.zeros(dim, dtype=np.float32)
-    for h, tf in feats.items():
-        acc += np.log1p(tf) * _feature_direction(h, dim)
+    dirs = np.stack([_feature_direction(h, dim) for h in feats])
+    weights = np.log1p(
+        np.fromiter(feats.values(), dtype=np.float32, count=len(feats))
+    )
+    acc = weights @ dirs
     norm = float(np.linalg.norm(acc))
     return acc / norm if norm > 0 else acc
 
