@@ -111,7 +111,12 @@ def rerank(
         key=lambda item: scores.get(item[0], float("-inf")),
         reverse=True,
     )
+    # Apply the rerank ORDER but keep the descending RRF score ladder: fused
+    # scores stay on the RRF scale, so the ids_only chunk/artifact interleave
+    # (sorted by score across kinds, app/retrieve.py:552-560) is unaffected
+    # by the rerank provider's score units.
+    rrf_ladder = sorted((rrf for _d, _l, rrf in head), reverse=True)
     return [
-        (doc_id, lanes, scores.get(doc_id, rrf))
-        for doc_id, lanes, rrf in reordered
+        (doc_id, lanes, ladder_score)
+        for (doc_id, lanes, _), ladder_score in zip(reordered, rrf_ladder)
     ] + tail
