@@ -250,3 +250,29 @@ class TestFusedProgram:
             k_dense=5, k_lex=5, k_tech=5, dense_enabled=False,
         )
         assert "dense" not in out and "lex" in out and "tech" in out
+
+
+class TestAsrNoiseRobustness:
+    """The lexical lane's contract: 'rank by lexical relevance, robust to
+    ASR noise via char 3-grams' (SURVEY.md §2.3). Misspelled queries must
+    still rank the right document first through trigram overlap."""
+
+    def test_typo_query_still_ranks_target_first(self):
+        dim = 2048
+        texts = [
+            "the ECONNRESET errors came from the object store gateway",
+            "quarterly forecast review with the sales team",
+            "kubernetes upgrade plan for the staging cluster",
+        ]
+        sigs = np.stack([hashing.doc_signature(t, dim, 40.0)[0] for t in texts])
+        df = np.zeros(dim, dtype=np.int64)
+        for t in texts:
+            _, touched, _ = hashing.doc_signature(t, dim, 40.0)
+            df[touched] += 1
+        # ASR-style corruption: dropped letters, merged words
+        q = hashing.query_vector("ECONRESET objct stor gatway", dim, df, 3)
+        scores, pos = lexical.lexical_topk(
+            jnp.asarray(q[None, :]), jnp.asarray(sigs),
+            jnp.ones((1, 3), dtype=bool), 3,
+        )
+        assert int(pos[0, 0]) == 0, np.asarray(scores)
