@@ -46,7 +46,8 @@ def build_synthetic_index(n, dim, lex_dim, tech_slots, n_calls, emb_dtype):
         started = jax.random.randint(
             k_ts, (n,), 1_600_000_000, 1_750_000_000, dtype=jnp.int32
         )
-        return emb.astype(emb_dtype), lex, tech, call_idx, started
+        has_emb = jnp.ones((n,), dtype=jnp.bool_)
+        return emb.astype(emb_dtype), lex, tech, call_idx, started, has_emb
 
     return jax.block_until_ready(gen())
 

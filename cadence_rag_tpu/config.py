@@ -87,6 +87,11 @@ class Settings:
     lexical_dtype: str = "int8"
     tech_hash_slots: int = 16                # token-hash slots per document
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
+    # IVF dense mode (opt-in): probed-cluster scan for large corpora.
+    dense_ivf_enabled: bool = False
+    ivf_min_rows: int = 200_000              # use IVF above this row count
+    ivf_clusters: int = 0                    # 0 = auto sqrt(N)
+    ivf_nprobe: int = 0                      # 0 = auto 8% of clusters (>=4)
     retrieve_batch_window_ms: int = 0        # server-side query batching
     embedder_params_path: str = ""           # trained weights for "neural"
     profiler_port: int = 0                   # jax.profiler server (0 = off)

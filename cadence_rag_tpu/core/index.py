@@ -412,6 +412,7 @@ class CorpusIndex:
         k_tech_c = min(k_tech, self.capacity)
         out = multi_lane_retrieve(
             self.emb, self.lex, self.tech, self.call_idx, self.started,
+            self.has_emb,
             jnp.asarray(q_emb if dense_enabled
                         else np.zeros((batch, self.dim), np.float32)),
             jnp.asarray(q_lex), jnp.asarray(q_tech),
@@ -447,7 +448,8 @@ class CorpusIndex:
         return result
 
     def device_arrays(self) -> Tuple[jax.Array, ...]:
-        return (self.emb, self.lex, self.tech, self.call_idx, self.started)
+        return (self.emb, self.lex, self.tech, self.call_idx, self.started,
+                self.has_emb)
 
     def empty_lanes(self, batch: int, dense_enabled: bool):
         empty = ([np.zeros(0, dtype=np.int64)] * batch,

@@ -28,7 +28,7 @@ LaneResult = Tuple[jax.Array, jax.Array]
 
 
 def _lanes_one_corpus(
-    emb, lex_w, tech, call_idx, started_sec,
+    emb, lex_w, tech, call_idx, started_sec, has_emb,
     q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
     *, k_dense, k_lex, k_tech, dense_mode, recall_target, dense_enabled,
 ) -> Dict[str, LaneResult]:
@@ -37,11 +37,16 @@ def _lanes_one_corpus(
     out["lex"] = lexical_topk(q_lex, lex_w, mask, k_lex)
     out["tech"] = tech_topk(tech, started_sec, q_tech, mask, k_tech)
     if dense_enabled:
+        # rows without embeddings are excluded from the dense lane only
+        # (reference: `embedding IS NOT NULL`, app/retrieve.py:347)
+        dense_mask = mask & has_emb[None, :]
         scores = dense_scores(q_emb, emb)
         if dense_mode == "exact":
-            out["dense"] = masked_topk_exact(scores, mask, k_dense)
+            out["dense"] = masked_topk_exact(scores, dense_mask, k_dense)
         else:
-            out["dense"] = masked_topk_approx(scores, mask, k_dense, recall_target)
+            out["dense"] = masked_topk_approx(
+                scores, dense_mask, k_dense, recall_target
+            )
     return out
 
 
@@ -58,6 +63,7 @@ def multi_lane_retrieve(
     tech: jax.Array,         # (N, S) int32
     call_idx: jax.Array,     # (N,) int32
     started_sec: jax.Array,  # (N,) int32
+    has_emb: jax.Array,      # (N,) bool
     q_emb: jax.Array,        # (B, dim) f32
     q_lex: jax.Array,        # (B, D) f32
     q_tech: jax.Array,       # (B, Q) int32
@@ -73,7 +79,7 @@ def multi_lane_retrieve(
     dense_enabled: bool = True,
 ) -> Dict[str, LaneResult]:
     return _lanes_one_corpus(
-        emb, lex_w, tech, call_idx, started_sec,
+        emb, lex_w, tech, call_idx, started_sec, has_emb,
         q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
         k_dense=k_dense, k_lex=k_lex, k_tech=k_tech,
         dense_mode=dense_mode, recall_target=recall_target,
@@ -89,7 +95,7 @@ def multi_lane_retrieve(
     ),
 )
 def dual_corpus_retrieve(
-    chunk_arrays: Tuple[jax.Array, ...],     # (emb, lex, tech, call_idx, started)
+    chunk_arrays: Tuple[jax.Array, ...],     # (emb, lex, tech, call_idx, started, has_emb)
     artifact_arrays: Tuple[jax.Array, ...],
     q_emb: jax.Array,
     chunk_q_lex: jax.Array,

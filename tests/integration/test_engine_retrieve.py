@@ -243,3 +243,23 @@ class TestIdempotencyAndRebuild:
         assert created
         call_id2, created2 = ingest_call(CallRef(external_id="up-1"))
         assert call_id2 == call_id and not created2
+
+
+class TestDenseRequiresEmbedding:
+    def test_unembedded_rows_excluded_from_dense_lane(self, tmp_store):
+        """Parity: dense lane scopes to `embedding IS NOT NULL`
+        (app/retrieve.py:347); un-backfilled rows serve lexical only."""
+        call_id, _, _ = _mk_call(
+            tmp_store, "no-embed", ["ECONNRESET appears exactly here"]
+        )
+        resp = retrieve_evidence(
+            RetrieveRequest(query="ECONNRESET appears exactly", debug=True)
+        )
+        dbg = resp["debug"]["lanes"]["chunks"]
+        assert dbg["bm25"], "lexical lane must hit"
+        assert dbg["dense"] == []  # nothing embedded yet
+        run_embedding_backfill(batch_size=4)
+        resp = retrieve_evidence(
+            RetrieveRequest(query="ECONNRESET appears exactly", debug=True)
+        )
+        assert resp["debug"]["lanes"]["chunks"]["dense"]

@@ -221,6 +221,7 @@ class TestFusedProgram:
         out = multi_lane_retrieve(
             jnp.asarray(emb), jnp.asarray(lex_w), jnp.asarray(tech),
             jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.ones(n, dtype=bool),
             jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_tech),
             jnp.asarray(allowed),
             jnp.asarray([0], dtype=jnp.int32),
@@ -241,6 +242,7 @@ class TestFusedProgram:
             jnp.zeros((n, 2), jnp.int32),
             jnp.zeros(n, jnp.int32),
             jnp.full(n, 10, jnp.int32),
+            jnp.ones(n, dtype=bool),
             jnp.zeros((1, dim), jnp.float32),
             jnp.zeros((1, dlex), jnp.float32),
             jnp.zeros((1, 2), jnp.int32),

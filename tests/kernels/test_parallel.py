@@ -102,6 +102,7 @@ class TestShardedMultiLane:
         single = multi_lane_retrieve(
             jnp.asarray(emb), jnp.asarray(lex), jnp.asarray(tech),
             jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.ones(n, dtype=bool),
             jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_tech),
             jnp.asarray(allowed), jnp.asarray(dmin), jnp.asarray(dmax),
             k_dense=8, k_lex=8, k_tech=8,
