@@ -28,6 +28,8 @@ import numpy as np
 
 from ..config import settings
 from ..ops.fused import dual_corpus_retrieve, multi_lane_retrieve
+from ..ops.ivf import build_buckets, ivf_topk, kmeans
+from ..ops.masks import filter_mask
 
 INT32_MIN = np.int32(-2147483648)
 INT32_MAX = np.int32(2147483647)
@@ -43,6 +45,33 @@ class DocRow:
     lex_touched: np.ndarray        # (t,) int32 buckets, for df updates
     tech: np.ndarray               # (tech_slots,) int32
     embedding: Optional[np.ndarray]  # (dim,) f32 unit vector or None
+
+
+@dataclasses.dataclass
+class IvfState:
+    """Probed-cluster dense index (ops/ivf.py) over the rows present at
+    build time; rows inserted later live in the exact-scanned overflow tail
+    until the next build (freshness contract: no row is ever invisible)."""
+
+    centroids: jax.Array        # (C, dim) f32
+    buckets: jax.Array          # (C, cap) int32
+    overflow: jax.Array         # (Vcap,) int32, -1 padded
+    overflow_count: int
+    built_count: int
+    n_clusters: int
+    nprobe: int
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_dense_query(
+    emb, call_idx, started, has_emb, centroids, buckets, overflow,
+    q_emb, allowed, date_min, date_max, *, k: int, nprobe: int,
+):
+    mask = filter_mask(call_idx, started, allowed, date_min, date_max)
+    mask = mask & has_emb[None, :]
+    return ivf_topk(
+        q_emb, emb, centroids, buckets, overflow, mask, k=k, nprobe=nprobe
+    )
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -127,6 +156,9 @@ class CorpusIndex:
         # lexical corpus stats (df at bucket granularity, running avgdl)
         self.doc_freq = np.zeros(lex_dim, dtype=np.int64)
         self.dl_sum = 0
+        # optional probed-cluster dense index (settings.dense_ivf_enabled)
+        self.ivf: Optional[IvfState] = None
+        self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
 
     def _alloc_device(self, cap: int) -> None:
         self.emb = jnp.zeros((cap, self.dim), dtype=self.emb_dtype)
@@ -222,6 +254,8 @@ class CorpusIndex:
             self.doc_freq[r.lex_touched] += 1
             self.dl_sum += r.lex_dl
         self.count += n
+        if self.ivf is not None:
+            self._ivf_append_overflow(np.arange(start, start + n, dtype=np.int32))
 
     def set_embeddings(
         self, doc_ids: Sequence[int], vectors: np.ndarray
@@ -284,6 +318,86 @@ class CorpusIndex:
     def position_of(self, doc_ids: Sequence[int]) -> np.ndarray:
         lookup = {int(d): p for p, d in enumerate(self.h_ids[: self.count])}
         return np.array([lookup.get(int(d), -1) for d in doc_ids], dtype=np.int32)
+
+    # -- IVF dense index ----------------------------------------------------
+    def _ivf_append_overflow(self, positions: np.ndarray) -> None:
+        self._ivf_overflow_host = np.concatenate(
+            [self._ivf_overflow_host, positions.astype(np.int32)]
+        )
+        padded_len = _next_pow2(max(len(self._ivf_overflow_host), 8))
+        padded = np.full(padded_len, -1, dtype=np.int32)
+        padded[: len(self._ivf_overflow_host)] = self._ivf_overflow_host
+        self.ivf = dataclasses.replace(
+            self.ivf,
+            overflow=jnp.asarray(padded),
+            overflow_count=len(self._ivf_overflow_host),
+        )
+
+    def build_ivf(
+        self,
+        n_clusters: Optional[int] = None,
+        nprobe: Optional[int] = None,
+        seed: int = 0,
+    ) -> IvfState:
+        """Build (or rebuild) the probed-cluster dense index on device.
+        Rows inserted afterwards join the exact-scanned overflow tail until
+        the next build (scripts/build_ivf.py or operator-triggered)."""
+        with self.lock:
+            if self.count == 0:
+                raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
+            n = self.count
+            clusters = n_clusters or int(settings.ivf_clusters) or max(
+                16, int(np.sqrt(n))
+            )
+            clusters = min(clusters, n)
+            probe = nprobe or int(settings.ivf_nprobe) or max(
+                4, int(clusters * 0.08)
+            )
+            emb_rows = jax.lax.slice_in_dim(self.emb, 0, n, axis=0)
+            centroids, assign = kmeans(
+                emb_rows, jax.random.PRNGKey(seed),
+                n_clusters=clusters, iters=10,
+            )
+            bucket_cap = max(8, int(2.0 * n / clusters))
+            buckets_np, overflow_np = build_buckets(
+                np.asarray(assign), clusters, bucket_cap
+            )
+            self._ivf_overflow_host = overflow_np.astype(np.int32)
+            padded_len = _next_pow2(max(len(self._ivf_overflow_host), 8))
+            padded = np.full(padded_len, -1, dtype=np.int32)
+            padded[: len(self._ivf_overflow_host)] = self._ivf_overflow_host
+            self.ivf = IvfState(
+                centroids=centroids,
+                buckets=jnp.asarray(buckets_np),
+                overflow=jnp.asarray(padded),
+                overflow_count=len(self._ivf_overflow_host),
+                built_count=n,
+                n_clusters=clusters,
+                nprobe=probe,
+            )
+            return self.ivf
+
+    def ivf_usable(self) -> bool:
+        """IVF serves the dense lane only while the exact-scanned tail is
+        small relative to the built graph (else ann/exact is faster)."""
+        return (
+            self.ivf is not None
+            and self.ivf.overflow_count < max(self.ivf.built_count, 1)
+        )
+
+    def ivf_dense_query(
+        self, q_emb: np.ndarray, allowed_calls: np.ndarray,
+        date_min: np.ndarray, date_max: np.ndarray, k: int,
+    ):
+        with self.lock:
+            state = self.ivf
+            return _ivf_dense_query(
+                self.emb, self.call_idx, self.started, self.has_emb,
+                state.centroids, state.buckets, state.overflow,
+                jnp.asarray(q_emb), jnp.asarray(allowed_calls),
+                jnp.asarray(date_min), jnp.asarray(date_max),
+                k=min(k, self.capacity), nprobe=state.nprobe,
+            )
 
     # -- planning ---------------------------------------------------------
     def estimate_candidates(
@@ -441,7 +555,7 @@ class CorpusIndex:
             score_rows: List[np.ndarray] = []
             for b in range(batch):
                 keep = np.isfinite(scores[b])
-                keep &= pos[b] < self.count
+                keep &= (pos[b] >= 0) & (pos[b] < self.count)
                 ids_rows.append(self.h_ids[pos[b][keep]])
                 score_rows.append(scores[b][keep].astype(np.float32))
             result[lane] = (ids_rows, score_rows)  # type: ignore[assignment]
@@ -554,6 +668,14 @@ class DeviceIndexManager:
             q_emb if dense_enabled
             else np.zeros((batch, self.chunks.dim), np.float32)
         )
+        ivf_chunks = dense_enabled and chunk_mode == "ivf"
+        if ivf_chunks:
+            # the probed-cluster index serves the chunk dense lane in its
+            # own dispatch; the fused program skips that lane ("none")
+            ivf_dense = self.chunks.ivf_dense_query(
+                q_emb, allowed_calls, date_min, date_max, chunk_ks[0]
+            )
+            chunk_mode = "none"
         chunks_raw, artifacts_raw = dual_corpus_retrieve(
             self.chunks.device_arrays(),
             self.artifacts.device_arrays(),
@@ -571,6 +693,9 @@ class DeviceIndexManager:
             recall_target=float(recall_target),
             dense_enabled=dense_enabled,
         )
+        if ivf_chunks:
+            chunks_raw = dict(chunks_raw)
+            chunks_raw["dense"] = ivf_dense
         # ONE device->host transfer for all lane outputs: each np.asarray on
         # a device array is a separate round trip (~25ms each through the
         # tunneled chip; 12 arrays would dominate the request).

@@ -18,13 +18,21 @@ def has_scoping(scoped: bool) -> bool:
     return scoped
 
 
-def choose_dense_mode(estimated_rows: int, scoped: bool) -> str:
+def choose_dense_mode(
+    estimated_rows: int, scoped: bool, ivf_available: bool = False
+) -> str:
     if estimated_rows <= 0:
         return "exact"
     if scoped and estimated_rows <= max(
         int(settings.embeddings_exact_scan_threshold), 0
     ):
         return "exact"
+    if (
+        ivf_available
+        and settings.dense_ivf_enabled
+        and estimated_rows >= int(settings.ivf_min_rows)
+    ):
+        return "ivf"
     return "ann"
 
 

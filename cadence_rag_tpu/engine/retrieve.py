@@ -151,7 +151,10 @@ def _finish_planning(plan: QueryPlan) -> None:
         resolved.allowed_calls, resolved.date_min, resolved.date_max,
         unfiltered=resolved.unfiltered,
     )
-    plan.chunk_mode = choose_dense_mode(plan.chunk_candidates, resolved.scoped)
+    plan.chunk_mode = choose_dense_mode(
+        plan.chunk_candidates, resolved.scoped,
+        ivf_available=index.chunks.ivf_usable(),
+    )
     plan.artifact_mode = choose_dense_mode(
         plan.artifact_candidates, resolved.scoped
     )

@@ -36,7 +36,7 @@ def _lanes_one_corpus(
     out: Dict[str, LaneResult] = {}
     out["lex"] = lexical_topk(q_lex, lex_w, mask, k_lex)
     out["tech"] = tech_topk(tech, started_sec, q_tech, mask, k_tech)
-    if dense_enabled:
+    if dense_enabled and dense_mode != "none":
         # rows without embeddings are excluded from the dense lane only
         # (reference: `embedding IS NOT NULL`, app/retrieve.py:347)
         dense_mask = mask & has_emb[None, :]

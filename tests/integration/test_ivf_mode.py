@@ -1,0 +1,114 @@
+"""IVF as a serving dense mode: planner selection, freshness via the
+overflow tail, and result parity with the exact scan."""
+
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
+from cadence_rag_tpu.engine.planner import choose_dense_mode
+from cadence_rag_tpu.engine.retrieve import retrieve_evidence
+from cadence_rag_tpu.ingest.ingest import ingest_transcript
+from cadence_rag_tpu.schemas import CallRef, ChunkingOptions, RetrieveRequest, UtteranceIn
+
+OPTS = ChunkingOptions(target_tokens=8, max_tokens=20, overlap_tokens=0)
+
+TOPICS = [
+    "object store ECONNRESET retries on the gateway",
+    "lenovo BOM pricing for the bake-off",
+    "azure migration cutover runbook details",
+    "SSD tiering latency improvements",
+]
+
+
+@pytest.fixture()
+def ivf_corpus(tmp_store, monkeypatch):
+    monkeypatch.setattr(tmp_store, "dense_ivf_enabled", True)
+    monkeypatch.setattr(tmp_store, "ivf_min_rows", 8)  # tiny for tests
+    for i in range(12):
+        ingest_transcript(
+            CallRef(external_id=f"ivf-{i}"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text=f"{TOPICS[i % len(TOPICS)]} variation {i}")],
+            OPTS,
+        )
+    run_embedding_backfill(batch_size=8)
+    return tmp_store
+
+
+class TestPlannerIvf:
+    def test_mode_table_with_ivf(self, tmp_store, monkeypatch):
+        monkeypatch.setattr(tmp_store, "dense_ivf_enabled", True)
+        monkeypatch.setattr(tmp_store, "ivf_min_rows", 1000)
+        # reference decision table unchanged when ivf not available
+        assert choose_dense_mode(5000, scoped=False) == "ann"
+        assert choose_dense_mode(500, scoped=True) == "exact"
+        # ivf only above the row floor and when an index exists
+        assert choose_dense_mode(5000, scoped=False, ivf_available=True) == "ivf"
+        assert choose_dense_mode(500, scoped=False, ivf_available=True) == "ann"
+        monkeypatch.setattr(tmp_store, "dense_ivf_enabled", False)
+        assert choose_dense_mode(5000, scoped=False, ivf_available=True) == "ann"
+
+
+class TestIvfServing:
+    def test_ivf_mode_selected_and_results_match_ann(self, ivf_corpus):
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        req = RetrieveRequest(query="ECONNRESET object store gateway",
+                              return_style="ids_only")
+        baseline = retrieve_evidence(req)["retrieved_ids"]
+
+        state = index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        assert state.built_count == index.chunks.count
+        resp = retrieve_evidence(RetrieveRequest(
+            query="ECONNRESET object store gateway", debug=True))
+        assert resp["notes"]["retrieval"]["dense_modes"]["chunks"] == "ivf"
+        # nprobe == n_clusters -> IVF scans every bucket: identical results
+        ivf_ids = retrieve_evidence(req)["retrieved_ids"]
+        assert ivf_ids == baseline
+
+    def test_overflow_tail_keeps_new_rows_visible(self, ivf_corpus):
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        ingest_transcript(
+            CallRef(external_id="ivf-new"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text="freshly ingested zeppelin maintenance log")],
+            OPTS,
+        )
+        run_embedding_backfill(batch_size=8)
+        assert index.chunks.ivf.overflow_count >= 1
+        resp = retrieve_evidence(RetrieveRequest(
+            query="zeppelin maintenance log", debug=True))
+        assert resp["notes"]["retrieval"]["dense_modes"]["chunks"] == "ivf"
+        dense = resp["debug"]["lanes"]["chunks"]["dense"]
+        assert dense, "post-build row must be reachable via the overflow tail"
+        hit_ids = {row["chunk_id"] for row in dense}
+        # the new chunk is the only zeppelin doc; dense lane must surface it
+        from cadence_rag_tpu.store.db import get_store
+
+        with get_store().read() as conn:
+            row = conn.execute(
+                "SELECT chunk_id FROM chunks WHERE text LIKE '%zeppelin%'"
+            ).fetchone()
+        assert int(row["chunk_id"]) in hit_ids
+
+    def test_stale_ivf_falls_back_to_ann(self, ivf_corpus):
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        index.chunks.build_ivf(n_clusters=4, nprobe=2)
+        # flood the overflow past the built count -> ivf_usable() False
+        for i in range(14):
+            ingest_transcript(
+                CallRef(external_id=f"flood-{i}"),
+                [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                             text=f"flood row {i} about nothing in particular")],
+                OPTS,
+            )
+        run_embedding_backfill(batch_size=8)
+        assert not index.chunks.ivf_usable()
+        resp = retrieve_evidence(RetrieveRequest(query="flood row", debug=True))
+        assert resp["notes"]["retrieval"]["dense_modes"]["chunks"] == "ann"
