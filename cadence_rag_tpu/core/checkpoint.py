@@ -10,6 +10,10 @@ is the fast path for large corpora.
 Format: one directory, ``meta.json`` + one ``.npz`` per corpus (npz instead
 of orbax: index state is plain numpy, no pytrees/sharding metadata needed,
 and restore must work without a device).
+
+The IVF dense index is derived state and is NOT checkpointed; when
+DENSE_IVF_ENABLED is on, serve startup rebuilds it from the restored
+embeddings (serve/api.py:startup, scripts/build_ivf.py).
 """
 
 from __future__ import annotations

@@ -309,6 +309,16 @@ def startup() -> None:
     if index.chunks.count == 0 and index.artifacts.count == 0:
         counts = rebuild_index_from_store()
         logger.info("api.startup index_rebuilt chunks=%s artifacts=%s", *counts)
+    if (
+        settings.dense_ivf_enabled
+        and index.chunks.count >= int(settings.ivf_min_rows)
+        and not index.chunks.ivf_usable()
+    ):
+        state = index.chunks.build_ivf()
+        logger.info(
+            "api.startup ivf_built rows=%s clusters=%s nprobe=%s",
+            state.built_count, state.n_clusters, state.nprobe,
+        )
     logger.info("api.startup complete")
 
 

@@ -112,3 +112,15 @@ class TestIvfServing:
         assert not index.chunks.ivf_usable()
         resp = retrieve_evidence(RetrieveRequest(query="flood row", debug=True))
         assert resp["notes"]["retrieval"]["dense_modes"]["chunks"] == "ann"
+
+
+class TestStartupBuild:
+    def test_startup_builds_ivf_when_enabled(self, ivf_corpus, monkeypatch):
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.serve.api import startup
+
+        assert get_index().chunks.ivf is None
+        startup()
+        index = get_index()
+        assert index.chunks.ivf is not None
+        assert index.chunks.ivf_usable()
