@@ -265,6 +265,21 @@ def retrieve_endpoint(req: Request):
     return 200, retrieve_evidence(payload)
 
 
+def retrieve_batch_endpoint(req: Request):
+    """Beyond-reference: explicit client-side batching — a list of
+    RetrieveRequests served in one device dispatch per planner group
+    (the engine API bulk evals use; no reference counterpart)."""
+    from ..engine.retrieve import retrieve_evidence_batch
+
+    body = req.body
+    if not isinstance(body, list) or not body:
+        raise ApiError(400, "expected a non-empty JSON array of requests")
+    if len(body) > 256:
+        raise ApiError(422, "batch too large (max 256)")
+    payloads = [RetrieveRequest.model_validate(item) for item in body]
+    return 200, {"results": retrieve_evidence_batch(payloads)}
+
+
 def index_stats_endpoint(_req: Request):
     index = get_index()
     def corpus_stats(corpus):
@@ -336,6 +351,7 @@ def build_router() -> Router:
     router.add("GET", "/chunks/{chunk_id}", get_chunk_endpoint)
     router.add("POST", "/expand", expand_endpoint)
     router.add("POST", "/retrieve", retrieve_endpoint)
+    router.add("POST", "/retrieve/batch", retrieve_batch_endpoint)
     router.add("GET", "/index/stats", index_stats_endpoint)
     router.add("GET", "/metrics", metrics_endpoint)
     return router

@@ -258,3 +258,22 @@ class TestMetricsEndpoint:
         retrieve = body["endpoints"].get("POST /retrieve")
         assert retrieve and retrieve["count"] >= 1
         assert retrieve["p50_ms"] > 0
+
+
+class TestRetrieveBatchEndpoint:
+    def test_batch_endpoint(self, seeded):
+        client = seeded["client"]
+        resp = client.post("/retrieve/batch", json=[
+            {"query": "ECONNRESET object store", "return_style": "ids_only"},
+            {"query": "pin client retries", "return_style": "ids_only"},
+        ])
+        assert resp.status_code == 200
+        results = resp.json()["results"]
+        assert len(results) == 2
+        assert results[0]["retrieved_ids"]
+
+    def test_batch_endpoint_validation(self, client):
+        assert client.post("/retrieve/batch", json=[]).status_code == 400
+        assert client.post("/retrieve/batch", json={"query": "x"}).status_code == 400
+        resp = client.post("/retrieve/batch", json=[{"nope": 1}])
+        assert resp.status_code == 422
