@@ -442,6 +442,9 @@ class CorpusIndex:
     def load_state(self, arrays: Dict[str, np.ndarray]) -> None:
         n = int(arrays["ids"].shape[0])
         self.count = 0
+        # IVF is derived from the (old) row positions — always invalidate
+        self.ivf = None
+        self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
         cap = max(self.capacity, _next_pow2(max(n, 8)))
         self.capacity = cap
         self._alloc_device(cap)
