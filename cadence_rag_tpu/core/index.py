@@ -135,7 +135,12 @@ class CorpusIndex:
         tech_slots: int,
         capacity: int,
         emb_dtype: str = "bfloat16",
+        row_sharding: Optional["jax.sharding.NamedSharding"] = None,
     ):
+        # When a mesh is configured, document rows shard across it and the
+        # SAME fused program runs SPMD — GSPMD partitions the matmuls and
+        # inserts the cross-shard top-k collectives (SURVEY.md §2.4).
+        self.row_sharding = row_sharding
         self.name = name
         self.dim = dim
         self.lex_dim = lex_dim
@@ -161,12 +166,28 @@ class CorpusIndex:
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
 
     def _alloc_device(self, cap: int) -> None:
-        self.emb = jnp.zeros((cap, self.dim), dtype=self.emb_dtype)
-        self.lex = jnp.zeros((cap, self.lex_dim), dtype=jnp.int8)
-        self.tech = jnp.zeros((cap, self.tech_slots), dtype=jnp.int32)
-        self.call_idx = jnp.zeros((cap,), dtype=jnp.int32)
-        self.started = jnp.full((cap,), int(INT32_MIN), dtype=jnp.int32)
-        self.has_emb = jnp.zeros((cap,), dtype=jnp.bool_)
+        def place(arr):
+            if self.row_sharding is None:
+                return arr
+            return jax.device_put(arr, self.row_sharding)
+
+        def place_1d(arr):
+            if self.row_sharding is None:
+                return arr
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = self.row_sharding.spec
+            return jax.device_put(
+                arr, NamedSharding(self.row_sharding.mesh,
+                                   PartitionSpec(spec[0]))
+            )
+
+        self.emb = place(jnp.zeros((cap, self.dim), dtype=self.emb_dtype))
+        self.lex = place(jnp.zeros((cap, self.lex_dim), dtype=jnp.int8))
+        self.tech = place(jnp.zeros((cap, self.tech_slots), dtype=jnp.int32))
+        self.call_idx = place_1d(jnp.zeros((cap,), dtype=jnp.int32))
+        self.started = place_1d(jnp.full((cap,), int(INT32_MIN), dtype=jnp.int32))
+        self.has_emb = place_1d(jnp.zeros((cap,), dtype=jnp.bool_))
 
     @property
     def avgdl(self) -> float:
@@ -582,6 +603,21 @@ class DeviceIndexManager:
 
     def __init__(self) -> None:
         cap = int(settings.index_initial_capacity)
+        self.mesh = None
+        row_sharding = None
+        if settings.mesh_shape.strip():
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(settings.mesh_shape)
+            data_rows = self.mesh.shape.get("data", 1)
+            if cap % max(data_rows, 1):
+                raise ValueError(
+                    f"INDEX_INITIAL_CAPACITY {cap} must divide the mesh's "
+                    f"data axis ({data_rows})"
+                )
+            row_sharding = NamedSharding(self.mesh, PartitionSpec("data", None))
         self.chunks = CorpusIndex(
             "chunks",
             dim=int(settings.embeddings_dim),
@@ -589,6 +625,7 @@ class DeviceIndexManager:
             tech_slots=int(settings.tech_hash_slots),
             capacity=cap,
             emb_dtype=settings.index_embedding_dtype,
+            row_sharding=row_sharding,
         )
         self.artifacts = CorpusIndex(
             "artifact_chunks",
@@ -597,6 +634,7 @@ class DeviceIndexManager:
             tech_slots=int(settings.tech_hash_slots),
             capacity=cap,
             emb_dtype=settings.index_embedding_dtype,
+            row_sharding=row_sharding,
         )
         self.call_capacity = 256
 
