@@ -1,9 +1,11 @@
 """HBM-resident retrieval index.
 
 The reference's search state lives in Postgres tables + native extension
-indexes (HNSW graph, BM25 postings, GIN arrays). Here it is four device
+indexes (HNSW graph, BM25 postings, GIN arrays). Here it is six device
 arrays per corpus (embeddings, int8 lexical signatures, tech-token hash
-slots, filter metadata), capacity-padded so shapes stay static under jit:
+slots, call index, start seconds, embedding-presence flags) plus an
+optional IVF cluster index, capacity-padded so shapes stay static under
+jit (and, when MESH_SHAPE is set, row-sharded over the device mesh):
 
 - inserts are donated ``dynamic_update_slice`` calls (in-place buffer reuse,
   no O(capacity) copies); insert batches are padded to power-of-two sizes so
