@@ -37,3 +37,54 @@ class TestEmbedService:
                 return body
 
         asyncio.run(scenario())
+
+
+class TestSelfHostingLoop:
+    def test_http_provider_consumes_own_service(self, tmp_store, monkeypatch):
+        """Full loop: ingest -> backfill through EMBEDDINGS_BASE_URL pointing
+        at our own /embed service over a real socket (the reference's exact
+        integration topology, with this framework on both ends)."""
+        import threading
+
+        from aiohttp.test_utils import TestServer
+
+        from cadence_rag_tpu.serve.embed_service import make_embed_app
+
+        started = threading.Event()
+        holder = {}
+
+        def run_server():
+            loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(loop)
+            server = TestServer(make_embed_app("stub"))
+            loop.run_until_complete(server.start_server())
+            holder["port"] = server.port
+            holder["loop"] = loop
+            holder["server"] = server
+            started.set()
+            loop.run_forever()
+
+        thread = threading.Thread(target=run_server, daemon=True)
+        thread.start()
+        assert started.wait(timeout=30)
+
+        monkeypatch.setattr(tmp_store, "embeddings_provider", "http")
+        monkeypatch.setattr(
+            tmp_store, "embeddings_base_url",
+            f"http://127.0.0.1:{holder['port']}",
+        )
+        from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
+        from cadence_rag_tpu.ingest.ingest import ingest_transcript
+        from cadence_rag_tpu.schemas import CallRef, ChunkingOptions, UtteranceIn
+
+        ingest_transcript(
+            CallRef(external_id="loop-1"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text="self hosted embedding loop")],
+            ChunkingOptions(target_tokens=5, max_tokens=20, overlap_tokens=0),
+        )
+        summary = run_embedding_backfill(batch_size=4)
+        assert summary.rows_updated >= 1
+        assert summary.model_used == "hash-embedder-v1"
+
+        holder["loop"].call_soon_threadsafe(holder["loop"].stop)
