@@ -146,44 +146,65 @@ def infer_analysis_kind(path: Path) -> str:
     return "notes"
 
 
+def _transcript_likelihood(path: Path) -> int:
+    """Score how transcript-like a file is; < 0 means 'never a transcript'
+    (wrong suffix, or the stem names an analysis kind like summary/notes)."""
+    if path.suffix.lower() not in TRANSCRIPT_SUFFIXES:
+        return -1
+    stem = path.stem.lower()
+    if "analysis" in stem or any(hint in stem for hint in ANALYSIS_KIND_HINTS):
+        return -1
+    score = 0
+    if "transcript" in stem or "call" in stem:
+        score += 10
+    if path.suffix.lower() == ".json":
+        score += 5
+    return score
+
+
 def build_auto_manifest(bundle_dir: Path) -> BundleManifest:
     """Infer a manifest for a bare bundle (reference: ingest_fs.py:355-400):
-    first transcript-looking file becomes the transcript; remaining
-    supported files become analyses with kind inferred from filename."""
+    the most transcript-like file (scored by stem keywords and suffix, with
+    analysis-kind stems like summary/notes excluded) becomes the
+    transcript; remaining supported files become analyses with kind
+    inferred from filename."""
+    files = [
+        path for path in sorted(bundle_dir.iterdir())
+        if path.is_file() and path.name not in (MANIFEST_NAME, READY_SENTINEL)
+    ]
+    transcript_path: Optional[Path] = None
+    best_score = -1
+    for path in files:
+        score = _transcript_likelihood(path)
+        if score > best_score:
+            best_score = score
+            transcript_path = path
+    if best_score < 0:
+        transcript_path = None
+
     transcript: Optional[TranscriptFileRef] = None
     analyses: List[AnalysisFileRef] = []
-    for path in sorted(bundle_dir.iterdir()):
-        if not path.is_file() or path.name in (MANIFEST_NAME, READY_SENTINEL):
-            continue
-        rel = path.name
-        stem = path.stem.lower()
-        is_transcripty = (
-            "transcript" in stem or "call" in stem
-        ) and path.suffix.lower() in TRANSCRIPT_SUFFIXES
-        if transcript is None and (
-            is_transcripty
-            or (path.suffix.lower() in TRANSCRIPT_SUFFIXES and "analysis" not in stem)
-        ):
+    for path in files:
+        if path == transcript_path:
             transcript = TranscriptFileRef(
-                path=rel,
+                path=path.name,
                 format=infer_transcript_format(path),
                 sha256=sha256_file(path),
             )
         else:
             analyses.append(
                 AnalysisFileRef(
-                    path=rel,
+                    path=path.name,
                     format=infer_analysis_format(path),
                     kind=infer_analysis_kind(path),
                     sha256=sha256_file(path),
                 )
             )
-    manifest = BundleManifest(
+    return BundleManifest(
         bundle_id=_sanitize_bundle_id(bundle_dir.name),
         transcript=transcript,
         analyses=analyses,
     )
-    return manifest
 
 
 def ensure_manifest(bundle_dir: Path) -> None:

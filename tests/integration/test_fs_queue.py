@@ -215,3 +215,46 @@ class TestScannerWorker:
         _write_bundle(ingest_root, "closedfail")
         scan_inbox_once(ingest_root)
         assert work_once() == "failed"  # fail-closed exhausts attempts
+
+
+class TestAutoManifestInference:
+    def test_summary_md_not_mistaken_for_transcript(self, ingest_root):
+        """Regression: 'summary_notes.md' sorts before 'transcript.json';
+        the transcript must still be chosen by likelihood, not order."""
+        bundle = ingest_root / "inbox" / "order-trap"
+        bundle.mkdir()
+        (bundle / "summary_notes.md").write_text("Rollback fixed it.\n")
+        (bundle / "transcript.json").write_text(json.dumps(
+            [{"speaker": "A", "start_ts_ms": 0, "end_ts_ms": 900,
+              "text": "rollback to v2.3.1 resolved the resets"}]
+        ))
+        manifest = build_auto_manifest(bundle)
+        assert manifest.transcript.path == "transcript.json"
+        assert [a.path for a in manifest.analyses] == ["summary_notes.md"]
+        assert manifest.analyses[0].kind in ("summary", "notes")
+
+    def test_bundle_with_only_analyses(self, ingest_root):
+        bundle = ingest_root / "inbox" / "analysis-only"
+        bundle.mkdir()
+        (bundle / "summary.md").write_text("Just a summary.\n")
+        (bundle / "risks.csv").write_text("risk,owner\nslippage,Ana\n")
+        manifest = build_auto_manifest(bundle)
+        assert manifest.transcript is None
+        assert len(manifest.analyses) == 2
+
+    def test_end_to_end_with_mixed_bundle(self, ingest_root):
+        bundle = ingest_root / "inbox" / "mixed"
+        bundle.mkdir()
+        (bundle / "summary_notes.md").write_text("Rollback fixed it.\n")
+        (bundle / "transcript.json").write_text(json.dumps(
+            [{"speaker": "A", "start_ts_ms": 0, "end_ts_ms": 900,
+              "text": "the ECONNRESET storm hit the gateway"}]
+        ))
+        (bundle / "_READY").touch()
+        scan_inbox_once(ingest_root)
+        assert work_once() == "succeeded"
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence
+        from cadence_rag_tpu.schemas import RetrieveRequest
+
+        resp = retrieve_evidence(RetrieveRequest(query="ECONNRESET storm gateway"))
+        assert resp["quotes"] and resp["artifacts"]
