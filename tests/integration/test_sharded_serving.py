@@ -90,3 +90,24 @@ class TestShardedServing:
         assert resp["quotes"]
         call_ids = {q["call_id"] for q in resp["quotes"]}
         assert len(call_ids) == 1
+
+
+class TestShardedCheckpoint:
+    def test_checkpoint_roundtrip_with_mesh(self, tmp_store, tmp_path,
+                                            monkeypatch):
+        from cadence_rag_tpu.core.checkpoint import restore_index, save_index
+
+        monkeypatch.setattr(tmp_store, "mesh_shape", "data:8")
+        reset_index()
+        _populate()
+        req = RetrieveRequest(query="ECONNRESET object store",
+                              return_style="ids_only")
+        before = retrieve_evidence(req)["retrieved_ids"]
+        save_index(str(tmp_path / "snap"))
+        reset_index()
+        restore_index(str(tmp_path / "snap"))
+        index = get_index()
+        assert index.mesh is not None
+        assert len(index.chunks.emb.sharding.device_set) == 8
+        after = retrieve_evidence(req)["retrieved_ids"]
+        assert after == before
