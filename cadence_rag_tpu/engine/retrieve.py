@@ -242,19 +242,54 @@ def _debug_lane(rows: LaneRows, id_field: str) -> List[Dict[str, Any]]:
 
 def _fetch_rows(table: str, id_col: str, columns: str,
                 ids: Sequence[int]) -> Dict[int, Dict[str, Any]]:
+    ids = list({int(i) for i in ids})
     if not ids:
         return {}
     store = get_store()
-    placeholders = ",".join("?" * len(ids))
+    out: Dict[int, Dict[str, Any]] = {}
     with store.read() as conn:
-        rows = conn.execute(
-            f"SELECT {columns} FROM {table} WHERE {id_col} IN ({placeholders})",
-            [int(i) for i in ids],
-        ).fetchall()
-    return {int(r[id_col]): dict(r) for r in rows}
+        for start in range(0, len(ids), 5000):
+            window = ids[start:start + 5000]
+            placeholders = ",".join("?" * len(window))
+            rows = conn.execute(
+                f"SELECT {columns} FROM {table} "
+                f"WHERE {id_col} IN ({placeholders})",
+                window,
+            ).fetchall()
+            out.update({int(r[id_col]): dict(r) for r in rows})
+    return out
 
 
-def _assemble(plan: QueryPlan) -> Dict[str, Any]:
+def _prefetch_rows(plans: Sequence["QueryPlan"]) -> Tuple[Dict, Dict]:
+    """One store round-trip per table for the WHOLE batch (per-plan IN
+    queries would cost 2 queries x batch)."""
+    chunk_ids: set = set()
+    artifact_ids: set = set()
+    for plan in plans:
+        if plan.empty or plan.payload.return_style == "ids_only":
+            continue
+        for rows in plan.chunk_lanes.values():
+            chunk_ids.update(doc_id for doc_id, _ in rows)
+        for rows in plan.artifact_lanes.values():
+            artifact_ids.update(doc_id for doc_id, _ in rows)
+    chunk_rows = _fetch_rows(
+        "chunks", "chunk_id",
+        "chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text",
+        sorted(chunk_ids),
+    )
+    artifact_rows = _fetch_rows(
+        "artifact_chunks", "artifact_chunk_id",
+        "artifact_chunk_id, artifact_id, call_id, kind, content",
+        sorted(artifact_ids),
+    )
+    return chunk_rows, artifact_rows
+
+
+def _assemble(
+    plan: QueryPlan,
+    chunk_row_cache: Optional[Dict[int, Dict[str, Any]]] = None,
+    artifact_row_cache: Optional[Dict[int, Dict[str, Any]]] = None,
+) -> Dict[str, Any]:
     payload = plan.payload
     if plan.empty:
         if payload.return_style == "ids_only":
@@ -356,16 +391,22 @@ def _assemble(plan: QueryPlan) -> Dict[str, Any]:
 
     # ----- evidence pack under budget -------------------------------------
     t0 = time.perf_counter()
-    artifact_rows = _fetch_rows(
-        "artifact_chunks", "artifact_chunk_id",
-        "artifact_chunk_id, artifact_id, call_id, kind, content",
-        [doc_id for doc_id, _, _ in artifact_ranked],
-    )
-    chunk_rows = _fetch_rows(
-        "chunks", "chunk_id",
-        "chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text",
-        [doc_id for doc_id, _, _ in chunk_ranked],
-    )
+    if artifact_row_cache is not None:
+        artifact_rows = artifact_row_cache
+    else:
+        artifact_rows = _fetch_rows(
+            "artifact_chunks", "artifact_chunk_id",
+            "artifact_chunk_id, artifact_id, call_id, kind, content",
+            [doc_id for doc_id, _, _ in artifact_ranked],
+        )
+    if chunk_row_cache is not None:
+        chunk_rows = chunk_row_cache
+    else:
+        chunk_rows = _fetch_rows(
+            "chunks", "chunk_id",
+            "chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text",
+            [doc_id for doc_id, _, _ in chunk_ranked],
+        )
 
     budget = plan.budget
     max_items = budget.max_evidence_items
@@ -506,7 +547,8 @@ def retrieve_evidence_batch(
     for plan in plans:
         _finish_planning(plan)
     _execute_plans(plans)
-    return [_assemble(plan) for plan in plans]
+    chunk_rows, artifact_rows = _prefetch_rows(plans)
+    return [_assemble(plan, chunk_rows, artifact_rows) for plan in plans]
 
 
 def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:
