@@ -166,6 +166,7 @@ class CorpusIndex:
         # optional probed-cluster dense index (settings.dense_ivf_enabled)
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+        self._ivf_rebuilding = False
 
     def _alloc_device(self, cap: int) -> None:
         def place(arr):
@@ -230,6 +231,7 @@ class CorpusIndex:
             return
         with self.lock:
             self._insert_locked(rows)
+        self._maybe_schedule_ivf_rebuild()
 
     def _insert_locked(self, rows: Sequence[DocRow]) -> None:
         n = len(rows)
@@ -399,6 +401,39 @@ class CorpusIndex:
                 nprobe=probe,
             )
             return self.ivf
+
+    def _maybe_schedule_ivf_rebuild(self) -> None:
+        """Fire a background rebuild when the exact-scanned overflow tail
+        grows past half the built index (before ivf_usable() goes false).
+        k-means runs on a device-side snapshot OUTSIDE the corpus lock so
+        serving is never blocked; the finished state swaps in atomically."""
+        state = self.ivf
+        if (
+            state is None
+            or self._ivf_rebuilding
+            or not settings.dense_ivf_enabled
+            or state.overflow_count < max(state.built_count // 2, 8)
+        ):
+            return
+        self._ivf_rebuilding = True
+
+        def rebuild():
+            try:
+                self.build_ivf(
+                    n_clusters=None,
+                    nprobe=None,
+                    seed=int(self.count),
+                )
+            except Exception:  # pragma: no cover - logged, never fatal
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "ivf.rebuild_failed corpus=%s", self.name
+                )
+            finally:
+                self._ivf_rebuilding = False
+
+        threading.Thread(target=rebuild, daemon=True).start()
 
     def ivf_usable(self) -> bool:
         """IVF serves the dense lane only while the exact-scanned tail is

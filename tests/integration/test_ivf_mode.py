@@ -100,6 +100,8 @@ class TestIvfServing:
 
         index = get_index()
         index.chunks.build_ivf(n_clusters=4, nprobe=2)
+        # suppress the background auto-rebuild so staleness can accumulate
+        index.chunks._ivf_rebuilding = True
         # flood the overflow past the built count -> ivf_usable() False
         for i in range(14):
             ingest_transcript(
@@ -124,3 +126,37 @@ class TestStartupBuild:
         index = get_index()
         assert index.chunks.ivf is not None
         assert index.chunks.ivf_usable()
+
+
+class TestAutoRebuild:
+    def test_background_rebuild_refreshes_index(self, ivf_corpus):
+        import time
+
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        built_before = index.chunks.ivf.built_count
+        # push overflow past built/2 -> triggers the background rebuild
+        for i in range(10):
+            ingest_transcript(
+                CallRef(external_id=f"auto-{i}"),
+                [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                             text=f"auto rebuild filler row {i}")],
+                OPTS,
+            )
+        run_embedding_backfill(batch_size=8)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            state = index.chunks.ivf
+            if state and state.built_count > built_before:
+                break
+            time.sleep(0.2)
+        state = index.chunks.ivf
+        assert state.built_count > built_before, (
+            state.built_count, built_before, state.overflow_count
+        )
+        # serving still correct after the swap
+        resp = retrieve_evidence(RetrieveRequest(
+            query="auto rebuild filler", return_style="ids_only"))
+        assert resp["retrieved_ids"]
