@@ -365,29 +365,44 @@ class CorpusIndex:
         seed: int = 0,
     ) -> IvfState:
         """Build (or rebuild) the probed-cluster dense index on device.
-        Rows inserted afterwards join the exact-scanned overflow tail until
-        the next build (scripts/build_ivf.py or operator-triggered)."""
+
+        Serving is never blocked for the duration of the k-means: the
+        embeddings are snapshotted under the lock (a device copy), the
+        clustering runs OUTSIDE the lock, and the finished state installs
+        atomically — rows inserted meanwhile land in the exact-scanned
+        overflow tail, so nothing is ever invisible."""
         with self.lock:
             if self.count == 0:
                 raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
             n = self.count
-            clusters = n_clusters or int(settings.ivf_clusters) or max(
-                16, int(np.sqrt(n))
+            # device-side copy so later donated inserts can't invalidate
+            # the buffer mid-clustering
+            emb_snapshot = jnp.copy(
+                jax.lax.slice_in_dim(self.emb, 0, n, axis=0)
             )
-            clusters = min(clusters, n)
-            probe = nprobe or int(settings.ivf_nprobe) or max(
-                4, int(clusters * 0.08)
+
+        clusters = n_clusters or int(settings.ivf_clusters) or max(
+            16, int(np.sqrt(n))
+        )
+        clusters = min(clusters, n)
+        probe = nprobe or int(settings.ivf_nprobe) or max(
+            4, int(clusters * 0.08)
+        )
+        centroids, assign = kmeans(
+            emb_snapshot, jax.random.PRNGKey(seed),
+            n_clusters=clusters, iters=10,
+        )
+        bucket_cap = max(8, int(2.0 * n / clusters))
+        buckets_np, overflow_np = build_buckets(
+            np.asarray(assign), clusters, bucket_cap
+        )
+
+        with self.lock:
+            # rows inserted during the build join the overflow tail
+            tail = np.arange(n, self.count, dtype=np.int32)
+            self._ivf_overflow_host = np.concatenate(
+                [overflow_np.astype(np.int32), tail]
             )
-            emb_rows = jax.lax.slice_in_dim(self.emb, 0, n, axis=0)
-            centroids, assign = kmeans(
-                emb_rows, jax.random.PRNGKey(seed),
-                n_clusters=clusters, iters=10,
-            )
-            bucket_cap = max(8, int(2.0 * n / clusters))
-            buckets_np, overflow_np = build_buckets(
-                np.asarray(assign), clusters, bucket_cap
-            )
-            self._ivf_overflow_host = overflow_np.astype(np.int32)
             padded_len = _next_pow2(max(len(self._ivf_overflow_host), 8))
             padded = np.full(padded_len, -1, dtype=np.int32)
             padded[: len(self._ivf_overflow_host)] = self._ivf_overflow_host
