@@ -499,6 +499,10 @@ class CorpusIndex:
 
     # -- checkpoint (core/checkpoint.py drives these) ----------------------
     def state_arrays(self) -> Dict[str, np.ndarray]:
+        with self.lock:
+            return self._state_arrays_locked()
+
+    def _state_arrays_locked(self) -> Dict[str, np.ndarray]:
         c = self.count
         return {
             "emb": np.asarray(self.emb[:c], dtype=np.float32),
@@ -761,7 +765,12 @@ class DeviceIndexManager:
             q_emb if dense_enabled
             else np.zeros((batch, self.chunks.dim), np.float32)
         )
-        ivf_chunks = dense_enabled and chunk_mode == "ivf"
+        ivf_chunks = (
+            dense_enabled and chunk_mode == "ivf"
+            and self.chunks.ivf is not None  # may have been invalidated
+        )
+        if dense_enabled and chunk_mode == "ivf" and not ivf_chunks:
+            chunk_mode = "ann"
         if ivf_chunks:
             # the probed-cluster index serves the chunk dense lane in its
             # own dispatch; the fused program skips that lane ("none")
