@@ -85,3 +85,18 @@ class TestBackfillPreconditions:
     def test_requires_positive_batch(self, tmp_store):
         with pytest.raises(RuntimeError, match="BATCH_SIZE"):
             run_embedding_backfill(batch_size=0)
+
+
+class TestLexicalFidelity:
+    def test_hashing_tracks_collision_free_bm25(self):
+        """Fidelity floor: at D=2048 the hashed lane must keep >=0.6 top-10
+        overlap and >=0.8 top-1 agreement with collision-free feature BM25
+        (evals/lexical_fidelity.py measured 0.77/0.92 at this setting)."""
+        from cadence_rag_tpu.evals.lexical_fidelity import measure_fidelity
+
+        result = measure_fidelity(
+            n_docs=400, n_queries=24, k=10, dims=[2048]
+        )
+        stats = result["overlap_at_k"]["2048"]
+        assert stats["vs_feature_bm25"] >= 0.6, stats
+        assert stats["top1_vs_feature"] >= 0.8, stats
