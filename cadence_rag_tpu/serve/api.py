@@ -168,6 +168,20 @@ def diagnostics(_req: Request):
             "artifact_chunks": index.artifacts.count,
             "chunk_capacity": index.chunks.capacity,
             "embedding_dtype": str(index.chunks.emb_dtype),
+            "mesh": (
+                {axis: int(size) for axis, size in index.mesh.shape.items()}
+                if index.mesh is not None else None
+            ),
+            "ivf": (
+                {
+                    "built_count": index.chunks.ivf.built_count,
+                    "n_clusters": index.chunks.ivf.n_clusters,
+                    "nprobe": index.chunks.ivf.nprobe,
+                    "overflow_count": index.chunks.ivf.overflow_count,
+                    "usable": index.chunks.ivf_usable(),
+                }
+                if index.chunks.ivf is not None else None
+            ),
         },
     }
 

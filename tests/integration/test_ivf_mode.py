@@ -160,3 +160,16 @@ class TestAutoRebuild:
         resp = retrieve_evidence(RetrieveRequest(
             query="auto rebuild filler", return_style="ids_only"))
         assert resp["retrieved_ids"]
+
+
+class TestDiagnosticsSurface:
+    def test_diagnostics_reports_ivf(self, ivf_corpus):
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.serve.testing import TestClient
+
+        get_index().chunks.build_ivf(n_clusters=4, nprobe=2)
+        client = TestClient(run_startup=False)
+        body = client.get("/diagnostics").json()
+        ivf = body["index"]["ivf"]
+        assert ivf["n_clusters"] == 4 and ivf["usable"] is True
+        assert body["index"]["mesh"] is None
