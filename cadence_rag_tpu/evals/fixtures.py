@@ -102,6 +102,39 @@ FIXTURE_CALLS: List[Tuple[str, str, List[str], List[Tuple[str, str]]]] = [
     ),
 ]
 
+# Distractor calls: vocabulary-adjacent content with NO gold entries —
+# retrieval must rank the true evidence above these near-misses.
+FIXTURE_CALLS.extend([
+    (
+        "storage roadmap brainstorm",
+        "eval-distractor-1",
+        [
+            "someday we should evaluate object store alternatives broadly",
+            "connection resets are a thing many gateways see occasionally",
+            "ssd prices keep falling so tiering economics shift every year",
+            "there was a version upgrade discussion but nothing was decided",
+        ],
+        [
+            ("notes",
+             "General brainstorm about storage directions; no decisions, no "
+             "incidents, nothing tracked."),
+        ],
+    ),
+    (
+        "vendor smalltalk",
+        "eval-distractor-2",
+        [
+            "lenovo and dell both have interesting roadmaps these days",
+            "someone mentioned azure and aws pricing in passing",
+            "no bill of materials was discussed in this call",
+            "we should schedule a real bake-off conversation later",
+        ],
+        [
+            ("notes", "Vendor chit-chat; nothing actionable."),
+        ],
+    ),
+])
+
 # (query_id, query text, [(table, distinctive substring), ...])
 GOLD_QUERIES: List[Tuple[str, str, List[Tuple[str, str]]]] = [
     ("q_econnreset", "what caused the ECONNRESET errors",
