@@ -163,6 +163,10 @@ class CorpusIndex:
         # lexical corpus stats (df at bucket granularity, running avgdl)
         self.doc_freq = np.zeros(lex_dim, dtype=np.int64)
         self.dl_sum = 0
+        # persistent doc_id -> row position map; rebuilt only on load_state.
+        # A 1M-row embedding backfill calls position_of per batch — an
+        # on-demand dict rebuild there is O(N^2/batch) over the whole run.
+        self._id_to_pos: Dict[int, int] = {}
         # optional probed-cluster dense index (settings.dense_ivf_enabled)
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
@@ -276,6 +280,7 @@ class CorpusIndex:
             self.h_call[pos] = r.call_seq
             self.h_started[pos] = r.started_sec
             self.h_has_emb[pos] = has[i]
+            self._id_to_pos[int(r.doc_id)] = pos
             self.doc_freq[r.lex_touched] += 1
             self.dl_sum += r.lex_dl
         self.count += n
@@ -341,7 +346,7 @@ class CorpusIndex:
         return int(n)
 
     def position_of(self, doc_ids: Sequence[int]) -> np.ndarray:
-        lookup = {int(d): p for p, d in enumerate(self.h_ids[: self.count])}
+        lookup = self._id_to_pos
         return np.array([lookup.get(int(d), -1) for d in doc_ids], dtype=np.int32)
 
     # -- IVF dense index ----------------------------------------------------
@@ -517,6 +522,12 @@ class CorpusIndex:
         }
 
     def load_state(self, arrays: Dict[str, np.ndarray]) -> None:
+        # Locked like the save side (state_arrays): a restore concurrent
+        # with serving must never expose a half-swapped corpus.
+        with self.lock:
+            self._load_state_locked(arrays)
+
+    def _load_state_locked(self, arrays: Dict[str, np.ndarray]) -> None:
         n = int(arrays["ids"].shape[0])
         self.count = 0
         # IVF is derived from the (old) row positions — always invalidate
@@ -557,6 +568,9 @@ class CorpusIndex:
             self.h_has_emb[:n] = arrays["has_emb"]
         self.doc_freq = arrays["doc_freq"].astype(np.int64)
         self.dl_sum = int(arrays["dl_sum"][0])
+        self._id_to_pos = {
+            int(d): p for p, d in enumerate(arrays["ids"])
+        }
         self.count = n
 
     # -- query -------------------------------------------------------------

@@ -10,7 +10,6 @@ document's call index (ops/masks.py).
 from __future__ import annotations
 
 import dataclasses
-import json
 from typing import List, Optional, Set
 
 import numpy as np
@@ -79,16 +78,17 @@ def resolve_filters(
             seq_constraint = {int(r["call_seq"]) for r in rows}
 
     if filters.call_tags:
-        wanted = set(filters.call_tags)
-        tag_seqs: Set[int] = set()
+        # inverted tag map (migration 5) — the reference's `tags && :arr`
+        # GIN lookup analogue; O(matches), not a scan of all calls
+        wanted = sorted({str(t) for t in filters.call_tags})
+        placeholders = ",".join("?" * len(wanted))
         with store.read() as conn:
             rows = conn.execute(
-                "SELECT call_seq, tags FROM calls WHERE tags IS NOT NULL"
+                f"SELECT DISTINCT call_seq FROM call_tags "
+                f"WHERE tag IN ({placeholders})",
+                wanted,
             ).fetchall()
-        for row in rows:
-            tags = set(json.loads(row["tags"]) or [])
-            if tags & wanted:
-                tag_seqs.add(int(row["call_seq"]))
+        tag_seqs: Set[int] = {int(r["call_seq"]) for r in rows}
         seq_constraint = (
             tag_seqs if seq_constraint is None else (seq_constraint & tag_seqs)
         )

@@ -117,9 +117,11 @@ def _make_plan(payload: RetrieveRequest) -> QueryPlan:
 
 
 def _embed_plans(plans: Sequence[QueryPlan]) -> None:
-    """One provider call embeds every dense-enabled query in the batch; a
-    provider failure degrades the batch to lexical_only (per-request ladder
-    parity: app/retrieve.py:425-431)."""
+    """One provider call embeds every dense-enabled query in the batch. On a
+    batch failure each query retries INDIVIDUALLY so only the queries that
+    actually fail degrade to lexical_only — per-request ladder parity with
+    the reference (app/retrieve.py:425-431), where one poisoned query never
+    degrades unrelated concurrent requests sharing the micro-batch."""
     pending = [p for p in plans if not p.empty and p.dense_enabled]
     if not pending:
         return
@@ -130,9 +132,18 @@ def _embed_plans(plans: Sequence[QueryPlan]) -> None:
             plan.dense_model_id = embedded.model
             plan.q_emb = np.asarray(vector, dtype=np.float32)
     except EmbeddingError as exc:
-        for plan in pending:
-            plan.dense_enabled = False
-            plan.dense_error = str(exc)
+        if len(pending) == 1:
+            pending[0].dense_enabled = False
+            pending[0].dense_error = str(exc)
+        else:
+            for plan in pending:
+                try:
+                    one = embed_texts([plan.query])
+                    plan.dense_model_id = one.model
+                    plan.q_emb = np.asarray(one.vectors[0], dtype=np.float32)
+                except EmbeddingError as one_exc:
+                    plan.dense_enabled = False
+                    plan.dense_error = str(one_exc)
     embed_ms = (time.perf_counter() - t0) * 1e3
     for plan in pending:
         plan.timings["embed_ms"] = embed_ms
@@ -155,6 +166,10 @@ def _finish_planning(plan: QueryPlan) -> None:
         plan.chunk_candidates, resolved.scoped,
         ivf_available=index.chunks.ivf_usable(),
     )
+    # IVF deliberately covers the CHUNKS corpus only: artifacts are ~10x
+    # smaller (reference fixture ratio; artifact lane top-k is 10 vs 50), so
+    # their exact/ann matmul is already cheap and an IVF build would add a
+    # second k-means + freshness tail for negligible HBM savings.
     plan.artifact_mode = choose_dense_mode(
         plan.artifact_candidates, resolved.scoped
     )
@@ -481,10 +496,17 @@ def _assemble(
                     "lexical_only"
                     if not plan.dense_enabled
                     else (
-                        "ann"
-                        if plan.chunk_mode == "ann"
-                        or plan.artifact_mode == "ann"
-                        else "exact"
+                        # label reflects the non-exact scan path actually
+                        # serving the dense lane (ivf > ann > exact)
+                        "ivf"
+                        if plan.chunk_mode == "ivf"
+                        or plan.artifact_mode == "ivf"
+                        else (
+                            "ann"
+                            if plan.chunk_mode == "ann"
+                            or plan.artifact_mode == "ann"
+                            else "exact"
+                        )
                     )
                 ),
                 "dense_topk": (

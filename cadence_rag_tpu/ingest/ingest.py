@@ -93,7 +93,19 @@ def _find_call(conn, call_ref: CallRef):
     return None
 
 
-def _update_call(conn, call_id: str, call_ref: CallRef) -> None:
+def _set_call_tags(conn, call_seq: int, tags) -> None:
+    """Keep the inverted tag map (call_tags) in sync with calls.tags."""
+    conn.execute("DELETE FROM call_tags WHERE call_seq = ?", (call_seq,))
+    for tag in set(tags or []):
+        conn.execute(
+            "INSERT OR IGNORE INTO call_tags (tag, call_seq) VALUES (?, ?)",
+            (str(tag), call_seq),
+        )
+
+
+def _update_call(conn, call_id: str, call_seq: int, call_ref: CallRef) -> None:
+    if call_ref.tags is not None:
+        _set_call_tags(conn, call_seq, call_ref.tags)
     conn.execute(
         """
         UPDATE calls SET
@@ -153,6 +165,8 @@ def _create_call(conn, call_ref: CallRef):
             json.dumps(call_ref.metadata or {}),
         ),
     )
+    if call_ref.tags:
+        _set_call_tags(conn, call_seq, call_ref.tags)
     return call_id, call_seq, started_at
 
 
@@ -166,7 +180,7 @@ def resolve_call(
         row = _find_call(conn, call_ref)
         if row is not None:
             call_id, call_seq, started_at = _row_to_call_tuple(row)
-            _update_call(conn, call_id, call_ref)
+            _update_call(conn, call_id, call_seq, call_ref)
             # started_at may have just been filled in by the update
             if call_ref.started_at is not None and started_at is None:
                 started_at = call_ref.started_at

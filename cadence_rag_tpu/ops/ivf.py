@@ -99,7 +99,13 @@ def ivf_topk(
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (scores (B, k), positions (B, k)); positions -1 where no hit."""
     c_scores = q_emb @ centroids.T                   # (B, C)
+    nprobe = min(nprobe, centroids.shape[0])
     _, probe = jax.lax.top_k(c_scores, nprobe)       # (B, nprobe)
+    # With a tiny IVF config (few clusters / small bucket_cap) the probed
+    # candidate axis can be shorter than k; clamp and pad back so callers
+    # always get (B, k) and the trace never fails.
+    n_cand = nprobe * buckets.shape[1] + overflow.shape[0]
+    k_eff = min(k, n_cand)
 
     def one_query(q, probed, row_mask):
         cand = buckets[probed].reshape(-1)           # (nprobe*cap,)
@@ -110,10 +116,18 @@ def ivf_topk(
         scores = rows.astype(jnp.float32) @ q.astype(jnp.float32)
         keep = valid & row_mask[safe]
         scores = jnp.where(keep, scores, NEG_INF)
-        top_scores, top_i = jax.lax.top_k(scores, k)
+        top_scores, top_i = jax.lax.top_k(scores, k_eff)
         top_pos = jnp.where(
             jnp.isfinite(top_scores), safe[top_i], -1
         )
+        if k_eff < k:
+            pad = k - k_eff
+            top_scores = jnp.concatenate(
+                [top_scores, jnp.full((pad,), NEG_INF, top_scores.dtype)]
+            )
+            top_pos = jnp.concatenate(
+                [top_pos, jnp.full((pad,), -1, top_pos.dtype)]
+            )
         return top_scores, top_pos
 
     return jax.vmap(one_query)(q_emb, probe, mask)

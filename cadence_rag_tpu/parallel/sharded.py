@@ -94,15 +94,18 @@ def _merge_gathered(local_scores, local_pos, shard_rows, k, axis):
 
 
 def _local_all_lanes(
-    emb, lex_w, tech, call_idx, started_sec,
+    emb, lex_w, tech, call_idx, started_sec, has_emb,
     q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
     *, k_dense, k_lex, k_tech, axis,
 ):
     shard_rows = emb.shape[0]
     mask = filter_mask(call_idx, started_sec, allowed_calls, date_min, date_max)
 
+    # dense lane additionally requires a present embedding (`embedding IS
+    # NOT NULL` parity, matching ops/fused.py's dense_mask)
     d_scores, d_pos = masked_topk_exact(
-        dense_scores(q_emb, emb), mask, min(k_dense, shard_rows)
+        dense_scores(q_emb, emb), mask & has_emb[None, :],
+        min(k_dense, shard_rows)
     )
     l_scores, l_pos = lexical_topk(q_lex, lex_w, mask, min(k_lex, shard_rows))
     t_keys, t_pos = tech_topk(
@@ -122,6 +125,7 @@ def sharded_multi_lane(
     tech: jax.Array,
     call_idx: jax.Array,
     started_sec: jax.Array,
+    has_emb: jax.Array,
     q_emb: jax.Array,
     q_lex: jax.Array,
     q_tech: jax.Array,
@@ -144,14 +148,14 @@ def sharded_multi_lane(
         mesh=mesh,
         in_specs=(
             P(axis, None), P(axis, None), P(axis, None),
-            P(axis), P(axis),
+            P(axis), P(axis), P(axis),
             P(), P(), P(), P(), P(), P(),
         ),
         out_specs=tuple(P() for _ in range(6)),
         check_vma=False,
     )
     d_s, d_p, l_s, l_p, t_s, t_p = fn(
-        emb, lex_w, tech, call_idx, started_sec,
+        emb, lex_w, tech, call_idx, started_sec, has_emb,
         q_emb, q_lex, q_tech, allowed_calls, date_min, date_max,
     )
     return {"dense": (d_s, d_p), "lex": (l_s, l_p), "tech": (t_s, t_p)}

@@ -34,23 +34,32 @@ class RetrieveBatcher:
     async def submit(self, payload: RetrieveRequest) -> Dict[str, Any]:
         loop = asyncio.get_running_loop()
         future: asyncio.Future = loop.create_future()
+        batch: Optional[List[Tuple[RetrieveRequest, asyncio.Future]]] = None
         async with self._lock:
             self._pending.append((payload, future))
             if len(self._pending) >= self.max_batch:
-                await self._flush_locked()
+                batch, self._pending = self._pending, []
             elif self._flusher is None or self._flusher.done():
                 self._flusher = asyncio.create_task(self._delayed_flush())
+        if batch is not None:
+            await self._dispatch(batch)
         return await future
 
     async def _delayed_flush(self) -> None:
         await asyncio.sleep(self.window_s)
         async with self._lock:
-            await self._flush_locked()
+            batch, self._pending = self._pending, []
+        await self._dispatch(batch)
 
-    async def _flush_locked(self) -> None:
-        if not self._pending:
+    async def _dispatch(
+        self, batch: List[Tuple[RetrieveRequest, asyncio.Future]]
+    ) -> None:
+        # The lock is NOT held here: requests arriving while this batch is
+        # on device accumulate into the NEXT window batch instead of
+        # serializing behind the dispatch (index locking is handled at the
+        # engine layer, so overlapping dispatches are safe).
+        if not batch:
             return
-        batch, self._pending = self._pending, []
         payloads = [payload for payload, _ in batch]
         loop = asyncio.get_running_loop()
 

@@ -24,7 +24,7 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 from ..config import settings
 
-SCHEMA_VERSION = 4
+SCHEMA_VERSION = 5
 
 # Ordered DDL migrations (the reference evolves its schema through 8 alembic
 # revisions; we group the same end-state into 4 logical revisions).
@@ -187,6 +187,17 @@ MIGRATIONS: List[Tuple[int, str]] = [
         doc_count INTEGER NOT NULL DEFAULT 0
     );
     """),
+    # Inverted tag map: the reference's `tags && :arr` GIN lookup analogue.
+    # Tag filtering resolves via this index instead of JSON-parsing every
+    # call row per request (wrong shape at 100k calls).
+    (5, """
+    CREATE TABLE call_tags (
+        tag TEXT NOT NULL,
+        call_seq INTEGER NOT NULL,
+        PRIMARY KEY (tag, call_seq)
+    ) WITHOUT ROWID;
+    CREATE INDEX call_tags_seq_idx ON call_tags (call_seq);
+    """),
 ]
 
 
@@ -226,10 +237,26 @@ class Store:
                 # re-runs DDL guarded by IF NOT EXISTS semantics of a fresh
                 # store, which is the only crash window that matters here).
                 self._conn.executescript(ddl)
+                if version == 5:
+                    self._backfill_call_tags()
                 self._conn.execute(
                     "INSERT INTO schema_migrations VALUES "
                     "(?, strftime('%Y-%m-%dT%H:%M:%fZ','now'))",
                     (version,),
+                )
+
+    def _backfill_call_tags(self) -> None:
+        """Populate the migration-5 inverted tag map from pre-existing
+        calls.tags JSON (one-time, runs inside the migration)."""
+        rows = self._conn.execute(
+            "SELECT call_seq, tags FROM calls WHERE tags IS NOT NULL"
+        ).fetchall()
+        for row in rows:
+            for tag in set(json.loads(row["tags"]) or []):
+                self._conn.execute(
+                    "INSERT OR IGNORE INTO call_tags (tag, call_seq) "
+                    "VALUES (?, ?)",
+                    (str(tag), int(row["call_seq"])),
                 )
 
     def fetch_info(self) -> Dict[str, Any]:

@@ -91,3 +91,30 @@ class TestBatchRetrieve:
         ])
         assert batch[0]["retrieved_ids"] == []
         assert batch[1]["retrieved_ids"]
+
+    def test_poisoned_query_degrades_alone(self, corpus, monkeypatch):
+        """Per-request ladder parity (reference app/retrieve.py:425-431):
+        when the batched embed call fails, each query retries individually
+        so only the actually-failing one loses its dense lane."""
+        import cadence_rag_tpu.engine.retrieve as eng
+        from cadence_rag_tpu.embed import EmbeddingError
+        from cadence_rag_tpu.embed.provider import embed_texts as real_embed
+
+        def selective(texts):
+            if len(texts) > 1:
+                raise EmbeddingError("max batch size exceeded")
+            if "POISON" in texts[0]:
+                raise EmbeddingError("token limit exceeded for this input")
+            return real_embed(texts)
+
+        monkeypatch.setattr(eng, "embed_texts", selective)
+        batch = retrieve_evidence_batch([
+            RetrieveRequest(query="ECONNRESET object store"),
+            RetrieveRequest(query="POISON azure migration"),
+        ])
+        healthy, poisoned = batch
+        assert healthy["notes"]["retrieval"]["planner"] != "lexical_only"
+        assert healthy["notes"]["retrieval"]["dense_error"] is None
+        assert poisoned["notes"]["retrieval"]["planner"] == "lexical_only"
+        assert "token limit" in poisoned["notes"]["retrieval"]["dense_error"]
+        assert poisoned["quotes"], "lexical lanes must still serve"

@@ -106,3 +106,37 @@ class TestIvfQuery:
         for p, s in zip(np.asarray(pos)[0], np.asarray(scores)[0]):
             if p >= 0 and np.isfinite(s):
                 assert 10 <= p < 20
+
+    def test_k_larger_than_candidate_set(self):
+        """A tiny IVF config (few clusters, small bucket_cap) can make the
+        probed candidate axis shorter than k; outputs must still be (B, k),
+        padded with -1/NEG_INF, and the trace must not fail."""
+        rng = np.random.default_rng(4)
+        docs = _clustered_corpus(rng, 2, 8, 16)
+        n = docs.shape[0]
+        centroids, assign = kmeans(
+            jnp.asarray(docs), jax.random.PRNGKey(4), n_clusters=2, iters=5
+        )
+        buckets, overflow = build_buckets(np.asarray(assign), 2, bucket_cap=4)
+        if len(overflow) == 0:
+            overflow = np.full(2, -1, dtype=np.int32)
+        qs = docs[[0]]
+        mask = np.ones((1, n), dtype=bool)
+        k = 50  # > nprobe*bucket_cap + overflow
+        scores, pos = ivf_topk(
+            jnp.asarray(qs), jnp.asarray(docs), centroids,
+            jnp.asarray(buckets), jnp.asarray(overflow), jnp.asarray(mask),
+            k=k, nprobe=1,
+        )
+        scores, pos = np.asarray(scores), np.asarray(pos)
+        assert scores.shape == (1, k) and pos.shape == (1, k)
+        valid = np.isfinite(scores[0])
+        assert valid.any(), "real hits must survive"
+        assert (pos[0][~valid] == -1).all(), "padding must be -1"
+        # nprobe exceeding the cluster count also clamps instead of tracing
+        scores2, pos2 = ivf_topk(
+            jnp.asarray(qs), jnp.asarray(docs), centroids,
+            jnp.asarray(buckets), jnp.asarray(overflow), jnp.asarray(mask),
+            k=5, nprobe=16,
+        )
+        assert np.asarray(scores2).shape == (1, 5)

@@ -111,6 +111,7 @@ class TestShardedMultiLane:
             mesh,
             jnp.asarray(emb), jnp.asarray(lex), jnp.asarray(tech),
             jnp.asarray(call_idx), jnp.asarray(started),
+            jnp.ones(n, dtype=bool),
             jnp.asarray(q_emb), jnp.asarray(q_lex), jnp.asarray(q_tech),
             jnp.asarray(allowed), jnp.asarray(dmin), jnp.asarray(dmax),
             k_dense=8, k_lex=8, k_tech=8,
@@ -129,3 +130,36 @@ class TestShardedMultiLane:
                     if np.isfinite(v)
                 }
                 assert m_set == s_set, (lane, b)
+
+    def test_dense_lane_excludes_rows_without_embeddings(self):
+        """`embedding IS NOT NULL` parity in the shard_map path: rows whose
+        has_emb flag is false must never enter dense top-k (they have
+        zero-vector embeddings that would otherwise rank)."""
+        mesh = make_mesh("data:8")
+        rng = np.random.default_rng(9)
+        n, dim = 128, 32
+        emb = _unit_rows(rng, n, dim)
+        has_emb = np.ones(n, dtype=bool)
+        has_emb[::3] = False
+        emb[~has_emb] = 0.0
+        q_emb = _unit_rows(rng, 1, dim)
+        lanes = sharded_multi_lane(
+            mesh,
+            jnp.asarray(emb),
+            jnp.asarray(rng.integers(-3, 4, size=(n, 64)).astype(np.int8)),
+            jnp.zeros((n, 2), jnp.int32),
+            jnp.zeros(n, jnp.int32),
+            jnp.full(n, 1000, jnp.int32),
+            jnp.asarray(has_emb),
+            jnp.asarray(q_emb),
+            jnp.zeros((1, 64), jnp.float32),
+            jnp.zeros((1, 2), jnp.int32),
+            jnp.ones((1, 4), bool),
+            jnp.zeros(1, jnp.int32),
+            jnp.full(1, 2**31 - 1, jnp.int32),
+            k_dense=16, k_lex=8, k_tech=8,
+        )
+        scores, pos = (np.asarray(x) for x in lanes["dense"])
+        for p, s in zip(pos[0], scores[0]):
+            if np.isfinite(s):
+                assert has_emb[p], f"row {p} lacks an embedding but ranked"
