@@ -8,9 +8,10 @@ seconds-vs-milliseconds heuristics; analysis normalization for
 text/markdown passthrough, csv/tsv -> markdown table, json records ->
 table, html tag-strip, and gated docx/pdf (+OCR) paths.
 
-docx/pdf libraries are not in this image; those formats raise a clear
-AdapterError and the OCR path shells out to ``ocrmypdf`` only when enabled
-(reference knobs: app/config.py:27-34).
+docx/pdf use python-docx/pypdf when installed and otherwise fall back to
+the vendored stdlib extractors (``docformats.py``); the OCR path shells
+out to ``ocrmypdf`` only when enabled (reference knobs: app/config.py:
+27-34).
 """
 
 from __future__ import annotations
@@ -271,10 +272,15 @@ def _json_to_text(raw: str) -> str:
 def _docx_to_text(path: Path) -> str:
     try:
         import docx  # noqa: PLC0415
-    except ImportError as exc:
-        raise AdapterError(
-            "docx support requires python-docx (not installed in this image)"
-        ) from exc
+    except ImportError:
+        # vendored stdlib extractor (reference uses python-docx,
+        # ingest_adapters.py:131-164; same paragraph-join output shape)
+        from .docformats import ExtractionError, docx_to_text
+
+        try:
+            return docx_to_text(Path(path))
+        except ExtractionError as exc:
+            raise AdapterError(str(exc)) from exc
     document = docx.Document(str(path))
     return "\n\n".join(p.text for p in document.paragraphs if p.text.strip())
 
@@ -323,11 +329,18 @@ def _pdf_to_text(path: Path) -> str:
         pages = reader.pages[: int(settings.analysis_pdf_ocr_max_pages)]
         text = "\n\n".join((page.extract_text() or "") for page in pages).strip()
     except ImportError:
-        if not settings.analysis_pdf_ocr_enabled:
-            raise AdapterError(
-                "pdf support requires pypdf (not installed) or "
-                "ANALYSIS_PDF_OCR_ENABLED"
-            ) from None
+        # vendored stdlib extractor for digital PDFs (reference: pypdf at
+        # ingest_adapters.py:167-182); scanned PDFs yield "" and fall
+        # through to the OCR quality gate below, like the reference
+        from .docformats import ExtractionError, pdf_to_text
+
+        try:
+            text = pdf_to_text(
+                Path(path), max_pages=int(settings.analysis_pdf_ocr_max_pages)
+            ).strip()
+        except ExtractionError as exc:
+            if not settings.analysis_pdf_ocr_enabled:
+                raise AdapterError(str(exc)) from exc
     if settings.analysis_pdf_ocr_enabled and _should_run_ocr(text):
         ocr_text = _pdf_via_ocr(path)
         # keep whichever extraction looks better (reference quality gate:

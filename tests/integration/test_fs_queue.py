@@ -139,6 +139,37 @@ class TestScannerWorker:
         resp = retrieve_evidence(RetrieveRequest(query="ECONNRESET v2.3.1"))
         assert resp["quotes"]
 
+    def test_pdf_docx_bundle_end_to_end(self, ingest_root):
+        """A dropped bundle carrying .pdf and .docx analysis files ingests
+        without optional libraries (VERDICT adapter-parity item; reference
+        extracts these via pypdf/python-docx, ingest_adapters.py:131-293)."""
+        from tests.unit.test_docformats import make_docx, make_pdf
+
+        bundle = _write_bundle(ingest_root, "docjob", with_manifest=False)
+        make_pdf(bundle / "capacity.pdf", [
+            b"BT /F1 12 Tf (SSD tiering saved the latency budget) Tj ET",
+        ], compress=True)
+        make_docx(bundle / "summary.docx",
+                  ["Postmortem: ECONNRESET storm resolved by rollback"])
+        stats = scan_inbox_once(ingest_root)  # auto-manifest picks both up
+        assert stats["enqueued"] == 1
+        assert work_once() == "succeeded"
+        job = fs_queue.list_ingest_jobs()["items"][0]
+        roles = {f["path"] for f in job["files"]}
+        assert {"capacity.pdf", "summary.docx"} <= roles
+
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence
+        from cadence_rag_tpu.schemas import RetrieveRequest
+
+        resp = retrieve_evidence(
+            RetrieveRequest(query="SSD tiering latency budget")
+        )
+        assert any("SSD tiering" in a["snippet"] for a in resp["artifacts"])
+        resp = retrieve_evidence(
+            RetrieveRequest(query="postmortem rollback ECONNRESET")
+        )
+        assert any("rollback" in a["snippet"] for a in resp["artifacts"])
+
     def test_not_ready_skipped(self, ingest_root):
         _write_bundle(ingest_root, "sleepy", ready=False)
         stats = scan_inbox_once(ingest_root)

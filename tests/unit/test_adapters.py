@@ -110,17 +110,21 @@ class TestAnalysisAdapters:
         assert infer_analysis_format(tmp_path / "x.PDF") == "pdf"
         assert infer_analysis_format(tmp_path / "x.unknown") == "text"
 
-    def test_docx_gated(self, tmp_path):
+    def test_docx_unreadable_raises(self, tmp_path):
+        # python-docx is absent; the vendored extractor serves the format
+        # and reports unreadable archives as AdapterError
         path = tmp_path / "a.docx"
         path.write_bytes(b"PK\x03\x04 fake")
-        with pytest.raises(AdapterError, match="python-docx"):
+        with pytest.raises(AdapterError, match="docx"):
             load_analysis_content(path, "docx")
 
-    def test_pdf_gated_without_ocr(self, tmp_path, tmp_store, monkeypatch):
+    def test_pdf_no_text_without_ocr(self, tmp_path, tmp_store, monkeypatch):
+        # a header-only pdf parses but yields no text; without OCR that is
+        # an AdapterError (reference: "pdf produced no text")
         monkeypatch.setattr(tmp_store, "analysis_pdf_ocr_enabled", False)
         path = tmp_path / "a.pdf"
         path.write_bytes(b"%PDF-1.4 fake")
-        with pytest.raises(AdapterError, match="pypdf"):
+        with pytest.raises(AdapterError, match="no text"):
             load_analysis_content(path, "pdf")
 
     def test_empty_content_raises(self, tmp_path):
