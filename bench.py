@@ -1,4 +1,4 @@
-"""Headline benchmark: /retrieve device-program throughput at 1M chunks.
+"""Headline benchmark: /retrieve at 1M chunks — device program AND full stack.
 
 BASELINE.md target: serve /retrieve at >10x the reference's QPS on one TPU
 chip at 1M chunks (primary metrics: QPS + p50 latency). The reference
@@ -6,77 +6,87 @@ publishes no measured numbers (BASELINE.md "published {}"), so the baseline
 here is a measured host-side proxy of its dominant cost: pgvector's exact
 cosine scan (a single-core C loop over N*1024 floats per query). We measure
 numpy/BLAS f32 GEMV on this host — strictly FASTER than pgvector's
-row-at-a-time scan, so vs_baseline is conservative — and compare the full
-fused THREE-lane device program (dense + lexical + tech + masks + top-k)
-against dense-only host scan.
+row-at-a-time scan, so vs_baseline is conservative.
+
+Two measurements over the SAME live index (one compiled program):
+
+- headline: the fused 6-lane dual-corpus device program, pipelined — the
+  device-side capacity of the serving path;
+- full stack: ``retrieve_evidence_batch`` end-to-end (tech-token regexes,
+  stub embed, lexical featurization, filter resolution, planner, device
+  dispatch, device_get, postprocess, RRF; evidence packs add the SQLite
+  prefetch) — what a real request pays. Reported for ids_only (serial and
+  2-thread overlapped) and evidence_pack styles.
 
 Prints ONE JSON line:
   {"metric": "...", "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (default 64),
-BENCH_ITERS (default 20), BENCH_LEX_DIM (default 2048).
+BENCH_ITERS (default 20), BENCH_LEX_DIM (default 4096 = the production
+lexical_dim default), BENCH_DENSE_MODE (default ann), BENCH_SKIP_PACK.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-
-def build_synthetic_index(n, dim, lex_dim, tech_slots, n_calls, emb_dtype):
-    """Generate the corpus directly on device (no host->device transfer)."""
-    import jax
-    import jax.numpy as jnp
-
-    key = jax.random.PRNGKey(0)
-    k_emb, k_lex, k_tech, k_call, k_ts = jax.random.split(key, 5)
-
-    @jax.jit
-    def gen():
-        emb = jax.random.normal(k_emb, (n, dim), dtype=jnp.float32)
-        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
-        lex = jax.random.randint(k_lex, (n, lex_dim), -4, 5, dtype=jnp.int8)
-        tech = jax.random.randint(
-            k_tech, (n, tech_slots), 0, 5000, dtype=jnp.int32
-        )
-        call_idx = jax.random.randint(k_call, (n,), 0, n_calls, dtype=jnp.int32)
-        started = jax.random.randint(
-            k_ts, (n,), 1_600_000_000, 1_750_000_000, dtype=jnp.int32
-        )
-        has_emb = jnp.ones((n,), dtype=jnp.bool_)
-        return emb.astype(emb_dtype), lex, tech, call_idx, started, has_emb
-
-    return jax.block_until_ready(gen())
+N_CALLS = 1024
+CHUNK_KS = (50, 50, 50)
+ARTIFACT_KS = (10, 10, 50)
 
 
-def bench_device(n, batch, iters, lex_dim, tech_slots, n_calls, dense_mode):
-    """Measures the actual serving program: all six lanes over BOTH corpora
-    (n transcript chunks + n/10 artifact chunks) in one device dispatch —
-    exactly what engine/retrieve.py runs per request batch."""
+def setup_index(n, lex_dim):
+    """Live index + store, populated synthetically on device."""
+    from cadence_rag_tpu.config import settings
+    from cadence_rag_tpu.core.index import get_index, reset_index
+    from cadence_rag_tpu.evals.synth import (
+        bulk_store_rows,
+        install_synthetic_corpus,
+    )
+    from cadence_rag_tpu.store.db import get_store, reset_store
+
+    workdir = tempfile.mkdtemp(prefix="cadence_bench_")
+    settings.store_path = os.path.join(workdir, "bench.db")
+    settings.embeddings_provider = "stub"
+    settings.embeddings_base_url = ""
+    settings.lexical_dim = lex_dim
+    settings.index_initial_capacity = 4096
+    settings.rerank_enabled = False
+    reset_store()
+    reset_index()
+    index = get_index()
+    index.ensure_call_capacity(N_CALLS)
+    n_art = max(n // 10, 1024)
+    install_synthetic_corpus(index.chunks, n, N_CALLS, seed=0)
+    install_synthetic_corpus(index.artifacts, n_art, N_CALLS, seed=1)
+    if not os.environ.get("BENCH_SKIP_PACK"):
+        bulk_store_rows(get_store(), n, n_art, N_CALLS)
+    return index, workdir
+
+
+def bench_device(index, batch, iters, dense_mode):
+    """The fused 6-lane dual-corpus program over the live index arrays —
+    identical signature to the engine's dispatch, so this compile is reused
+    by the full-stack run."""
     import jax
     import jax.numpy as jnp
 
     from cadence_rag_tpu.ops.fused import dual_corpus_retrieve
 
-    dim = 1024
-    chunk_arrays = build_synthetic_index(
-        n, dim, lex_dim, tech_slots, n_calls, jnp.bfloat16
-    )
-    artifact_arrays = build_synthetic_index(
-        max(n // 10, 1024), dim, lex_dim, tech_slots, n_calls, jnp.bfloat16
-    )
-
+    dim = index.chunks.dim
+    lex_dim = index.chunks.lex_dim
     rng = np.random.default_rng(1)
     q_emb = rng.standard_normal((batch, dim)).astype(np.float32)
     q_emb /= np.linalg.norm(q_emb, axis=1, keepdims=True)
     q_lex = (rng.standard_normal((batch, lex_dim)) * 0.1).astype(np.float32)
-    q_tech = rng.integers(0, 5000, size=(batch, 8)).astype(np.int32)
-    allowed = np.ones((batch, n_calls), dtype=bool)
-    date_min = np.full(batch, 0, dtype=np.int32)
-    date_max = np.full(batch, 2**31 - 1, dtype=np.int32)
+    q_tech = rng.integers(1, 5000, size=(batch, 32)).astype(np.int32)
 
     # Pre-stage query arrays on device: per-call H2D transfers through the
     # tunneled chip act as pipeline sync points and serialize dispatch
@@ -85,23 +95,23 @@ def bench_device(n, batch, iters, lex_dim, tech_slots, n_calls, dense_mode):
     d_q_emb = jnp.asarray(q_emb)
     d_q_lex = jnp.asarray(q_lex)
     d_q_tech = jnp.asarray(q_tech)
-    d_allowed = jnp.asarray(allowed)
-    d_date_min = jnp.asarray(date_min)
-    d_date_max = jnp.asarray(date_max)
+    d_allowed = jnp.asarray(np.ones((batch, N_CALLS), dtype=bool))
+    d_date_min = jnp.asarray(np.full(batch, -2147483647, dtype=np.int32))
+    d_date_max = jnp.asarray(np.full(batch, 2**31 - 1, dtype=np.int32))
 
     def call():
         return dual_corpus_retrieve(
-            chunk_arrays, artifact_arrays,
+            index.chunks.device_arrays(),
+            index.artifacts.device_arrays(),
             d_q_emb, d_q_lex, d_q_lex, d_q_tech, d_allowed,
             d_date_min, d_date_max,
-            chunk_ks=(50, 50, 50), artifact_ks=(10, 10, 50),
+            chunk_ks=CHUNK_KS, artifact_ks=ARTIFACT_KS,
             chunk_mode=dense_mode, artifact_mode=dense_mode,
             recall_target=0.95,
         )
 
     jax.block_until_ready(call())  # compile
     jax.block_until_ready(call())  # warm
-    # blocking p50 (request latency)
     latencies = []
     for _ in range(max(5, iters // 4)):
         t0 = time.perf_counter()
@@ -113,8 +123,50 @@ def bench_device(n, batch, iters, lex_dim, tech_slots, n_calls, dense_mode):
     outs = [call() for _ in range(iters)]
     jax.block_until_ready(outs)
     total = time.perf_counter() - t0
-    qps = batch * iters / total
-    return qps, p50_batch_ms
+    return batch * iters / total, p50_batch_ms
+
+
+def bench_fullstack(batch, iters, style, threads=1):
+    """retrieve_evidence_batch end-to-end over the live index."""
+    from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+    from cadence_rag_tpu.schemas import RetrieveRequest
+
+    queries = [
+        "ECONNRESET rollback on the object store gateway",
+        "tiering latency cluster retry budget",
+        "lenovo bake-off azure rollout",
+        "v2.3.1 gateway retry",
+    ]
+    reqs = [
+        RetrieveRequest(query=queries[i % len(queries)], return_style=style)
+        for i in range(batch)
+    ]
+    retrieve_evidence_batch(reqs)  # warm (program already compiled)
+    retrieve_evidence_batch(reqs)
+    if threads > 1:
+        # overlapped clients: host featurize/postprocess of one batch runs
+        # while another batch owns the device (the aiohttp micro-batcher
+        # dispatches exactly like this)
+        pool = ThreadPoolExecutor(threads)
+        t0 = time.perf_counter()
+        futs = [pool.submit(retrieve_evidence_batch, reqs)
+                for _ in range(iters)]
+        for f in futs:
+            f.result()
+        total = time.perf_counter() - t0
+        pool.shutdown()
+        return {"qps": batch * iters / total}
+    latencies = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        t1 = time.perf_counter()
+        retrieve_evidence_batch(reqs)
+        latencies.append(time.perf_counter() - t1)
+    total = time.perf_counter() - t0
+    return {
+        "qps": batch * iters / total,
+        "p50_batch_ms": float(np.percentile(latencies, 50)) * 1e3,
+    }
 
 
 def bench_host_baseline(n, sample_n=100_000, queries=8):
@@ -127,8 +179,7 @@ def bench_host_baseline(n, sample_n=100_000, queries=8):
     docs /= np.linalg.norm(docs, axis=1, keepdims=True)
     qs = rng.standard_normal((queries, dim)).astype(np.float32)
     qs /= np.linalg.norm(qs, axis=1, keepdims=True)
-    # warm
-    _ = docs @ qs[0]
+    _ = docs @ qs[0]  # warm
     times = []
     for i in range(queries):
         t0 = time.perf_counter()
@@ -144,29 +195,55 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 64))
     iters = int(os.environ.get("BENCH_ITERS", 20))
-    lex_dim = int(os.environ.get("BENCH_LEX_DIM", 2048))
+    lex_dim = int(os.environ.get("BENCH_LEX_DIM", 4096))
     dense_mode = os.environ.get("BENCH_DENSE_MODE", "ann")
+    skip_pack = bool(os.environ.get("BENCH_SKIP_PACK"))
 
-    qps, p50_batch_ms = bench_device(
-        n, batch, iters, lex_dim, tech_slots=16, n_calls=1024,
-        dense_mode=dense_mode,
-    )
-    baseline_qps, baseline_ms = bench_host_baseline(n)
+    index, workdir = setup_index(n, lex_dim)
+    try:
+        qps, p50_batch_ms = bench_device(index, batch, iters, dense_mode)
+        fs_ids = bench_fullstack(batch, iters, "ids_only")
+        fs_overlap = bench_fullstack(batch, iters, "ids_only", threads=2)
+        fs_pack = (
+            None if skip_pack
+            else bench_fullstack(batch, max(iters // 2, 5),
+                                 "evidence_pack_json")
+        )
+        baseline_qps, baseline_ms = bench_host_baseline(n)
 
-    import jax
+        import jax
 
-    print(json.dumps({
-        "metric": f"fused 3-lane /retrieve QPS @ {n} chunks (batch={batch}, "
-                  f"{dense_mode} dense mode)",
-        "value": round(qps, 2),
-        "unit": "qps",
-        "vs_baseline": round(qps / baseline_qps, 2),
-        "p50_batch_ms": round(p50_batch_ms, 3),
-        "p50_per_query_ms": round(p50_batch_ms / batch, 4),
-        "baseline_qps_host_exact_scan": round(baseline_qps, 2),
-        "baseline_per_query_ms": round(baseline_ms, 2),
-        "device": str(jax.devices()[0]),
-    }))
+        out = {
+            "metric": f"fused 3-lane /retrieve QPS @ {n} chunks "
+                      f"(batch={batch}, {dense_mode} dense mode, "
+                      f"lex_dim={lex_dim})",
+            "value": round(qps, 2),
+            "unit": "qps",
+            "vs_baseline": round(qps / baseline_qps, 2),
+            "p50_batch_ms": round(p50_batch_ms, 3),
+            "p50_per_query_ms": round(p50_batch_ms / batch, 4),
+            "fullstack_ids_qps": round(fs_ids["qps"], 2),
+            "fullstack_ids_p50_per_query_ms": round(
+                fs_ids["p50_batch_ms"] / batch, 4
+            ),
+            "fullstack_ids_qps_2threads": round(fs_overlap["qps"], 2),
+            "baseline_qps_host_exact_scan": round(baseline_qps, 2),
+            "baseline_per_query_ms": round(baseline_ms, 2),
+            "device": str(jax.devices()[0]),
+        }
+        if fs_pack is not None:
+            out["fullstack_pack_qps"] = round(fs_pack["qps"], 2)
+            out["fullstack_pack_p50_per_query_ms"] = round(
+                fs_pack["p50_batch_ms"] / batch, 4
+            )
+        print(json.dumps(out))
+    finally:
+        from cadence_rag_tpu.core.index import reset_index
+        from cadence_rag_tpu.store.db import reset_store
+
+        reset_store()
+        reset_index()
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -101,6 +101,12 @@ class Settings:
     rerank_topk: int = 50
     mesh_shape: str = ""                     # e.g. "data:4,model:2"; empty = single chip
     use_pallas_fused: bool = False           # fused multi-lane Pallas kernel
+    # Multi-host coordinated startup (jax.distributed). Empty = single
+    # process. Set DIST_COORDINATOR=host:port on every process, plus
+    # DIST_NUM_PROCESSES / DIST_PROCESS_ID, before starting the server.
+    dist_coordinator: str = ""
+    dist_num_processes: int = 0
+    dist_process_id: int = 0
 
     def __post_init__(self) -> None:
         env = dict(_load_env_file(os.environ.get("CADENCE_ENV_FILE", ".env")))

@@ -7,9 +7,19 @@ start without replaying the ingest log. SQLite remains the source of truth
 (ingest.rebuild_index_from_store is the slow-path recovery); a checkpoint
 is the fast path for large corpora.
 
-Format: one directory, ``meta.json`` + one ``.npz`` per corpus (npz instead
-of orbax: index state is plain numpy, no pytrees/sharding metadata needed,
-and restore must work without a device).
+Format v2 (one directory):
+- ``meta.json`` — written LAST; its presence marks the checkpoint valid.
+- per corpus: row-range shard files ``{name}.{i:04d}.npz`` (embeddings in
+  the index storage dtype — bf16 stored as its uint16 bit pattern, halving
+  checkpoint size vs the v1 f32 format — plus lex/tech/ids/call/started/
+  has_emb slices) and ``{name}.stats.npz`` (doc_freq, dl_sum).
+  Row-range shards cap per-file size (~256 MB of embeddings), let restore
+  stream instead of materializing one giant buffer, and give each host of
+  a multi-host deployment a byte-range it can fetch independently.
+
+``save_index(..., block=False)`` snapshots under the corpus lock (a device
+-> host copy) and then writes files on a background thread — serving never
+blocks on disk I/O. v1 checkpoints restore transparently.
 
 The IVF dense index is derived state and is NOT checkpointed; when
 DENSE_IVF_ENABLED is on, serve startup rebuilds it from the restored
@@ -19,45 +29,118 @@ embeddings (serve/api.py:startup, scripts/build_ivf.py).
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..config import settings
 from .index import DeviceIndexManager, get_index
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+ROW_KEYS = ("emb", "lex", "tech", "ids", "call", "started", "has_emb")
+SHARD_EMB_BYTES = 256 * 1024 * 1024
 
 
-def save_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict:
+def _encode_emb(emb: np.ndarray) -> Dict[str, np.ndarray]:
+    if emb.dtype == np.float32:
+        return {"emb": emb, "_kind": np.array(["f32"])}
+    # ml_dtypes.bfloat16 (or any 2-byte float) -> raw bit pattern
+    return {"emb": emb.view(np.uint16), "_kind": np.array(["bf16"])}
+
+
+def _decode_emb(raw: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "f32":
+        return raw
+    import ml_dtypes
+
+    return raw.view(ml_dtypes.bfloat16)
+
+
+def save_index(
+    path: str,
+    index: Optional[DeviceIndexManager] = None,
+    block: bool = True,
+) -> Dict:
+    """Snapshot both corpora. With ``block=False`` the device->host snapshot
+    is taken synchronously (consistent view) but file writes happen on a
+    daemon thread; the returned meta carries the thread under "_writer"
+    (join it to wait, e.g. in tests)."""
     index = index or get_index()
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
-    meta = {
+    stale_meta = out / "meta.json"
+    if stale_meta.exists():  # a half-written update must not look valid
+        stale_meta.unlink()
+    meta: Dict = {
         "format_version": FORMAT_VERSION,
         "embeddings_dim": int(settings.embeddings_dim),
         "lexical_dim": int(settings.lexical_dim),
         "tech_hash_slots": int(settings.tech_hash_slots),
         "call_capacity": index.call_capacity,
         "counts": {},
+        "shards": {},
     }
+    snapshots = {}
     for corpus in (index.chunks, index.artifacts):
-        arrays = corpus.state_arrays()
-        np.savez(out / f"{corpus.name}.npz", **arrays)
+        arrays = corpus.state_arrays()  # locked device->host copy
         meta["counts"][corpus.name] = corpus.count
-    (out / "meta.json").write_text(json.dumps(meta, indent=2))
-    return meta
+        n = int(arrays["ids"].shape[0])
+        emb_row_bytes = max(arrays["emb"][:1].nbytes, 1) if n else 1
+        rows_per_shard = max(1, SHARD_EMB_BYTES // emb_row_bytes)
+        n_shards = max(1, -(-n // rows_per_shard)) if n else 1
+        meta["shards"][corpus.name] = n_shards
+        snapshots[corpus.name] = (arrays, n, rows_per_shard, n_shards)
+
+    def write() -> None:
+        for name, (arrays, n, rows_per_shard, n_shards) in snapshots.items():
+            np.savez(
+                out / f"{name}.stats.npz",
+                doc_freq=arrays["doc_freq"], dl_sum=arrays["dl_sum"],
+            )
+            for i in range(n_shards):
+                lo = i * rows_per_shard
+                hi = min(n, lo + rows_per_shard)
+                shard = {k: arrays[k][lo:hi] for k in ROW_KEYS}
+                shard.update(_encode_emb(shard.pop("emb")))
+                np.savez(out / f"{name}.{i:04d}.npz", **shard)
+        (out / "meta.json").write_text(json.dumps(meta, indent=2))
+
+    if block:
+        write()
+        return meta
+    writer = threading.Thread(target=write, daemon=True)
+    writer.start()
+    result = dict(meta)
+    result["_writer"] = writer
+    return result
+
+
+def _load_corpus_v2(src: Path, name: str, n_shards: int) -> Dict[str, np.ndarray]:
+    parts: Dict[str, List[np.ndarray]] = {k: [] for k in ROW_KEYS}
+    for i in range(n_shards):
+        with np.load(src / f"{name}.{i:04d}.npz", allow_pickle=False) as data:
+            kind = str(data["_kind"][0])
+            for k in ROW_KEYS:
+                raw = data["emb" if k == "emb" else k]
+                parts[k].append(_decode_emb(raw, kind) if k == "emb" else raw)
+    arrays = {k: np.concatenate(v) if len(v) > 1 else v[0]
+              for k, v in parts.items()}
+    with np.load(src / f"{name}.stats.npz") as stats:
+        arrays["doc_freq"] = stats["doc_freq"]
+        arrays["dl_sum"] = stats["dl_sum"]
+    return arrays
 
 
 def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict:
     index = index or get_index()
     src = Path(path)
     meta = json.loads((src / "meta.json").read_text())
-    if meta.get("format_version") != FORMAT_VERSION:
+    version = meta.get("format_version")
+    if version not in (1, FORMAT_VERSION):
         raise ValueError(
-            f"index checkpoint format {meta.get('format_version')} != "
-            f"{FORMAT_VERSION}"
+            f"index checkpoint format {version} != {FORMAT_VERSION}"
         )
     for key, expected in (
         ("embeddings_dim", int(settings.embeddings_dim)),
@@ -70,7 +153,12 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
                 f"{key}={expected}"
             )
     for corpus in (index.chunks, index.artifacts):
-        with np.load(src / f"{corpus.name}.npz") as data:
-            corpus.load_state({k: data[k] for k in data.files})
+        if version == 1:
+            with np.load(src / f"{corpus.name}.npz") as data:
+                corpus.load_state({k: data[k] for k in data.files})
+        else:
+            corpus.load_state(_load_corpus_v2(
+                src, corpus.name, int(meta["shards"][corpus.name])
+            ))
     index.ensure_call_capacity(int(meta["call_capacity"]))
     return meta

@@ -510,7 +510,9 @@ class CorpusIndex:
     def _state_arrays_locked(self) -> Dict[str, np.ndarray]:
         c = self.count
         return {
-            "emb": np.asarray(self.emb[:c], dtype=np.float32),
+            # storage dtype passes through (bf16 stays bf16): checkpoints
+            # are half the size and no precision is gained by widening
+            "emb": np.asarray(self.emb[:c]),
             "lex": np.asarray(self.lex[:c]),
             "tech": np.asarray(self.tech[:c]),
             "ids": self.h_ids[:c].copy(),
@@ -546,7 +548,7 @@ class CorpusIndex:
             started[:n] = arrays["started"]
             self.emb = _write_slab(
                 self.emb,
-                jnp.asarray(_pad_rows(arrays["emb"].astype(np.float32), padded),
+                jnp.asarray(_pad_rows(arrays["emb"], padded),
                             dtype=self.emb_dtype), 0,
             )
             self.lex = _write_slab(

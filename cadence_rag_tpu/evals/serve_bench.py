@@ -7,6 +7,7 @@ SQLite row fetches — so host overhead can't hide.
 
 Usage: python -m cadence_rag_tpu.evals.serve_bench [--chunks 50000]
        [--batch 64] [--iters 10] [--style ids_only|evidence_pack_json]
+       [--threads 1]
 """
 
 from __future__ import annotations
@@ -16,108 +17,32 @@ import json
 import shutil
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
 
+N_CALLS = 200
 
-def _populate(n_chunks: int, n_calls: int = 200) -> None:
-    """Direct device+store population (API-level ingest at this scale would
-    dominate the setup time; the query path is what's measured)."""
-    from ..config import settings
-    from ..core.index import DocRow, get_index
-    from ..ingest.ingest import persist_lexical_meta
+
+def _populate(n_chunks: int, n_calls: int = N_CALLS) -> None:
+    """Synthetic device-side population + bulk store rows (API-level ingest
+    at this scale would dominate setup time; the query path is measured)."""
+    from ..core.index import get_index
     from ..store.db import get_store
-    from ..utils.timeutil import now_utc, to_iso
+    from .synth import bulk_store_rows, install_synthetic_corpus
 
-    store = get_store()
     index = get_index()
-    rng = np.random.default_rng(0)
-    dim = int(settings.embeddings_dim)
-    lex_dim = int(settings.lexical_dim)
-    slots = int(settings.tech_hash_slots)
-
-    call_ids = []
-    with store.tx() as conn:
-        for seq in range(n_calls):
-            call_id = f"00000000-0000-4000-8000-{seq:012d}"
-            conn.execute(
-                "INSERT INTO calls (call_id, call_seq, started_at, title) "
-                "VALUES (?,?,?,?)",
-                (call_id, seq, to_iso(now_utc()), f"bench call {seq}"),
-            )
-            call_ids.append(call_id)
     index.ensure_call_capacity(n_calls)
-
-    words = ["object", "store", "tiering", "latency", "rollback", "gateway",
-             "cluster", "retry", "budget", "bake-off", "lenovo", "azure"]
-    batch_rows = []
-    with store.tx() as conn:
-        for i in range(n_chunks):
-            seq = i % n_calls
-            text = (
-                f"chunk {i} discussing {words[i % len(words)]} and "
-                f"{words[(i * 7) % len(words)]} with ECONNRESET v2.{i % 9}.1"
-            )
-            cur = conn.execute(
-                "INSERT INTO chunks (call_id, call_started_at, speaker, "
-                "start_ts_ms, end_ts_ms, token_count, text, tech_tokens, "
-                "lex_sig, lex_dl) VALUES (?,?,?,?,?,?,?,?,?,?)",
-                (call_ids[seq], to_iso(now_utc()), "A", 0, 1000, 12, text,
-                 "[]", np.zeros(lex_dim, np.int8).tobytes(), 10),
-            )
-            emb = rng.standard_normal(dim).astype(np.float32)
-            emb /= np.linalg.norm(emb)
-            sig = rng.integers(-4, 5, size=lex_dim).astype(np.int8)
-            batch_rows.append(
-                DocRow(
-                    doc_id=cur.lastrowid, call_seq=seq,
-                    started_sec=1_700_000_000 + i,
-                    lex_sig=sig, lex_dl=10,
-                    lex_touched=np.flatnonzero(sig)[:64].astype(np.int32),
-                    tech=rng.integers(1, 5000, size=slots).astype(np.int32),
-                    embedding=emb,
-                )
-            )
-    for start in range(0, len(batch_rows), 4096):
-        index.chunks.insert(batch_rows[start:start + 4096])
-    # a small artifact corpus so the dual program runs realistically
-    art_rows = []
-    with store.tx() as conn:
-        for i in range(max(n_chunks // 10, 16)):
-            seq = i % n_calls
-            cur = conn.execute(
-                "INSERT INTO analysis_artifacts (call_id, call_started_at, "
-                "kind, content, token_count, tech_tokens) VALUES (?,?,?,?,?,?)",
-                (call_ids[seq], to_iso(now_utc()), "summary",
-                 f"artifact {i} about the rollout", 6, "[]"),
-            )
-            conn.execute(
-                "INSERT INTO artifact_chunks (artifact_id, call_id, "
-                "call_started_at, kind, ordinal, content, token_count, "
-                "tech_tokens, lex_sig, lex_dl) VALUES (?,?,?,?,?,?,?,?,?,?)",
-                (cur.lastrowid, call_ids[seq], to_iso(now_utc()), "summary",
-                 0, f"artifact {i} about the rollout", 6, "[]",
-                 np.zeros(lex_dim, np.int8).tobytes(), 6),
-            )
-            emb = rng.standard_normal(dim).astype(np.float32)
-            emb /= np.linalg.norm(emb)
-            sig = rng.integers(-4, 5, size=lex_dim).astype(np.int8)
-            art_rows.append(
-                DocRow(
-                    doc_id=i + 1, call_seq=seq,
-                    started_sec=1_700_000_000 + i,
-                    lex_sig=sig, lex_dl=6,
-                    lex_touched=np.flatnonzero(sig)[:64].astype(np.int32),
-                    tech=np.zeros(slots, np.int32), embedding=emb,
-                )
-            )
-    index.artifacts.insert(art_rows)
-    persist_lexical_meta(store, index.chunks)
-    persist_lexical_meta(store, index.artifacts)
+    n_art = max(n_chunks // 10, 16)
+    install_synthetic_corpus(index.chunks, n_chunks, n_calls, seed=0)
+    install_synthetic_corpus(index.artifacts, n_art, n_calls, seed=1)
+    bulk_store_rows(get_store(), n_chunks, n_art, n_calls)
 
 
-def run_serve_bench(n_chunks: int, batch: int, iters: int, style: str) -> dict:
+def run_serve_bench(
+    n_chunks: int, batch: int, iters: int, style: str, threads: int = 1
+) -> dict:
     from ..config import settings
     from ..core.index import reset_index
     from ..store.db import reset_store
@@ -153,6 +78,23 @@ def run_serve_bench(n_chunks: int, batch: int, iters: int, style: str) -> dict:
         ]
         retrieve_evidence_batch(reqs)  # compile + warm
         retrieve_evidence_batch(reqs)
+        if threads > 1:
+            # overlapped clients: one batch's host featurize/postprocess
+            # runs while another owns the device (how the aiohttp
+            # micro-batcher dispatches after the round-2 lock fix)
+            pool = ThreadPoolExecutor(threads)
+            t0 = time.perf_counter()
+            futs = [pool.submit(retrieve_evidence_batch, reqs)
+                    for _ in range(iters)]
+            for f in futs:
+                f.result()
+            total = time.perf_counter() - t0
+            pool.shutdown()
+            return {
+                "chunks": n_chunks, "batch": batch, "style": style,
+                "threads": threads, "setup_s": round(setup_s, 1),
+                "qps": round(batch * iters / total, 1),
+            }
         latencies = []
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -186,9 +128,10 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--style", default="ids_only",
                         choices=["ids_only", "evidence_pack_json"])
+    parser.add_argument("--threads", type=int, default=1)
     args = parser.parse_args()
     print(json.dumps(run_serve_bench(
-        args.chunks, args.batch, args.iters, args.style
+        args.chunks, args.batch, args.iters, args.style, args.threads
     )))
 
 

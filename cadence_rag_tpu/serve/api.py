@@ -322,6 +322,22 @@ def startup() -> None:
     """Fail-fast startup gate + index recovery (reference lifespan:
     app/main.py:33-39)."""
     configure_logging(settings.log_level)
+    if settings.dist_coordinator.strip():
+        # multi-host: every process joins the coordinator BEFORE first
+        # backend use so jax.devices() spans all hosts and MESH_SHAPE can
+        # exceed one process's chips (SURVEY.md §2.4 DCN scope)
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=settings.dist_coordinator.strip(),
+            num_processes=int(settings.dist_num_processes) or None,
+            process_id=int(settings.dist_process_id),
+        )
+        logger.info(
+            "api.distributed_initialized coordinator=%s process=%s/%s",
+            settings.dist_coordinator, settings.dist_process_id,
+            settings.dist_num_processes,
+        )
     if int(settings.profiler_port) > 0:
         import jax.profiler
 

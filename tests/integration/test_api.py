@@ -277,3 +277,36 @@ class TestRetrieveBatchEndpoint:
         assert client.post("/retrieve/batch", json={"query": "x"}).status_code == 400
         resp = client.post("/retrieve/batch", json=[{"nope": 1}])
         assert resp.status_code == 422
+
+
+class TestDistributedStartupFlag:
+    def test_coordinated_init_invoked(self, tmp_store, monkeypatch):
+        """DIST_COORDINATOR gates jax.distributed.initialize at startup
+        (multi-host readiness; no-op when unset)."""
+        import jax
+
+        from cadence_rag_tpu.serve.api import startup
+
+        calls = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None, **kw):
+            calls["args"] = (coordinator_address, num_processes, process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        monkeypatch.setattr(tmp_store, "dist_coordinator", "10.0.0.1:8476")
+        monkeypatch.setattr(tmp_store, "dist_num_processes", 4)
+        monkeypatch.setattr(tmp_store, "dist_process_id", 2)
+        startup()
+        assert calls["args"] == ("10.0.0.1:8476", 4, 2)
+
+    def test_single_process_skips_init(self, tmp_store, monkeypatch):
+        import jax
+
+        from cadence_rag_tpu.serve.api import startup
+
+        def boom(**kw):
+            raise AssertionError("initialize must not be called")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        startup()  # dist_coordinator defaults to ""
