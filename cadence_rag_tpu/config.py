@@ -86,6 +86,7 @@ class Settings:
     lexical_dim: int = 4096                  # hashed BM25 signature buckets
     lexical_dtype: str = "int8"
     tech_hash_slots: int = 16                # token-hash slots per document
+    query_lex_features: int = 256            # sparse query-transfer width
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.
     dense_ivf_enabled: bool = False
@@ -99,6 +100,7 @@ class Settings:
     rerank_enabled: bool = False
     rerank_provider: str = "lexical"         # "lexical" | "neural"
     rerank_topk: int = 50
+    reranker_params_path: str = ""           # distilled weights for "neural"
     mesh_shape: str = ""                     # e.g. "data:4,model:2"; empty = single chip
     use_pallas_fused: bool = False           # fused multi-lane Pallas kernel
     # Multi-host coordinated startup (jax.distributed). Empty = single

@@ -204,18 +204,6 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
     for (chunk_mode, artifact_mode, dense_on), group in groups.items():
         t0 = time.perf_counter()
         batch = len(group)
-        chunk_q_lex = np.stack([
-            featurize.query_lexical_vector_from(
-                p.q_lex_feats, index.chunks.doc_freq, index.chunks.count
-            )
-            for p in group
-        ])
-        artifact_q_lex = np.stack([
-            featurize.query_lexical_vector_from(
-                p.q_lex_feats, index.artifacts.doc_freq, index.artifacts.count
-            )
-            for p in group
-        ])
         q_tech = np.stack([p.q_tech for p in group])
         allowed = np.stack([p.resolved.allowed_calls for p in group])
         date_min = np.array([p.resolved.date_min for p in group], dtype=np.int32)
@@ -227,8 +215,8 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
         # Shows as a named region in jax.profiler traces (SURVEY.md §5:
         # "add jax.profiler trace hooks"); no-op when no trace is active.
         with _profiler.TraceAnnotation("retrieve_device_dispatch"):
-            chunks_out, artifacts_out = index.query_both(
-                q_emb, chunk_q_lex, artifact_q_lex, q_tech,
+            chunks_out, artifacts_out = index.query_both_packed(
+                q_emb, [p.q_lex_feats for p in group], q_tech,
                 allowed, date_min, date_max,
                 chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
                 artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),

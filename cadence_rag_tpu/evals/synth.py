@@ -104,6 +104,7 @@ def install_synthetic_corpus(
             1, max(n // 4, 2), size=lex_dim
         ).astype(np.int64)
         corpus.dl_sum = 12 * n
+        corpus.emb_rows = n
         corpus.count = n
         corpus.ivf = None
         corpus._ivf_overflow_host = np.zeros(0, dtype=np.int32)

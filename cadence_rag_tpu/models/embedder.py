@@ -202,11 +202,20 @@ def encode(params: Dict[str, Any], token_ids: jax.Array,
 
 def info_nce_loss(params: Dict[str, Any], anchors: jax.Array,
                   positives: jax.Array, cfg: EmbedderConfig,
-                  temperature: float = 0.05, *, sharded: bool = False) -> jax.Array:
+                  temperature: float = 0.05, *, sharded: bool = False,
+                  negatives: Optional[jax.Array] = None) -> jax.Array:
+    """InfoNCE with in-batch negatives; ``negatives`` (B, L) adds one
+    explicit hard negative per anchor (lexical near-misses — candidates
+    that SCORE high lexically but are not the positive — are the negatives
+    that teach the model what the lexical lanes cannot already do)."""
     za = encode(params, anchors, cfg, sharded=sharded)
     zp = encode(params, positives, cfg, sharded=sharded)
-    logits = za @ zp.T / temperature  # in-batch negatives
-    labels = jnp.arange(logits.shape[0])
+    logits = za @ zp.T  # in-batch negatives
+    if negatives is not None:
+        zn = encode(params, negatives, cfg, sharded=sharded)
+        logits = jnp.concatenate([logits, za @ zn.T], axis=1)
+    logits = logits / temperature
+    labels = jnp.arange(za.shape[0])
     return jnp.mean(
         -jax.nn.log_softmax(logits, axis=-1)[labels, labels]
     )
@@ -237,11 +246,14 @@ def adamw_update(params, grads, opt_state, lr=1e-4, b1=0.9, b2=0.999,
 
 
 def train_step(params, opt_state, anchors, positives, cfg: EmbedderConfig,
-               *, sharded: bool = False):
-    loss, grads = jax.value_and_grad(info_nce_loss)(
-        params, anchors, positives, cfg, sharded=sharded
-    )
-    new_params, new_opt = adamw_update(params, grads, opt_state)
+               *, sharded: bool = False, negatives=None, lr: float = 1e-4):
+    def loss_fn(p):
+        return info_nce_loss(
+            p, anchors, positives, cfg, sharded=sharded, negatives=negatives
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params, new_opt = adamw_update(params, grads, opt_state, lr=lr)
     return new_params, new_opt, loss
 
 

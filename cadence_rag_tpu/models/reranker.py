@@ -95,12 +95,75 @@ def score_pairs(params: Dict[str, Any], token_ids: jax.Array,
     return logits[:, 0]
 
 
+# ------------------------------------------------------------- training ----
+
+def pairwise_loss(
+    params: Dict[str, Any],
+    tokens_hi: jax.Array,    # (P, L) pairs the teacher ranks HIGHER
+    tokens_lo: jax.Array,    # (P, L) pairs the teacher ranks LOWER
+    cfg: RerankerConfig,
+) -> jax.Array:
+    """RankNet-style pairwise logistic loss: distills the teacher's
+    ORDERING (not its score scale) — rerank applies order only
+    (engine/rerank.py keeps the RRF score ladder), so ordering is the
+    entire contract."""
+    s_hi = score_pairs(params, tokens_hi, cfg)
+    s_lo = score_pairs(params, tokens_lo, cfg)
+    return jnp.mean(jax.nn.softplus(-(s_hi - s_lo)))
+
+
+def train_step(params, opt_state, tokens_hi, tokens_lo,
+               cfg: RerankerConfig, lr: float = 1e-4):
+    from .embedder import adamw_update
+
+    loss, grads = jax.value_and_grad(pairwise_loss)(
+        params, tokens_hi, tokens_lo, cfg
+    )
+    new_params, new_opt = adamw_update(params, grads, opt_state, lr=lr)
+    return new_params, new_opt, loss
+
+
+def save_params(path: str, params: Dict[str, Any], cfg: RerankerConfig) -> None:
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        flat["/".join(str(k) for k in key_path)] = np.asarray(leaf)
+    flat["__rerank_cfg__"] = np.array(
+        [cfg.vocab_buckets, cfg.d_model, cfg.n_layers, cfg.n_heads,
+         cfg.d_ff, cfg.max_len], dtype=np.int64,
+    )
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> "tuple[Dict[str, Any], RerankerConfig]":
+    with np.load(path) as data:
+        vals = data["__rerank_cfg__"]
+        cfg = RerankerConfig(
+            vocab_buckets=int(vals[0]), d_model=int(vals[1]),
+            n_layers=int(vals[2]), n_heads=int(vals[3]), d_ff=int(vals[4]),
+            max_len=int(vals[5]),
+        )
+        template = init_params(cfg, jax.random.PRNGKey(0))
+        leaves_with_path = jax.tree_util.tree_flatten_with_path(template)
+        restored = [
+            jnp.asarray(data["/".join(str(k) for k in key_path)])
+            for key_path, _ in leaves_with_path[0]
+        ]
+        params = jax.tree_util.tree_unflatten(leaves_with_path[1], restored)
+    return params, cfg
+
+
 class NeuralReranker:
     _instance: Optional["NeuralReranker"] = None
 
     def __init__(self, cfg: Optional[RerankerConfig] = None, seed: int = 0):
-        self.cfg = cfg or RerankerConfig()
-        self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        from ..config import settings
+
+        params_path = (settings.reranker_params_path or "").strip()
+        if cfg is None and params_path:
+            self.params, self.cfg = load_params(params_path)
+        else:
+            self.cfg = cfg or RerankerConfig()
+            self.params = init_params(self.cfg, jax.random.PRNGKey(seed))
         self._score = jax.jit(partial(score_pairs, cfg=self.cfg))
 
     @classmethod
@@ -108,6 +171,11 @@ class NeuralReranker:
         if cls._instance is None:
             cls._instance = cls()
         return cls._instance
+
+    @classmethod
+    def reset(cls) -> None:
+        """Drop the singleton (tests and weight reloads)."""
+        cls._instance = None
 
     def score(self, query: str, docs: Sequence[str]) -> np.ndarray:
         tokens = np.stack([pair_tokenize(query, d, self.cfg) for d in docs])

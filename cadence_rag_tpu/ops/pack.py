@@ -1,0 +1,195 @@
+"""Packed query transfer: ONE small H2D buffer per /retrieve dispatch.
+
+Measured through the tunneled TPU (NOTES_DEV.md): seven separate host->
+device transfers for a batch-64 query cost ~119 ms — 2.5x the 46 ms the
+fused program spends computing — and even a single packed transfer of the
+dense (B, 4096) f32 lexical query vectors moves ~2.4 MB at ~30 MB/s. Both
+axes matter, so the engine sends ONE uint8 buffer holding:
+
+- q_emb as f16 (the index stores bf16; f16 transport loses nothing),
+- the lexical query SPARSELY — (bucket, value) pairs per corpus, F slots
+  wide — instead of (B, D) f32 dense: a query touches ~60 of 4096 buckets,
+  so this is ~50x fewer bytes; the dense vector is rebuilt on device by a
+  scatter-add that costs microseconds,
+- tech hashes (i32), the call-bitmap filter (u8), date bounds (i32),
+
+and the jitted program bitcasts slices back into typed arrays before
+running the same fused lanes (ops/fused.py). ~280 KB and one tunnel round
+trip instead of ~2.4 MB over seven.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fused import LaneResult, _lanes_one_corpus
+
+# fixed sparse width for query lexical features (word + trigram buckets);
+# queries beyond F features drop the lowest-|value| tail
+DEFAULT_F = 256
+
+
+def sparse_lex_rows(
+    feats_list, doc_freq: np.ndarray, n_docs: int, F: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-plan (buckets, signs, tfs) feature tuples -> padded (B, F)
+    uint16 buckets + (B, F) f16 values with each corpus's idf applied
+    (host side; same math as hashing.query_vector_from_features)."""
+    from .hashing import LEX_QUANT_SCALE
+
+    batch = len(feats_list)
+    buckets_out = np.zeros((batch, F), dtype=np.uint16)
+    values_out = np.zeros((batch, F), dtype=np.float16)
+    for i, (buckets, signs, tfs) in enumerate(feats_list):
+        if buckets.size == 0 or n_docs <= 0:
+            continue
+        df = doc_freq[buckets].astype(np.float32)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        vals = (signs * idf * tfs) / LEX_QUANT_SCALE
+        if buckets.shape[0] > F:
+            keep = np.argsort(-np.abs(vals))[:F]
+            buckets, vals = buckets[keep], vals[keep]
+        k = buckets.shape[0]
+        buckets_out[i, :k] = buckets.astype(np.uint16)
+        values_out[i, :k] = vals.astype(np.float16)
+    return buckets_out, values_out
+
+
+def pack_queries(
+    q_emb: Optional[np.ndarray],        # (B, dim) f32 or None
+    chunk_lex: Tuple[np.ndarray, np.ndarray],     # (B,F) u16, (B,F) f16
+    artifact_lex: Tuple[np.ndarray, np.ndarray],
+    q_tech: np.ndarray,                 # (B, Q) int32
+    allowed: np.ndarray,                # (B, C) bool
+    date_min: np.ndarray,               # (B,) int32
+    date_max: np.ndarray,               # (B,) int32
+) -> np.ndarray:
+    """-> one contiguous uint8 buffer (layout mirrored by _unpack)."""
+    batch = q_tech.shape[0]
+    if q_emb is None:
+        q_emb = np.zeros((batch, 1), dtype=np.float32)
+    parts = [
+        np.ascontiguousarray(q_emb.astype(np.float16)).view(np.uint8).ravel(),
+        np.ascontiguousarray(chunk_lex[0]).view(np.uint8).ravel(),
+        np.ascontiguousarray(chunk_lex[1]).view(np.uint8).ravel(),
+        np.ascontiguousarray(artifact_lex[0]).view(np.uint8).ravel(),
+        np.ascontiguousarray(artifact_lex[1]).view(np.uint8).ravel(),
+        np.ascontiguousarray(q_tech.astype(np.int32)).view(np.uint8).ravel(),
+        np.ascontiguousarray(allowed).view(np.uint8).ravel(),
+        np.ascontiguousarray(date_min.astype(np.int32)).view(np.uint8).ravel(),
+        np.ascontiguousarray(date_max.astype(np.int32)).view(np.uint8).ravel(),
+    ]
+    return np.concatenate(parts)
+
+
+def _bitcast(view: jax.Array, shape, dtype) -> jax.Array:
+    width = jnp.dtype(dtype).itemsize
+    return jax.lax.bitcast_convert_type(
+        view.reshape(*shape, width), dtype
+    )
+
+
+def _unpack(packed, *, batch, dim, q_feats, tech_q, n_calls):
+    """Static-offset slicing of the pack_queries layout."""
+    sizes = {
+        "q_emb": batch * dim * 2,
+        "cb": batch * q_feats * 2, "cv": batch * q_feats * 2,
+        "ab": batch * q_feats * 2, "av": batch * q_feats * 2,
+        "tech": batch * tech_q * 4,
+        "allowed": batch * n_calls,
+        "dmin": batch * 4, "dmax": batch * 4,
+    }
+    off = 0
+    views = {}
+    for name, size in sizes.items():
+        views[name] = jax.lax.slice_in_dim(packed, off, off + size)
+        off += size
+    out = {
+        "q_emb": _bitcast(views["q_emb"], (batch, dim), jnp.float16)
+        .astype(jnp.float32),
+        "cb": _bitcast(views["cb"], (batch, q_feats), jnp.uint16)
+        .astype(jnp.int32),
+        "cv": _bitcast(views["cv"], (batch, q_feats), jnp.float16)
+        .astype(jnp.float32),
+        "ab": _bitcast(views["ab"], (batch, q_feats), jnp.uint16)
+        .astype(jnp.int32),
+        "av": _bitcast(views["av"], (batch, q_feats), jnp.float16)
+        .astype(jnp.float32),
+        "tech": _bitcast(views["tech"], (batch, tech_q), jnp.int32),
+        "allowed": views["allowed"].reshape(batch, n_calls) != 0,
+        "dmin": _bitcast(views["dmin"], (batch,), jnp.int32),
+        "dmax": _bitcast(views["dmax"], (batch,), jnp.int32),
+    }
+    return out
+
+
+def _densify(buckets: jax.Array, values: jax.Array, lex_dim: int) -> jax.Array:
+    """(B, F) sparse -> (B, lex_dim) f32 via scatter-add (padding slots
+    carry value 0, an additive no-op)."""
+    batch = buckets.shape[0]
+    dense = jnp.zeros((batch, lex_dim), jnp.float32)
+    rows = jnp.arange(batch)[:, None]
+    return dense.at[rows, buckets].add(values)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "batch", "emb_dim", "q_feats", "tech_q", "n_calls",
+        "chunk_ks", "artifact_ks",
+        "chunk_mode", "artifact_mode", "recall_target", "dense_enabled",
+    ),
+)
+def dual_corpus_retrieve_packed(
+    chunk_arrays: Tuple[jax.Array, ...],
+    artifact_arrays: Tuple[jax.Array, ...],
+    packed: jax.Array,                   # (bytes,) uint8
+    *,
+    batch: int,
+    emb_dim: int,                        # 1 when dense disabled (zeros slot)
+    q_feats: int,
+    tech_q: int,
+    n_calls: int,
+    chunk_ks: Tuple[int, int, int],
+    artifact_ks: Tuple[int, int, int],
+    chunk_mode: str = "exact",
+    artifact_mode: str = "exact",
+    recall_target: float = 0.95,
+    dense_enabled: bool = True,
+) -> Tuple[Dict[str, LaneResult], Dict[str, LaneResult]]:
+    """The production /retrieve program: unpack + both corpora's six lanes,
+    one H2D buffer, one dispatch (see ops/fused.dual_corpus_retrieve for
+    the lane math; this wrapper only changes the transfer shape)."""
+    q = _unpack(
+        packed, batch=batch, dim=emb_dim, q_feats=q_feats,
+        tech_q=tech_q, n_calls=n_calls,
+    )
+    q_emb = q["q_emb"]
+    if dense_enabled:
+        dim = chunk_arrays[0].shape[1]
+        assert emb_dim == dim, (emb_dim, dim)
+    else:
+        # zeros of the corpus dim so lane shapes stay consistent
+        q_emb = jnp.zeros((batch, chunk_arrays[0].shape[1]), jnp.float32)
+    chunk_q_lex = _densify(q["cb"], q["cv"], chunk_arrays[1].shape[1])
+    artifact_q_lex = _densify(q["ab"], q["av"], artifact_arrays[1].shape[1])
+    chunks_out = _lanes_one_corpus(
+        *chunk_arrays, q_emb, chunk_q_lex, q["tech"],
+        q["allowed"], q["dmin"], q["dmax"],
+        k_dense=chunk_ks[0], k_lex=chunk_ks[1], k_tech=chunk_ks[2],
+        dense_mode=chunk_mode, recall_target=recall_target,
+        dense_enabled=dense_enabled,
+    )
+    artifacts_out = _lanes_one_corpus(
+        *artifact_arrays, q_emb, artifact_q_lex, q["tech"],
+        q["allowed"], q["dmin"], q["dmax"],
+        k_dense=artifact_ks[0], k_lex=artifact_ks[1], k_tech=artifact_ks[2],
+        dense_mode=artifact_mode, recall_target=recall_target,
+        dense_enabled=dense_enabled,
+    )
+    return chunks_out, artifacts_out

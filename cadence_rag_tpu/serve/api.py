@@ -257,6 +257,16 @@ def get_call_endpoint(req: Request):
     return 200, get_call(call_id)
 
 
+def delete_call_endpoint(req: Request):
+    try:
+        call_id = str(uuid.UUID(req.path_params["call_id"]))
+    except ValueError as exc:
+        raise ApiError(422, "invalid call id") from exc
+    from ..ingest.ingest import delete_call
+
+    return 200, delete_call(call_id)
+
+
 def get_chunk_endpoint(req: Request):
     try:
         chunk_id = int(req.path_params["chunk_id"])
@@ -378,6 +388,7 @@ def build_router() -> Router:
     router.add("GET", "/ingest/jobs/{ingest_job_id}", get_job_endpoint)
     router.add("GET", "/calls", list_calls_endpoint)
     router.add("GET", "/calls/{call_id}", get_call_endpoint)
+    router.add("DELETE", "/calls/{call_id}", delete_call_endpoint)
     router.add("GET", "/chunks/{chunk_id}", get_chunk_endpoint)
     router.add("POST", "/expand", expand_endpoint)
     router.add("POST", "/retrieve", retrieve_endpoint)

@@ -60,3 +60,6 @@ class TestClient:
 
     def post(self, path: str, **kw) -> Response:
         return self.request("POST", path, **kw)
+
+    def delete(self, path: str, **kw) -> Response:
+        return self.request("DELETE", path, **kw)
