@@ -94,7 +94,8 @@ def bench_device(index, batch, iters, dense_mode):
         rng.integers(0, index.chunks.lex_dim, (batch, F)).astype(np.uint16),
         (rng.standard_normal((batch, F)) * 0.05).astype(np.float16),
     )
-    q_tech = rng.integers(1, 5000, size=(batch, 32)).astype(np.int32)
+    tech_q = int(settings.tech_query_slots)
+    q_tech = rng.integers(1, 5000, size=(batch, tech_q)).astype(np.int32)
     packed = pack_queries(
         q_emb, sparse, sparse, q_tech,
         np.ones((batch, N_CALLS), dtype=bool),
@@ -112,7 +113,7 @@ def bench_device(index, batch, iters, dense_mode):
             index.chunks.device_arrays(),
             index.artifacts.device_arrays(),
             d_packed,
-            batch=batch, emb_dim=dim, q_feats=F, tech_q=32,
+            batch=batch, emb_dim=dim, q_feats=F, tech_q=tech_q,
             n_calls=N_CALLS,
             chunk_ks=CHUNK_KS, artifact_ks=ARTIFACT_KS,
             chunk_mode=dense_mode, artifact_mode=dense_mode,

@@ -86,6 +86,7 @@ class Settings:
     lexical_dim: int = 4096                  # hashed BM25 signature buckets
     lexical_dtype: str = "int8"
     tech_hash_slots: int = 16                # token-hash slots per document
+    tech_query_slots: int = 8                # query-side token-hash width
     query_lex_features: int = 256            # sparse query-transfer width
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.

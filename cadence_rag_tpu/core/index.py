@@ -797,18 +797,17 @@ class CorpusIndex:
     def postprocess_lanes(
         self, out: Dict[str, Tuple[jax.Array, jax.Array]], batch: int
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
-        """Strip padding/non-matches and map device positions -> doc ids."""
+        """Strip padding/non-matches and map device positions -> doc ids
+        (vectorized per lane; only the ragged row split stays per-row)."""
         result: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for lane, (scores, pos) in out.items():
             scores = np.asarray(scores)
             pos = np.asarray(pos)
-            ids_rows: List[np.ndarray] = []
-            score_rows: List[np.ndarray] = []
-            for b in range(batch):
-                keep = np.isfinite(scores[b])
-                keep &= (pos[b] >= 0) & (pos[b] < self.count)
-                ids_rows.append(self.h_ids[pos[b][keep]])
-                score_rows.append(scores[b][keep].astype(np.float32))
+            keep = np.isfinite(scores) & (pos >= 0) & (pos < self.count)
+            ids_all = self.h_ids[np.where(keep, pos, 0)]
+            scores_f32 = scores.astype(np.float32, copy=False)
+            ids_rows = [ids_all[b][keep[b]] for b in range(batch)]
+            score_rows = [scores_f32[b][keep[b]] for b in range(batch)]
             result[lane] = (ids_rows, score_rows)  # type: ignore[assignment]
         return result
 

@@ -69,6 +69,9 @@ def run_gate(
     d_model: int = 128,
     n_layers: int = 2,
     lr: float = 3e-4,
+    vocab_buckets: int = 8192,
+    max_len: int = 48,
+    entity_swap_p: float = 1.0,
     min_margin: float = 0.10,
     min_mrr: float = 0.50,
     keep_store: bool = False,
@@ -141,7 +144,8 @@ def run_gate(
         final_loss = train(
             pairs, negatives, out_path=params_path, steps=steps,
             batch=batch, lr=lr, d_model=d_model, n_layers=n_layers,
-            vocab_buckets=8192, max_len=48, seed=seed,
+            vocab_buckets=vocab_buckets, max_len=max_len, seed=seed,
+            entity_swap_p=entity_swap_p,
         )
 
         # --- dense-only eval over ALL transcript chunks ------------------
@@ -226,6 +230,8 @@ def main() -> None:
     parser.add_argument("--d-model", type=int, default=128)
     parser.add_argument("--n-layers", type=int, default=2)
     parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--vocab-buckets", type=int, default=8192)
+    parser.add_argument("--max-len", type=int, default=48)
     parser.add_argument("--min-margin", type=float, default=0.10)
     parser.add_argument("--min-mrr", type=float, default=0.50)
     parser.add_argument("--keep-store", action="store_true")
@@ -234,7 +240,9 @@ def main() -> None:
     configure_logging(settings.log_level)
     outcome = run_gate(
         steps=args.steps, batch=args.batch, d_model=args.d_model,
-        n_layers=args.n_layers, lr=args.lr, min_margin=args.min_margin,
+        n_layers=args.n_layers, lr=args.lr,
+        vocab_buckets=args.vocab_buckets, max_len=args.max_len,
+        min_margin=args.min_margin,
         min_mrr=args.min_mrr, keep_store=args.keep_store, seed=args.seed,
     )
     print(json.dumps({k: v for k, v in outcome.items() if k != "workdir"},

@@ -37,6 +37,8 @@ def run_gate(
     min_recall20: float = DEFAULT_THRESHOLDS["min_recall20"],
     min_ndcg10: float = DEFAULT_THRESHOLDS["min_ndcg10"],
     store_dir: Optional[str] = None,
+    provider: str = "stub",
+    embedder_params_path: Optional[str] = None,
 ) -> Dict:
     from ..core.index import reset_index
     from ..store.db import reset_store
@@ -46,12 +48,17 @@ def run_gate(
     saved = {
         key: getattr(settings, key)
         for key in ("store_path", "embeddings_provider", "embeddings_base_url",
-                    "index_initial_capacity")
+                    "index_initial_capacity", "embedder_params_path")
     }
     settings.store_path = str(workdir / "gate.db")
-    settings.embeddings_provider = "stub"
+    settings.embeddings_provider = provider
     settings.embeddings_base_url = ""
     settings.index_initial_capacity = 256
+    if embedder_params_path is not None:
+        settings.embedder_params_path = embedder_params_path
+        from ..models.embedder import NeuralEmbeddingProvider
+
+        NeuralEmbeddingProvider._instance = None  # rebind to these weights
     reset_store()
     reset_index()
     try:
@@ -90,6 +97,10 @@ def run_gate(
     finally:
         for key, value in saved.items():
             setattr(settings, key, value)
+        if embedder_params_path is not None:
+            from ..models.embedder import NeuralEmbeddingProvider
+
+            NeuralEmbeddingProvider._instance = None
         reset_store()
         reset_index()
         if not keep_store:
@@ -105,6 +116,10 @@ def main() -> None:
                         default=DEFAULT_THRESHOLDS["min_recall20"])
     parser.add_argument("--min-ndcg10", type=float,
                         default=DEFAULT_THRESHOLDS["min_ndcg10"])
+    parser.add_argument("--provider", default="stub",
+                        choices=["stub", "neural", "http"])
+    parser.add_argument("--embedder-params", default=None,
+                        help="weights for --provider neural")
     args = parser.parse_args()
     configure_logging(settings.log_level)
     outcome = run_gate(
@@ -112,6 +127,8 @@ def main() -> None:
         min_mrr=args.min_mrr,
         min_recall20=args.min_recall20,
         min_ndcg10=args.min_ndcg10,
+        provider=args.provider,
+        embedder_params_path=args.embedder_params,
     )
     print(json.dumps(outcome["metrics"], indent=2))
     if outcome["failures"]:

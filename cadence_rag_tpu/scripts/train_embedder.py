@@ -160,28 +160,34 @@ def identifier_pool(pairs: Sequence[Tuple[str, str]]) -> List[str]:
 
 
 def swap_identifiers(
-    anchor: str, positive: str, pool: Sequence[str], rng
-) -> Tuple[str, str]:
-    """Consistently rename identifiers across an (anchor, positive) pair.
+    anchor: str, positive: str, pool: Sequence[str], rng,
+    negative: Optional[str] = None,
+) -> Tuple[str, str, Optional[str]]:
+    """Consistently rename identifiers across an (anchor, positive[,
+    negative]) example.
 
     A retrieval pair's relationship is invariant to renaming the entities
     it mentions; training on renamed copies forces the model to learn the
     COMPOSITION (entity token + phrasing) instead of memorizing specific
     (entity, phrasing) combinations — the failure mode observed on
-    held-out combos without this augmentation."""
+    held-out combos without this augmentation. The hard negative gets the
+    SAME mapping: a lexical near-miss usually shares the entity, and
+    leaving it unrenamed would turn it into an easy negative."""
     if not pool:
-        return anchor, positive
+        return anchor, positive, negative
     idents = [t for t in _IDENT_RE.findall(anchor) if t in positive]
     if not idents:
-        return anchor, positive
-    out_a, out_p = anchor, positive
+        return anchor, positive, negative
+    out_a, out_p, out_n = anchor, positive, negative
     for ident in set(idents):
         repl = pool[int(rng.integers(0, len(pool)))]
         if repl == ident:
             continue
         out_a = out_a.replace(ident, repl)
         out_p = out_p.replace(ident, repl)
-    return out_a, out_p
+        if out_n is not None:
+            out_n = out_n.replace(ident, repl)
+    return out_a, out_p, out_n
 
 
 def train(
@@ -242,23 +248,29 @@ def train(
     for step in range(steps):
         idx = rng.choice(len(pairs), size=batch,
                          replace=len(pairs) < batch)
-        batch_pairs = []
+        batch_examples = []
         for i in idx:
             anchor, positive = pairs[i]
+            negative = negatives[i] if use_negs else None
+            if negative is None and use_negs:
+                # rare (mining coverage ~98%): fall back to the positive,
+                # which only dampens that example's gradient slightly
+                negative = positive
             if pool and rng.random() < entity_swap_p:
-                anchor, positive = swap_identifiers(
-                    anchor, positive, pool, rng
+                anchor, positive, negative = swap_identifiers(
+                    anchor, positive, pool, rng, negative
                 )
-            batch_pairs.append((anchor, positive))
+            batch_examples.append((anchor, positive, negative))
         anchors = jnp.asarray(
-            batch_tokenize([a for a, _ in batch_pairs], cfg)
+            batch_tokenize([a for a, _, _ in batch_examples], cfg)
         )
         positives = jnp.asarray(
-            batch_tokenize([p for _, p in batch_pairs], cfg)
+            batch_tokenize([p for _, p, _ in batch_examples], cfg)
         )
         if use_negs:
-            neg_texts = [negatives[i] or pairs[i][1] for i in idx]
-            negs = jnp.asarray(batch_tokenize(neg_texts, cfg))
+            negs = jnp.asarray(batch_tokenize(
+                [n for _, _, n in batch_examples], cfg
+            ))
             params, opt_state, loss = step_fn(
                 params, opt_state, anchors, positives, negs
             )
@@ -269,7 +281,7 @@ def train(
         if step % 50 == 0:
             logger.info("train_embedder.step step=%s loss=%.4f",
                         step, float(loss))
-    save_params(out_path, params, cfg)
+    save_params(out_path, params, cfg, init_seed=seed)
     logger.info(
         "train_embedder.done steps=%s final_loss=%.4f out=%s",
         steps, float(loss), out_path,
