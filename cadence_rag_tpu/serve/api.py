@@ -201,6 +201,33 @@ def ingest_transcript_endpoint(req: Request):
     }
 
 
+def ingest_transcript_batch_endpoint(req: Request):
+    """Batch ingest: a list of transcript requests in one call. The device
+    index already inserts in slabs; this gives the HTTP surface the same
+    batching (TPU-native addition — the reference ingests one transcript
+    per request, app/main.py:92)."""
+    body = req.body
+    if not isinstance(body, list) or not body:
+        raise ApiError(422, "expected a non-empty JSON array of "
+                            "transcript ingest requests")
+    payloads = [TranscriptIngestRequest.model_validate(item) for item in body]
+    for payload in payloads:
+        if payload.transcript.format != "json_turns":
+            raise ApiError(400, "unsupported transcript format")
+    results = []
+    for payload in payloads:
+        options = payload.options or ChunkingOptions()
+        call_id, utterances_ingested, chunks_created = ingest_transcript(
+            payload.call_ref, payload.transcript.content, options
+        )
+        results.append({
+            "call_id": call_id,
+            "utterances_ingested": utterances_ingested,
+            "chunks_created": chunks_created,
+        })
+    return 200, {"items": results}
+
+
 def ingest_call_endpoint(req: Request):
     payload = CallIngestRequest.model_validate(req.body)
     call_id, created = ingest_call(payload.call_ref)
@@ -382,6 +409,8 @@ def build_router() -> Router:
     router.add("GET", "/health", health)
     router.add("GET", "/diagnostics", diagnostics)
     router.add("POST", "/ingest/transcript", ingest_transcript_endpoint)
+    router.add("POST", "/ingest/transcript/batch",
+               ingest_transcript_batch_endpoint)
     router.add("POST", "/ingest/call", ingest_call_endpoint)
     router.add("POST", "/ingest/analysis", ingest_analysis_endpoint)
     router.add("GET", "/ingest/jobs", list_jobs_endpoint)

@@ -310,3 +310,31 @@ class TestDistributedStartupFlag:
 
         monkeypatch.setattr(jax.distributed, "initialize", boom)
         startup()  # dist_coordinator defaults to ""
+
+
+class TestBatchIngest:
+    def test_transcript_batch(self, client):
+        body = [
+            _ingest_call_payload(
+                [f"batch call {i} about the object store"],
+                external_id=f"bat-{i}",
+            )
+            for i in range(3)
+        ]
+        resp = client.post("/ingest/transcript/batch", json=body)
+        assert resp.status_code == 200
+        items = resp.json()["items"]
+        assert len(items) == 3
+        assert all(it["chunks_created"] >= 1 for it in items)
+        # all three retrievable
+        resp = client.post("/retrieve", json={
+            "query": "batch object store", "return_style": "ids_only"})
+        assert len(resp.json()["retrieved_ids"]) >= 3
+
+    def test_batch_validation(self, client):
+        assert client.post(
+            "/ingest/transcript/batch", json={"not": "a list"}
+        ).status_code == 422
+        assert client.post(
+            "/ingest/transcript/batch", json=[]
+        ).status_code == 422
