@@ -9,10 +9,17 @@ materializes (B, N) scores in HBM. Same candidate scheme as
 ops/pallas_topk.py (top-1 per block_n/128-doc group, exact top-k over
 candidates on the host side of the kernel).
 
-Validated in interpret mode (tests/kernels/test_pallas_fused.py); the
-tunneled chip cannot AOT-compile Mosaic kernels (NOTES_DEV.md), so the
-production default remains the XLA path until run on a directly-attached
-TPU.
+MEASURED ON-CHIP (2026-08-16, v5e, 1M docs x (1024-d bf16 + 4096-d int8),
+batch 64, after the Mosaic remote-compile blocker cleared): this kernel
+compiles and runs at **15.4 ms** with dense recall@50 = 1.0 vs exact —
+but the equivalent XLA program (ops/topk.py + ops/lexical.py under one
+jit) runs the same two lanes in **12.0 ms**. Both are within ~20% of the
+6.4 GB HBM floor; XLA's scheduler overlaps the two matmuls' memory
+streams better than this kernel's grid. The production path therefore
+remains XLA (`use_pallas_fused` off by default); this kernel stays as a
+validated reference point and the starting place if the lane set ever
+changes enough to beat the compiler. block_n=1024 is the only size that
+fits VMEM (2048+ fails Mosaic compile).
 """
 
 from __future__ import annotations
@@ -36,15 +43,24 @@ def _kernel(q_emb_ref, q_lex_ref, emb_ref, lex_ref, mask_ref,
     mask = mask_ref[:]
 
     def group_reduce(scores):
+        # Top-1 per lane over block_n/LANE stride-LANE tiles, using ONLY
+        # 2-D ops (Mosaic's layout inference rejects the (B, LANE, width)
+        # reshape): an unrolled running max across contiguous LANE-wide
+        # tiles. Group g = {w*LANE + g : w}, an arbitrary-but-fixed
+        # partition — equivalent recall to any other 1/width grouping.
         batch = scores.shape[0]
         width = block_n // LANE
-        tiles = scores.reshape(batch, LANE, width)
-        winner_val = jnp.max(tiles, axis=-1)
-        winner_off = jnp.argmax(tiles, axis=-1).astype(jnp.int32)
+        winner_val = scores[:, :LANE]
+        winner_w = jnp.zeros((batch, LANE), jnp.int32)
+        for w in range(1, width):
+            tile = scores[:, w * LANE:(w + 1) * LANE]
+            better = tile > winner_val
+            winner_val = jnp.where(better, tile, winner_val)
+            winner_w = jnp.where(better, w, winner_w)
         base = jax.lax.broadcasted_iota(
             jnp.int32, (batch, LANE), dimension=1
-        ) * width
-        return winner_val, block_id * block_n + base + winner_off
+        )
+        return winner_val, block_id * block_n + winner_w * LANE + base
 
     dense = jax.lax.dot_general(
         q_emb_ref[:], emb_ref[:],
