@@ -66,9 +66,10 @@ class TestDistillation:
 
     def test_neural_rerank_with_tuned_weights_serves(self, corpus, tmp_path,
                                                      monkeypatch):
-        """rerank_provider=neural with distilled weights: the full engine
-        path works and the pack is non-empty (order-only rerank keeps the
-        RRF ladder, so budgets/interleave semantics hold)."""
+        """rerank_provider=neural (banded hybrid) with distilled weights:
+        the full engine path works and the pack is non-empty (order-only
+        rerank keeps the RRF ladder, so budgets/interleave semantics
+        hold)."""
         triples = build_triples(40, seed=1)
         out = str(tmp_path / "rr.npz")
         train(
@@ -79,14 +80,64 @@ class TestDistillation:
         from cadence_rag_tpu.models.reranker import NeuralReranker
 
         monkeypatch.setattr(corpus, "rerank_enabled", True)
-        monkeypatch.setattr(corpus, "rerank_provider", "neural")
         monkeypatch.setattr(corpus, "reranker_params_path", out)
-        NeuralReranker.reset()
         try:
-            resp = retrieve_evidence(
-                RetrieveRequest(query="ECONNRESET gateway upgrade")
+            for provider in ("neural", "neural_raw"):
+                monkeypatch.setattr(corpus, "rerank_provider", provider)
+                NeuralReranker.reset()
+                resp = retrieve_evidence(
+                    RetrieveRequest(query="ECONNRESET gateway upgrade")
+                )
+                assert resp["quotes"], provider
+                assert resp["notes"]["retrieval"]["reranked_from"] is not None
+        finally:
+            NeuralReranker.reset()
+
+    def test_hybrid_band_preserves_teacher_order(self, corpus, tmp_path,
+                                                 monkeypatch):
+        """The banded hybrid can only reorder WITHIN a teacher band: any
+        pair the teacher separates by more than TEACHER_BAND keeps its
+        relative order regardless of what the neural model says."""
+        import numpy as np
+
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.engine.rerank import (
+            TEACHER_BAND,
+            _lexical_scores,
+            rerank,
+        )
+        from cadence_rag_tpu.models.reranker import NeuralReranker
+        from cadence_rag_tpu.store.db import get_store
+
+        with get_store().read() as conn:
+            rows = conn.execute(
+                "SELECT chunk_id FROM chunks LIMIT 10"
+            ).fetchall()
+        doc_ids = [int(r["chunk_id"]) for r in rows]
+        index = get_index()
+        query = "ECONNRESET storm gateway upgrade"
+        teacher = _lexical_scores(
+            query, "chunks", "chunk_id", "text", doc_ids,
+            index.chunks.doc_freq, index.chunks.count,
+        )
+        monkeypatch.setattr(corpus, "rerank_enabled", True)
+        monkeypatch.setattr(corpus, "rerank_provider", "neural")
+        monkeypatch.setattr(corpus, "reranker_params_path", "")
+        NeuralReranker.reset()  # random weights: adversarial tie-breaker
+        try:
+            ranked = [(d, {"bm25"}, 1.0 / (60 + i))
+                      for i, d in enumerate(doc_ids)]
+            out = rerank(
+                query, ranked, "chunks",
+                index.chunks.doc_freq, index.chunks.count,
+                topk=len(doc_ids), provider="neural",
             )
-            assert resp["quotes"]
-            assert resp["notes"]["retrieval"]["reranked_from"] is not None
+            order = [d for d, _, _ in out]
+            for i, a in enumerate(order):
+                for b in order[i + 1:]:
+                    # b ranked below a => teacher must not prefer b by
+                    # more than one band
+                    assert teacher.get(b, 0) - teacher.get(a, 0) \
+                        < 2 * TEACHER_BAND, (a, b)
         finally:
             NeuralReranker.reset()
