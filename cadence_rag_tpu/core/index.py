@@ -795,16 +795,25 @@ class CorpusIndex:
         return self.postprocess_lanes(jax.device_get(out), batch)
 
     def postprocess_lanes(
-        self, out: Dict[str, Tuple[jax.Array, jax.Array]], batch: int
+        self, out: Dict[str, Tuple[jax.Array, jax.Array]], batch: int,
+        h_ids: Optional[np.ndarray] = None, count: Optional[int] = None,
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
         """Strip padding/non-matches and map device positions -> doc ids
-        (vectorized per lane; only the ragged row split stays per-row)."""
+        (vectorized per lane; only the ragged row split stays per-row).
+        Callers running outside the corpus lock pass the (h_ids, count)
+        snapshot captured at dispatch time — compaction REPLACES h_ids, so
+        the snapshot stays position-consistent with the dispatched
+        arrays."""
+        if h_ids is None:
+            h_ids = self.h_ids
+        if count is None:
+            count = self.count
         result: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for lane, (scores, pos) in out.items():
             scores = np.asarray(scores)
             pos = np.asarray(pos)
-            keep = np.isfinite(scores) & (pos >= 0) & (pos < self.count)
-            ids_all = self.h_ids[np.where(keep, pos, 0)]
+            keep = np.isfinite(scores) & (pos >= 0) & (pos < count)
+            ids_all = h_ids[np.where(keep, pos, 0)]
             scores_f32 = scores.astype(np.float32, copy=False)
             ids_rows = [ids_all[b][keep[b]] for b in range(batch)]
             score_rows = [scores_f32[b][keep[b]] for b in range(batch)]
@@ -1033,6 +1042,12 @@ class DeviceIndexManager:
         # and through the tunneled link it costs ~25-35 ms — concurrent
         # batches overlap their uploads with the current batch's compute
         d_packed = jnp.asarray(packed)
+        # Locks are held only from CAPTURING the array handles to ENQUEUE:
+        # the donated-insert hazard is an insert deleting a handle between
+        # capture and dispatch. Once the program is enqueued the runtime
+        # orders a later donation after the query's reads, so the blocking
+        # device_get happens OUTSIDE the locks — inserts and the next
+        # batch's dispatch overlap with this batch's device time.
         with self.chunks.lock, self.artifacts.lock:
             ivf_chunks = (
                 dense_enabled and chunk_mode == "ivf"
@@ -1068,13 +1083,20 @@ class DeviceIndexManager:
             if ivf_chunks:
                 chunks_raw = dict(chunks_raw)
                 chunks_raw["dense"] = ivf_dense
-            chunks_np, artifacts_np = jax.device_get(
-                (chunks_raw, artifacts_raw)
-            )
-            return (
-                self.chunks.postprocess_lanes(chunks_np, batch),
-                self.artifacts.postprocess_lanes(artifacts_np, batch),
-            )
+            # snapshot the host-mirror state the postprocess needs while
+            # still under the lock (a concurrent compact() REPLACES h_ids
+            # and renumbers positions)
+            chunk_snap = (self.chunks.h_ids, self.chunks.count)
+            artifact_snap = (self.artifacts.h_ids, self.artifacts.count)
+        chunks_np, artifacts_np = jax.device_get(
+            (chunks_raw, artifacts_raw)
+        )
+        return (
+            self.chunks.postprocess_lanes(chunks_np, batch, *chunk_snap),
+            self.artifacts.postprocess_lanes(
+                artifacts_np, batch, *artifact_snap
+            ),
+        )
 
     def corpus(self, name: str) -> CorpusIndex:
         if name == "chunks":

@@ -79,3 +79,77 @@ class TestConcurrentIngestRetrieve:
             RetrieveRequest(query="SSD tiering", return_style="ids_only")
         )
         assert resp["retrieved_ids"]
+
+    def test_readers_with_deletes_and_compaction(self, tmp_store):
+        """Queries overlap deletes + an explicit compaction (positions
+        remapped mid-flight): the (h_ids, count) snapshot taken under the
+        dispatch lock must keep id mapping consistent."""
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.ingest.ingest import delete_call
+
+        call_ids = []
+        for i in range(16):
+            cid, _, _ = ingest_transcript(
+                CallRef(external_id=f"dc-{i}"),
+                [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                             text=f"delete-race {i} about SSD tiering "
+                                  f"ECONNRESET v2.{i % 9}.1")],
+                OPTS,
+            )
+            call_ids.append(cid)
+        run_embedding_backfill(batch_size=16)
+
+        errors = []
+        stop = threading.Event()
+
+        def reader(worker_id):
+            try:
+                while not stop.is_set():
+                    resp = retrieve_evidence(
+                        RetrieveRequest(query="SSD tiering ECONNRESET",
+                                        return_style="ids_only")
+                    )
+                    for rid in resp["retrieved_ids"]:
+                        kind, _, num = rid.partition(":")
+                        assert kind in ("chunk", "artifact_chunk")
+                        int(num)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(("reader", worker_id, repr(exc)))
+
+        def deleter():
+            try:
+                index = get_index()
+                for cid in call_ids[:8]:
+                    delete_call(cid)
+                index.chunks.compact()
+                index.artifacts.compact()
+            except Exception as exc:  # noqa: BLE001
+                errors.append(("deleter", repr(exc)))
+
+        readers = [threading.Thread(target=reader, args=(r,)) for r in range(2)]
+        d = threading.Thread(target=deleter)
+        for t in readers:
+            t.start()
+        d.start()
+        d.join(timeout=120)
+        stop.set()
+        for t in readers:
+            t.join(timeout=30)
+        assert not errors, errors
+        resp = retrieve_evidence(
+            RetrieveRequest(query="SSD tiering ECONNRESET",
+                            return_style="ids_only")
+        )
+        # only surviving calls' chunks remain
+        assert resp["retrieved_ids"]
+        from cadence_rag_tpu.store.db import get_store
+
+        with get_store().read() as conn:
+            live = {
+                f"chunk:{r['chunk_id']}" for r in conn.execute(
+                    "SELECT chunk_id FROM chunks"
+                ).fetchall()
+            }
+        for rid in resp["retrieved_ids"]:
+            if rid.startswith("chunk:"):
+                assert rid in live, rid
