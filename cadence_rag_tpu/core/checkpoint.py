@@ -8,18 +8,25 @@ start without replaying the ingest log. SQLite remains the source of truth
 is the fast path for large corpora.
 
 Format v2 (one directory):
-- ``meta.json`` — written LAST; its presence marks the checkpoint valid.
-- per corpus: row-range shard files ``{name}.{i:04d}.npz`` (embeddings in
-  the index storage dtype — bf16 stored as its uint16 bit pattern, halving
-  checkpoint size vs the v1 f32 format — plus lex/tech/ids/call/started/
-  has_emb slices) and ``{name}.stats.npz`` (doc_freq, dl_sum).
-  Row-range shards cap per-file size (~256 MB of embeddings), let restore
-  stream instead of materializing one giant buffer, and give each host of
-  a multi-host deployment a byte-range it can fetch independently.
+- ``meta.json`` — replaced ATOMICALLY (os.replace) as the LAST step; the
+  existing checkpoint stays valid until the instant the new one is.
+- per corpus: GENERATION-stamped row-range shard files
+  ``{name}.g{G:04d}.{i:04d}.npz`` (embeddings in the index storage dtype —
+  bf16 stored as its uint16 bit pattern, halving checkpoint size vs the v1
+  f32 format — plus lex/tech/ids/call/started/has_emb slices) and
+  ``{name}.g{G:04d}.stats.npz`` (doc_freq, dl_sum). A save writes the next
+  generation's files alongside the old ones and flips meta last, so a
+  crash mid-save (including mid-background-write) never destroys the
+  previous complete checkpoint; superseded generations are pruned after
+  the flip. Row-range shards cap per-file size (~256 MB of embeddings),
+  let restore stream instead of materializing one giant buffer, and give
+  each host of a multi-host deployment a byte-range it can fetch
+  independently.
 
 ``save_index(..., block=False)`` snapshots under the corpus lock (a device
 -> host copy) and then writes files on a background thread — serving never
-blocks on disk I/O. v1 checkpoints restore transparently.
+blocks on disk I/O. v1 and generation-less v2 checkpoints restore
+transparently.
 
 The IVF dense index is derived state and is NOT checkpointed; when
 DENSE_IVF_ENABLED is on, serve startup rebuilds it from the restored
@@ -70,11 +77,18 @@ def save_index(
     index = index or get_index()
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
-    stale_meta = out / "meta.json"
-    if stale_meta.exists():  # a half-written update must not look valid
-        stale_meta.unlink()
+    generation = 0
+    meta_path = out / "meta.json"
+    if meta_path.exists():
+        try:
+            generation = int(
+                json.loads(meta_path.read_text()).get("generation", 0)
+            ) + 1
+        except (ValueError, OSError):
+            generation = 1
     meta: Dict = {
         "format_version": FORMAT_VERSION,
+        "generation": generation,
         "embeddings_dim": int(settings.embeddings_dim),
         "lexical_dim": int(settings.lexical_dim),
         "tech_hash_slots": int(settings.tech_hash_slots),
@@ -94,9 +108,12 @@ def save_index(
         snapshots[corpus.name] = (arrays, n, rows_per_shard, n_shards)
 
     def write() -> None:
+        import os
+
+        gen = f"g{generation:04d}"
         for name, (arrays, n, rows_per_shard, n_shards) in snapshots.items():
             np.savez(
-                out / f"{name}.stats.npz",
+                out / f"{name}.{gen}.stats.npz",
                 doc_freq=arrays["doc_freq"], dl_sum=arrays["dl_sum"],
             )
             for i in range(n_shards):
@@ -104,8 +121,18 @@ def save_index(
                 hi = min(n, lo + rows_per_shard)
                 shard = {k: arrays[k][lo:hi] for k in ROW_KEYS}
                 shard.update(_encode_emb(shard.pop("emb")))
-                np.savez(out / f"{name}.{i:04d}.npz", **shard)
-        (out / "meta.json").write_text(json.dumps(meta, indent=2))
+                np.savez(out / f"{name}.{gen}.{i:04d}.npz", **shard)
+        tmp = out / f".meta.{generation}.tmp"
+        tmp.write_text(json.dumps(meta, indent=2))
+        os.replace(tmp, out / "meta.json")  # the atomic validity flip
+        # prune superseded generations (and legacy generation-less files)
+        keep = {f".{gen}."}
+        for stale in out.glob("*.npz"):
+            if not any(marker in stale.name for marker in keep):
+                try:
+                    stale.unlink()
+                except OSError:
+                    pass
 
     if block:
         write()
@@ -117,17 +144,20 @@ def save_index(
     return result
 
 
-def _load_corpus_v2(src: Path, name: str, n_shards: int) -> Dict[str, np.ndarray]:
+def _load_corpus_v2(
+    src: Path, name: str, n_shards: int, generation: Optional[int]
+) -> Dict[str, np.ndarray]:
+    prefix = f"{name}.g{generation:04d}" if generation is not None else name
     parts: Dict[str, List[np.ndarray]] = {k: [] for k in ROW_KEYS}
     for i in range(n_shards):
-        with np.load(src / f"{name}.{i:04d}.npz", allow_pickle=False) as data:
+        with np.load(src / f"{prefix}.{i:04d}.npz", allow_pickle=False) as data:
             kind = str(data["_kind"][0])
             for k in ROW_KEYS:
                 raw = data["emb" if k == "emb" else k]
                 parts[k].append(_decode_emb(raw, kind) if k == "emb" else raw)
     arrays = {k: np.concatenate(v) if len(v) > 1 else v[0]
               for k, v in parts.items()}
-    with np.load(src / f"{name}.stats.npz") as stats:
+    with np.load(src / f"{prefix}.stats.npz") as stats:
         arrays["doc_freq"] = stats["doc_freq"]
         arrays["dl_sum"] = stats["dl_sum"]
     return arrays
@@ -152,13 +182,15 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
                 f"checkpoint {key}={meta[key]} does not match settings "
                 f"{key}={expected}"
             )
+    generation = meta.get("generation")  # None = generation-less v2
     for corpus in (index.chunks, index.artifacts):
         if version == 1:
             with np.load(src / f"{corpus.name}.npz") as data:
                 corpus.load_state({k: data[k] for k in data.files})
         else:
             corpus.load_state(_load_corpus_v2(
-                src, corpus.name, int(meta["shards"][corpus.name])
+                src, corpus.name, int(meta["shards"][corpus.name]),
+                int(generation) if generation is not None else None,
             ))
     index.ensure_call_capacity(int(meta["call_capacity"]))
     return meta

@@ -147,6 +147,10 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return p
 
 
+def _clamp_ks(ks: Tuple[int, int, int], cap: int) -> Tuple[int, int, int]:
+    return tuple(min(k, cap) for k in ks)  # type: ignore[return-value]
+
+
 class CorpusIndex:
     """One document class (chunks or artifact_chunks) on device."""
 
@@ -397,7 +401,15 @@ class CorpusIndex:
 
     def _delete_ids_locked(self, doc_ids, lex_sigs, lex_dls) -> int:
         pos_all = self.position_of(doc_ids)
-        keep = pos_all >= 0
+        # drop unknown ids AND duplicates (a doc_id listed twice must not
+        # double-count tombstones/emb_rows for one invalidated row)
+        first_seen: Dict[int, int] = {}
+        for i, p in enumerate(pos_all):
+            if p >= 0 and int(p) not in first_seen:
+                first_seen[int(p)] = i
+        keep = np.zeros(pos_all.shape[0], dtype=bool)
+        keep[list(first_seen.values())] = True
+        pos_all = np.where(keep, pos_all, -1)
         if not keep.any():
             return 0
         pos = pos_all[keep]
@@ -721,8 +733,13 @@ class CorpusIndex:
             self.h_has_emb[:n] = arrays["has_emb"]
         self.doc_freq = arrays["doc_freq"].astype(np.int64)
         self.dl_sum = int(arrays["dl_sum"][0])
+        started_arr = arrays["started"].astype(np.int32)
         self._id_to_pos = {
             int(d): p for p, d in enumerate(arrays["ids"])
+            # tombstoned rows restore as tombstones; their ids must not
+            # resolve (a re-delete would double-count, a backfill would
+            # write into a dead row)
+            if started_arr[p] != INT32_MIN
         }
         self.emb_rows = int(arrays["has_emb"].astype(bool).sum())
         self.tombstones = int(
@@ -909,6 +926,27 @@ class DeviceIndexManager:
                 batch=batch, dense_enabled=dense_enabled,
             )
 
+    def _resolve_chunk_dense(
+        self, chunk_mode, dense_enabled, q_emb, allowed_calls,
+        date_min, date_max, k_dense,
+    ):
+        """Resolve the chunks-corpus dense mode under the lock (shared by
+        the packed hot path and the cold-start fallback so the two can't
+        drift): an invalidated IVF falls back to ann; a live IVF serves
+        the dense lane in its own dispatch and the fused program skips it
+        ("none"). Returns (mode, ivf_dense_result_or_None)."""
+        ivf_ok = (
+            dense_enabled and chunk_mode == "ivf"
+            and self.chunks.ivf is not None  # may have been invalidated
+        )
+        if dense_enabled and chunk_mode == "ivf" and not ivf_ok:
+            return "ann", None
+        if ivf_ok:
+            return "none", self.chunks.ivf_dense_query(
+                q_emb, allowed_calls, date_min, date_max, k_dense
+            )
+        return chunk_mode, None
+
     def _query_both_locked(
         self, q_emb, chunk_q_lex, artifact_q_lex, q_tech, allowed_calls,
         date_min, date_max, *, chunk_ks, artifact_ks, chunk_mode,
@@ -937,26 +975,14 @@ class DeviceIndexManager:
             )
             return chunks_out, artifacts_out
 
-        def clamp(ks, cap):
-            return tuple(min(k, cap) for k in ks)
-
         q_emb_arr = jnp.asarray(
             q_emb if dense_enabled
             else np.zeros((batch, self.chunks.dim), np.float32)
         )
-        ivf_chunks = (
-            dense_enabled and chunk_mode == "ivf"
-            and self.chunks.ivf is not None  # may have been invalidated
+        chunk_mode, ivf_dense = self._resolve_chunk_dense(
+            chunk_mode, dense_enabled, q_emb, allowed_calls, date_min,
+            date_max, chunk_ks[0],
         )
-        if dense_enabled and chunk_mode == "ivf" and not ivf_chunks:
-            chunk_mode = "ann"
-        if ivf_chunks:
-            # the probed-cluster index serves the chunk dense lane in its
-            # own dispatch; the fused program skips that lane ("none")
-            ivf_dense = self.chunks.ivf_dense_query(
-                q_emb, allowed_calls, date_min, date_max, chunk_ks[0]
-            )
-            chunk_mode = "none"
         chunks_raw, artifacts_raw = dual_corpus_retrieve(
             self.chunks.device_arrays(),
             self.artifacts.device_arrays(),
@@ -967,14 +993,14 @@ class DeviceIndexManager:
             jnp.asarray(allowed_calls),
             jnp.asarray(date_min),
             jnp.asarray(date_max),
-            chunk_ks=clamp(chunk_ks, self.chunks.capacity),
-            artifact_ks=clamp(artifact_ks, self.artifacts.capacity),
+            chunk_ks=_clamp_ks(chunk_ks, self.chunks.capacity),
+            artifact_ks=_clamp_ks(artifact_ks, self.artifacts.capacity),
             chunk_mode=chunk_mode,
             artifact_mode=artifact_mode,
             recall_target=float(recall_target),
             dense_enabled=dense_enabled,
         )
-        if ivf_chunks:
+        if ivf_dense is not None:
             chunks_raw = dict(chunks_raw)
             chunks_raw["dense"] = ivf_dense
         # ONE device->host transfer for all lane outputs: each np.asarray on
@@ -1028,11 +1054,13 @@ class DeviceIndexManager:
                 artifact_mode=artifact_mode, recall_target=recall_target,
             )
 
+        # idf uses LIVE counts: delete_ids sheds df mass, so counting
+        # tombstoned rows in n_docs would skew BM25 idf until compaction
         chunk_sparse = sparse_lex_rows(
-            q_lex_feats, self.chunks.doc_freq, self.chunks.count, F
+            q_lex_feats, self.chunks.doc_freq, self.chunks.live_count, F
         )
         artifact_sparse = sparse_lex_rows(
-            q_lex_feats, self.artifacts.doc_freq, self.artifacts.count, F
+            q_lex_feats, self.artifacts.doc_freq, self.artifacts.live_count, F
         )
         packed = pack_queries(
             q_emb, chunk_sparse, artifact_sparse, q_tech, allowed_calls,
@@ -1049,21 +1077,10 @@ class DeviceIndexManager:
         # device_get happens OUTSIDE the locks — inserts and the next
         # batch's dispatch overlap with this batch's device time.
         with self.chunks.lock, self.artifacts.lock:
-            ivf_chunks = (
-                dense_enabled and chunk_mode == "ivf"
-                and self.chunks.ivf is not None
+            chunk_mode, ivf_dense = self._resolve_chunk_dense(
+                chunk_mode, dense_enabled, q_emb, allowed_calls, date_min,
+                date_max, chunk_ks[0],
             )
-            if dense_enabled and chunk_mode == "ivf" and not ivf_chunks:
-                chunk_mode = "ann"
-            if ivf_chunks:
-                ivf_dense = self.chunks.ivf_dense_query(
-                    q_emb, allowed_calls, date_min, date_max, chunk_ks[0]
-                )
-                chunk_mode = "none"
-
-            def clamp(ks, cap):
-                return tuple(min(k, cap) for k in ks)
-
             chunks_raw, artifacts_raw = dual_corpus_retrieve_packed(
                 self.chunks.device_arrays(),
                 self.artifacts.device_arrays(),
@@ -1073,14 +1090,14 @@ class DeviceIndexManager:
                 q_feats=F,
                 tech_q=q_tech.shape[1],
                 n_calls=allowed_calls.shape[1],
-                chunk_ks=clamp(chunk_ks, self.chunks.capacity),
-                artifact_ks=clamp(artifact_ks, self.artifacts.capacity),
+                chunk_ks=_clamp_ks(chunk_ks, self.chunks.capacity),
+                artifact_ks=_clamp_ks(artifact_ks, self.artifacts.capacity),
                 chunk_mode=chunk_mode,
                 artifact_mode=artifact_mode,
                 recall_target=float(recall_target),
                 dense_enabled=dense_enabled,
             )
-            if ivf_chunks:
+            if ivf_dense is not None:
                 chunks_raw = dict(chunks_raw)
                 chunks_raw["dense"] = ivf_dense
             # snapshot the host-mirror state the postprocess needs while
@@ -1111,7 +1128,8 @@ def _dense_query_vector(feats, corpus: CorpusIndex) -> np.ndarray:
 
     buckets, signs, tfs = feats
     return query_vector_from_features(
-        buckets, signs, tfs, corpus.lex_dim, corpus.doc_freq, corpus.count
+        buckets, signs, tfs, corpus.lex_dim, corpus.doc_freq,
+        corpus.live_count,
     )
 
 

@@ -364,7 +364,7 @@ def _assemble(
         reranked_from = min(int(settings.rerank_topk), len(chunk_ranked))
         chunk_ranked = rerank(
             plan.query, chunk_ranked, "chunks",
-            index.chunks.doc_freq, index.chunks.count,
+            index.chunks.doc_freq, index.chunks.live_count,
             topk=reranked_from,
             provider=settings.rerank_provider,
         )

@@ -406,7 +406,7 @@ def delete_call(call_id: str) -> dict:
     index needs one."""
     store = get_store()
     index = get_index()
-    with store.tx() as conn:
+    with store.read() as conn:
         row = conn.execute(
             "SELECT call_seq FROM calls WHERE call_id = ?", (call_id,)
         ).fetchone()
@@ -421,7 +421,31 @@ def delete_call(call_id: str) -> dict:
             "WHERE call_id = ?",
             (call_id,),
         ).fetchall()
-        chunk_ids = [int(r["chunk_id"]) for r in chunk_rows]
+    chunk_ids = [int(r["chunk_id"]) for r in chunk_rows]
+
+    def _sig(raw):
+        if not raw:
+            return None
+        sig = np.frombuffer(raw, dtype=np.int8)
+        return sig if sig.shape[0] == int(settings.lexical_dim) else None
+
+    # Tombstone the DEVICE INDEX FIRST: if the store delete below fails,
+    # the call row survives, so a retry of DELETE still works (tombstoning
+    # twice is harmless after dedupe). The reverse order would commit the
+    # store delete and then — on an index failure — permanently serve
+    # doc_ids whose rows are gone, with the retry 404ing.
+    removed_chunks = index.chunks.delete_ids(
+        chunk_ids,
+        [_sig(r["lex_sig"]) for r in chunk_rows],
+        [int(r["lex_dl"]) for r in chunk_rows],
+    )
+    removed_artifacts = index.artifacts.delete_ids(
+        [int(r["artifact_chunk_id"]) for r in artifact_rows],
+        [_sig(r["lex_sig"]) for r in artifact_rows],
+        [int(r["lex_dl"]) for r in artifact_rows],
+    )
+
+    with store.tx() as conn:
         if chunk_ids:
             placeholders = ",".join("?" * len(chunk_ids))
             conn.execute(
@@ -437,23 +461,6 @@ def delete_call(call_id: str) -> dict:
             "DELETE FROM call_tags WHERE call_seq = ?", (int(row["call_seq"]),)
         )
         conn.execute("DELETE FROM calls WHERE call_id = ?", (call_id,))
-
-    def _sig(raw):
-        if not raw:
-            return None
-        sig = np.frombuffer(raw, dtype=np.int8)
-        return sig if sig.shape[0] == int(settings.lexical_dim) else None
-
-    removed_chunks = index.chunks.delete_ids(
-        chunk_ids,
-        [_sig(r["lex_sig"]) for r in chunk_rows],
-        [int(r["lex_dl"]) for r in chunk_rows],
-    )
-    removed_artifacts = index.artifacts.delete_ids(
-        [int(r["artifact_chunk_id"]) for r in artifact_rows],
-        [_sig(r["lex_sig"]) for r in artifact_rows],
-        [int(r["lex_dl"]) for r in artifact_rows],
-    )
     compacted = index.chunks.maybe_compact() | index.artifacts.maybe_compact()
     logger.info(
         "delete_call.complete call=%s chunks=%s artifacts=%s compacted=%s",

@@ -178,5 +178,7 @@ class NeuralReranker:
         cls._instance = None
 
     def score(self, query: str, docs: Sequence[str]) -> np.ndarray:
+        if not docs:  # candidates may have vanished from the store (race
+            return np.zeros(0, dtype=np.float32)  # with a concurrent delete)
         tokens = np.stack([pair_tokenize(query, d, self.cfg) for d in docs])
         return np.asarray(self._score(self.params, jnp.asarray(tokens)))

@@ -34,8 +34,12 @@ def _lanes_one_corpus(
 ) -> Dict[str, LaneResult]:
     mask = filter_mask(call_idx, started_sec, allowed_calls, date_min, date_max)
     out: Dict[str, LaneResult] = {}
-    out["lex"] = lexical_topk(q_lex, lex_w, mask, k_lex)
-    out["tech"] = tech_topk(tech, started_sec, q_tech, mask, k_tech)
+    # the ef_search->recall_target knob governs every approx lane, not
+    # just dense (ANN_RECALL_TARGET contract in docs/CONFIG.md)
+    out["lex"] = lexical_topk(q_lex, lex_w, mask, k_lex,
+                              recall_target=recall_target)
+    out["tech"] = tech_topk(tech, started_sec, q_tech, mask, k_tech,
+                            recall_target=recall_target)
     if dense_enabled and dense_mode != "none":
         # rows without embeddings are excluded from the dense lane only
         # (reference: `embedding IS NOT NULL`, app/retrieve.py:347)

@@ -37,7 +37,8 @@ def lexical_scores(q_lex: jax.Array, lex_w: jax.Array) -> jax.Array:
 
 
 def lexical_topk(
-    q_lex: jax.Array, lex_w: jax.Array, mask: jax.Array, k: int
+    q_lex: jax.Array, lex_w: jax.Array, mask: jax.Array, k: int,
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     scores = lexical_scores(q_lex, lex_w)
     matched = scores > LEX_MATCH_THRESHOLD
@@ -47,4 +48,4 @@ def lexical_topk(
     # matmul already bounds the pass); the lexical contract is ranking
     # QUALITY (eval-gated), not bit-exact order, and recall 0.95 at the
     # top-50 boundary is noise relative to hash-collision variance.
-    return approx_topk_sorted(masked, k, recall_target=0.95)
+    return approx_topk_sorted(masked, k, recall_target=recall_target)

@@ -42,6 +42,11 @@ def sparse_lex_rows(
     (host side; same math as hashing.query_vector_from_features)."""
     from .hashing import LEX_QUANT_SCALE
 
+    if doc_freq.shape[0] > 65536:
+        raise ValueError(
+            f"lexical_dim {doc_freq.shape[0]} exceeds the uint16 sparse "
+            "transport (max 65536); widen ops/pack.py bucket dtype first"
+        )
     batch = len(feats_list)
     buckets_out = np.zeros((batch, F), dtype=np.uint16)
     values_out = np.zeros((batch, F), dtype=np.float16)

@@ -34,6 +34,7 @@ def tech_topk(
     q_tokens: jax.Array,
     mask: jax.Array,
     k: int,
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (f32 recency keys, positions); non-matches carry -inf.
 
@@ -51,4 +52,4 @@ def tech_topk(
     # so the realized recall is ~1.0.
     from .topk import approx_topk_sorted
 
-    return approx_topk_sorted(keys, k, recall_target=0.95)
+    return approx_topk_sorted(keys, k, recall_target=recall_target)

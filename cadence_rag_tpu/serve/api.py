@@ -214,18 +214,27 @@ def ingest_transcript_batch_endpoint(req: Request):
     for payload in payloads:
         if payload.transcript.format != "json_turns":
             raise ApiError(400, "unsupported transcript format")
+    # NON-atomic, per-item results: items succeed or fail independently
+    # (transcript-hash idempotency makes retrying succeeded items a
+    # no-op), and each failure is reported in place rather than aborting
+    # the rest of the batch with no record of what landed.
     results = []
+    failed = 0
     for payload in payloads:
         options = payload.options or ChunkingOptions()
-        call_id, utterances_ingested, chunks_created = ingest_transcript(
-            payload.call_ref, payload.transcript.content, options
-        )
-        results.append({
-            "call_id": call_id,
-            "utterances_ingested": utterances_ingested,
-            "chunks_created": chunks_created,
-        })
-    return 200, {"items": results}
+        try:
+            call_id, utterances_ingested, chunks_created = ingest_transcript(
+                payload.call_ref, payload.transcript.content, options
+            )
+            results.append({
+                "call_id": call_id,
+                "utterances_ingested": utterances_ingested,
+                "chunks_created": chunks_created,
+            })
+        except ApiError as exc:
+            failed += 1
+            results.append({"error": exc.detail, "status": exc.status})
+    return 200, {"items": results, "failed": failed}
 
 
 def ingest_call_endpoint(req: Request):

@@ -50,6 +50,14 @@ class RetrieveBatcher:
         async with self._lock:
             batch, self._pending = self._pending, []
         await self._dispatch(batch)
+        # Requests that arrived while THIS task was mid-dispatch saw a
+        # not-done flusher and armed nothing — re-arm for them, else they
+        # hang until an unrelated request lands (confirmed by repro).
+        async with self._lock:
+            if self._pending and (self._flusher is None
+                                  or self._flusher.done()
+                                  or self._flusher is asyncio.current_task()):
+                self._flusher = asyncio.create_task(self._delayed_flush())
 
     async def _dispatch(
         self, batch: List[Tuple[RetrieveRequest, asyncio.Future]]

@@ -338,3 +338,18 @@ class TestBatchIngest:
         assert client.post(
             "/ingest/transcript/batch", json=[]
         ).status_code == 422
+
+    def test_batch_partial_failure_reports_per_item(self, client):
+        good = _ingest_call_payload(["partial batch ok item"],
+                                    external_id="pb-ok")
+        # ambiguous: two calls share this external_id -> 409 on item 2
+        client.post("/ingest/transcript", json=_ingest_call_payload(
+            ["a"], external_id=None))
+        bad = _ingest_call_payload(["x"], external_id=None)
+        bad["call_ref"] = {"call_id": "00000000-0000-4000-8000-feedfeedfeed"}
+        resp = client.post("/ingest/transcript/batch", json=[good, bad])
+        assert resp.status_code == 200
+        body = resp.json()
+        assert body["failed"] == 1
+        assert body["items"][0]["chunks_created"] >= 1
+        assert body["items"][1]["status"] == 404  # unknown call_id

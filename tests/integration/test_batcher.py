@@ -52,3 +52,43 @@ class TestBatcher:
 
         responses = asyncio.run(scenario())
         assert len(responses) == 2
+
+
+class TestMidDispatchArrival:
+    def test_request_arriving_mid_dispatch_is_flushed(self, tmp_store,
+                                                      monkeypatch):
+        """A submit landing while the delayed flusher is awaiting the
+        device dispatch must still be dispatched (regression: it used to
+        hang forever because no new flusher was armed)."""
+        import asyncio
+        import time
+
+        import cadence_rag_tpu.serve.batcher as mod
+        from cadence_rag_tpu.schemas import RetrieveRequest
+        from cadence_rag_tpu.serve.batcher import RetrieveBatcher
+
+        calls = []
+
+        def slow_batch(payloads):
+            calls.append(len(payloads))
+            time.sleep(0.3)  # device time; runs in the executor
+            return [{"retrieved_ids": []} for _ in payloads]
+
+        import cadence_rag_tpu.engine.retrieve as eng
+
+        monkeypatch.setattr(eng, "retrieve_evidence_batch", slow_batch)
+
+        async def scenario():
+            batcher = RetrieveBatcher(window_ms=50, max_batch=64)
+            t1 = asyncio.create_task(
+                batcher.submit(RetrieveRequest(query="one"))
+            )
+            # let the flusher fire and enter the slow dispatch
+            await asyncio.sleep(0.15)
+            t2 = asyncio.create_task(
+                batcher.submit(RetrieveRequest(query="two"))
+            )
+            await asyncio.wait_for(asyncio.gather(t1, t2), timeout=2.0)
+
+        asyncio.run(scenario())
+        assert calls == [1, 1], calls

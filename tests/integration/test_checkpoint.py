@@ -78,7 +78,7 @@ class TestCheckpoint:
         save_index(str(tmp_path / "snap"))
         import numpy as _np
 
-        with _np.load(tmp_path / "snap" / "chunks.0000.npz") as data:
+        with _np.load(tmp_path / "snap" / "chunks.g0000.0000.npz") as data:
             assert str(data["_kind"][0]) == "bf16"
             assert data["emb"].dtype == _np.uint16  # 2 bytes/component
 
@@ -105,11 +105,42 @@ class TestCheckpoint:
         meta = save_index(str(tmp_path / "snap"))
         assert meta["shards"]["chunks"] > 1
         shard_files = sorted(
-            p.name for p in (tmp_path / "snap").glob("chunks.[0-9]*.npz")
+            p.name for p in (tmp_path / "snap").glob("chunks.g*.[0-9]*.npz")
         )
         assert len(shard_files) == meta["shards"]["chunks"]
         reset_index()
         restore_index(str(tmp_path / "snap"))
+        assert retrieve_evidence(req)["retrieved_ids"] == before
+
+    def test_generation_flip_survives_crash_mid_save(self, populated,
+                                                     tmp_path):
+        """A save that dies before the meta flip must leave the previous
+        checkpoint fully restorable (old unlink-meta-first behavior
+        destroyed it)."""
+        import json
+
+        req = RetrieveRequest(query="ECONNRESET v2.3.1",
+                              return_style="ids_only")
+        before = retrieve_evidence(req)["retrieved_ids"]
+        snap = tmp_path / "snap"
+        save_index(str(snap))  # generation 0
+        meta0 = json.loads((snap / "meta.json").read_text())
+        assert meta0["generation"] == 0
+
+        # simulate a crash mid-second-save: generation-1 shard files appear
+        # but meta.json was never flipped
+        (snap / "chunks.g0001.0000.npz").write_bytes(b"garbage partial")
+        reset_index()
+        restore_index(str(snap))  # must read the complete g0000 files
+        assert retrieve_evidence(req)["retrieved_ids"] == before
+
+        # a completed second save flips generation and prunes g0000
+        save_index(str(snap))
+        meta1 = json.loads((snap / "meta.json").read_text())
+        assert meta1["generation"] == 1
+        assert not list(snap.glob("*.g0000.*"))
+        reset_index()
+        restore_index(str(snap))
         assert retrieve_evidence(req)["retrieved_ids"] == before
 
     def test_v1_checkpoint_restores(self, populated, tmp_path):
