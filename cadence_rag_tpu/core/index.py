@@ -556,6 +556,14 @@ class CorpusIndex:
         probe = nprobe or int(settings.ivf_nprobe) or max(
             4, int(clusters * 0.08)
         )
+        # cap probed candidates at ~5% of the corpus: beyond that the
+        # per-query row gather moves more HBM bytes than the brute-force
+        # matmul it is replacing (measured at 1M: nprobe=80 of 1000
+        # clusters gathered 16% of rows per query and ran 12x slower
+        # than exact — see NOTES_DEV.md round-2 IVF findings)
+        bucket_cap_est = max(8, int(2.0 * n / clusters))
+        max_probe = max(4, int(0.05 * n / bucket_cap_est))
+        probe = min(probe, max_probe, clusters)
         centroids, assign = kmeans(
             emb_snapshot, jax.random.PRNGKey(seed),
             n_clusters=clusters, iters=10,

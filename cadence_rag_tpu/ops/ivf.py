@@ -130,4 +130,33 @@ def ivf_topk(
             )
         return top_scores, top_pos
 
-    return jax.vmap(one_query)(q_emb, probe, mask)
+    # The per-query gather materializes (group, n_cand, dim); at 1M docs
+    # with nprobe=80 a full batch-64 vmap wants ~20 GB. Process the batch
+    # in groups sized to ~1 GB of gathered rows (vmap whole batch when it
+    # fits). Note the batched-IVF tension this implies: large batches
+    # probe most clusters collectively, so IVF's traffic win is greatest
+    # at small batch / low latency — the planner keeps ann for bulk loads.
+    batch = q_emb.shape[0]
+    bytes_per_query = n_cand * emb.shape[1] * emb.dtype.itemsize
+    group = max(1, min(batch, (1 << 30) // max(bytes_per_query, 1)))
+    if group >= batch:
+        return jax.vmap(one_query)(q_emb, probe, mask)
+    n_groups = -(-batch // group)
+    padded_b = n_groups * group
+
+    def pad_b(arr):
+        if arr.shape[0] == padded_b:
+            return arr
+        reps = jnp.broadcast_to(
+            arr[:1], (padded_b - arr.shape[0],) + arr.shape[1:]
+        )
+        return jnp.concatenate([arr, reps], axis=0)
+
+    gq = pad_b(q_emb).reshape(n_groups, group, -1)
+    gp = pad_b(probe).reshape(n_groups, group, -1)
+    gm = pad_b(mask).reshape(n_groups, group, -1)
+    scores, pos = jax.lax.map(
+        lambda args: jax.vmap(one_query)(*args), (gq, gp, gm)
+    )
+    return (scores.reshape(padded_b, -1)[:batch],
+            pos.reshape(padded_b, -1)[:batch])
