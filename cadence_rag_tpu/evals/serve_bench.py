@@ -40,8 +40,50 @@ def _populate(n_chunks: int, n_calls: int = N_CALLS) -> None:
     bulk_store_rows(get_store(), n_chunks, n_art, n_calls)
 
 
+def _start_writer(stop_event, inserted_counter):
+    """Background ingest load: repeated slab inserts (each one donates the
+    corpus buffers) while queries run — measures the write path's impact
+    on query tail latency (TODO_NEXT round-3 item 7)."""
+    import threading
+
+    from ..core.index import DocRow, get_index
+
+    def writer():
+        from ..config import settings
+
+        index = get_index()
+        rng = np.random.default_rng(99)
+        dim = int(settings.embeddings_dim)
+        lex_dim = int(settings.lexical_dim)
+        slots = int(settings.tech_hash_slots)
+        next_id = 10_000_000
+        while not stop_event.is_set():
+            rows = []
+            for _ in range(64):
+                emb = rng.standard_normal(dim).astype(np.float32)
+                emb /= np.linalg.norm(emb)
+                sig = rng.integers(-4, 5, size=lex_dim).astype(np.int8)
+                rows.append(DocRow(
+                    doc_id=next_id, call_seq=0,
+                    started_sec=1_700_000_000,
+                    lex_sig=sig, lex_dl=10,
+                    lex_touched=np.flatnonzero(sig)[:64].astype(np.int32),
+                    tech=rng.integers(1, 5000, size=slots).astype(np.int32),
+                    embedding=emb,
+                ))
+                next_id += 1
+            index.chunks.insert(rows)
+            inserted_counter[0] += len(rows)
+        return
+
+    thread = threading.Thread(target=writer, daemon=True)
+    thread.start()
+    return thread
+
+
 def run_serve_bench(
-    n_chunks: int, batch: int, iters: int, style: str, threads: int = 1
+    n_chunks: int, batch: int, iters: int, style: str, threads: int = 1,
+    concurrent_ingest: bool = False,
 ) -> dict:
     from ..config import settings
     from ..core.index import reset_index
@@ -78,6 +120,13 @@ def run_serve_bench(
         ]
         retrieve_evidence_batch(reqs)  # compile + warm
         retrieve_evidence_batch(reqs)
+        import threading
+
+        stop_event = threading.Event()
+        inserted = [0]
+        writer = None
+        if concurrent_ingest:
+            writer = _start_writer(stop_event, inserted)
         if threads > 1:
             # overlapped clients: one batch's host featurize/postprocess
             # runs while another owns the device (how the aiohttp
@@ -90,11 +139,18 @@ def run_serve_bench(
                 f.result()
             total = time.perf_counter() - t0
             pool.shutdown()
-            return {
+            stop_event.set()
+            if writer is not None:
+                writer.join(timeout=30)
+            out = {
                 "chunks": n_chunks, "batch": batch, "style": style,
                 "threads": threads, "setup_s": round(setup_s, 1),
                 "qps": round(batch * iters / total, 1),
             }
+            if concurrent_ingest:
+                out["concurrent_inserts"] = inserted[0]
+                out["insert_rows_per_s"] = round(inserted[0] / total, 1)
+            return out
         latencies = []
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -102,17 +158,25 @@ def run_serve_bench(
             retrieve_evidence_batch(reqs)
             latencies.append(time.perf_counter() - t1)
         total = time.perf_counter() - t0
-        return {
+        stop_event.set()
+        if writer is not None:
+            writer.join(timeout=30)
+        out = {
             "chunks": n_chunks,
             "batch": batch,
             "style": style,
             "setup_s": round(setup_s, 1),
             "qps": round(batch * iters / total, 1),
             "p50_batch_ms": round(float(np.percentile(latencies, 50)) * 1e3, 2),
+            "p99_batch_ms": round(float(np.percentile(latencies, 99)) * 1e3, 2),
             "p50_per_query_ms": round(
                 float(np.percentile(latencies, 50)) * 1e3 / batch, 3
             ),
         }
+        if concurrent_ingest:
+            out["concurrent_inserts"] = inserted[0]
+            out["insert_rows_per_s"] = round(inserted[0] / total, 1)
+        return out
     finally:
         for k, v in saved.items():
             setattr(settings, k, v)
@@ -129,9 +193,13 @@ def main() -> None:
     parser.add_argument("--style", default="ids_only",
                         choices=["ids_only", "evidence_pack_json"])
     parser.add_argument("--threads", type=int, default=1)
+    parser.add_argument("--concurrent-ingest", action="store_true",
+                        help="run a background slab-insert writer during "
+                             "the timed loop (query p99 under write load)")
     args = parser.parse_args()
     print(json.dumps(run_serve_bench(
-        args.chunks, args.batch, args.iters, args.style, args.threads
+        args.chunks, args.batch, args.iters, args.style, args.threads,
+        concurrent_ingest=args.concurrent_ingest,
     )))
 
 

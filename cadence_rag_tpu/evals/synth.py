@@ -94,8 +94,10 @@ def install_synthetic_corpus(
         host = jax.device_get((corpus.call_idx, corpus.started))
         corpus.h_ids = np.zeros(cap, dtype=np.int64)
         corpus.h_ids[:n] = np.arange(1, n + 1)
-        corpus.h_call = np.asarray(host[0])
-        corpus.h_started = np.asarray(host[1])
+        # np.array (copy): device_get returns read-only buffers, and the
+        # mirrors must stay writable for subsequent inserts/deletes
+        corpus.h_call = np.array(host[0])
+        corpus.h_started = np.array(host[1])
         corpus.h_has_emb = np.zeros(cap, dtype=bool)
         corpus.h_has_emb[:n] = True
         corpus._id_to_pos = {i + 1: i for i in range(n)}
