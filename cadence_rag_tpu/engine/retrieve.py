@@ -35,7 +35,7 @@ from ..embed import EmbeddingError, embed_texts, embeddings_enabled
 from ..ingest import featurize
 from ..ingest.chunking import extract_tech_tokens
 from ..logging_utils import get_logger
-from ..ops.fusion import rrf_merge
+from ..ops.fusion import lane_mask_names, rrf_merge_batch
 from ..schemas import Budget, RetrieveRequest
 from ..store.db import get_store
 from .filters import ResolvedFilters, resolve_filters
@@ -53,7 +53,8 @@ MAX_ARTIFACTS = 2
 MAX_QUOTES_PER_CALL = 2
 SNIPPET_CHARS = 800
 
-LaneRows = List[Tuple[int, Optional[float]]]  # (doc_id, score) ranked
+# one lane's ranked output: (doc_ids int64 array, scores f32 array or None)
+LaneRows = Tuple[np.ndarray, Optional[np.ndarray]]
 
 
 def _clip(text: str, max_chars: int) -> str:
@@ -87,6 +88,9 @@ class QueryPlan:
     artifact_candidates: int = 0
     chunk_lanes: Dict[str, LaneRows] = dataclasses.field(default_factory=dict)
     artifact_lanes: Dict[str, LaneRows] = dataclasses.field(default_factory=dict)
+    # RRF-fused results set by _merge_plans: (ids, scores, lane_masks, names)
+    chunk_merged: Optional[tuple] = None
+    artifact_merged: Optional[tuple] = None
     timings: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
@@ -176,16 +180,16 @@ def _finish_planning(plan: QueryPlan) -> None:
 
 
 def _format_lanes(out: Dict[str, Any], row: int) -> Dict[str, LaneRows]:
+    """Zero-copy row views — per-entry Python tuples cost ~6.5 ms per
+    64-query batch (profiled); tuples are built only for debug payloads."""
     lanes: Dict[str, LaneRows] = {}
     ids, scores = out["lex"]
-    lanes["bm25"] = [(int(i), float(s)) for i, s in zip(ids[row], scores[row])]
+    lanes["bm25"] = (ids[row], scores[row])
     ids, _keys = out["tech"]
-    lanes["tech_tokens"] = [(int(i), None) for i in ids[row]]
+    lanes["tech_tokens"] = (ids[row], None)
     if "dense" in out:
         ids, scores = out["dense"]
-        lanes["dense"] = [
-            (int(i), float(s)) for i, s in zip(ids[row], scores[row])
-        ]
+        lanes["dense"] = (ids[row], scores[row])
     return lanes
 
 
@@ -236,10 +240,15 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
 
 # -------------------------------------------------------------- assembly ----
 
-def _debug_lane(rows: LaneRows, id_field: str) -> List[Dict[str, Any]]:
+def _debug_lane(lane: LaneRows, id_field: str) -> List[Dict[str, Any]]:
+    ids, scores = lane
     return [
-        {id_field: doc_id, "rank": rank, "score": score}
-        for rank, (doc_id, score) in enumerate(rows, start=1)
+        {
+            id_field: int(doc_id),
+            "rank": rank,
+            "score": float(scores[rank - 1]) if scores is not None else None,
+        }
+        for rank, doc_id in enumerate(ids.tolist(), start=1)
     ]
 
 
@@ -266,24 +275,28 @@ def _fetch_rows(table: str, id_col: str, columns: str,
 def _prefetch_rows(plans: Sequence["QueryPlan"]) -> Tuple[Dict, Dict]:
     """One store round-trip per table for the WHOLE batch (per-plan IN
     queries would cost 2 queries x batch)."""
-    chunk_ids: set = set()
-    artifact_ids: set = set()
+    chunk_parts: List[np.ndarray] = []
+    artifact_parts: List[np.ndarray] = []
     for plan in plans:
         if plan.empty or plan.payload.return_style == "ids_only":
             continue
-        for rows in plan.chunk_lanes.values():
-            chunk_ids.update(doc_id for doc_id, _ in rows)
-        for rows in plan.artifact_lanes.values():
-            artifact_ids.update(doc_id for doc_id, _ in rows)
+        chunk_parts.extend(ids for ids, _ in plan.chunk_lanes.values())
+        artifact_parts.extend(ids for ids, _ in plan.artifact_lanes.values())
+
+    def _uniq(parts: List[np.ndarray]) -> List[int]:
+        if not parts:
+            return []
+        return np.unique(np.concatenate(parts)).tolist()
+
     chunk_rows = _fetch_rows(
         "chunks", "chunk_id",
         "chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text",
-        sorted(chunk_ids),
+        _uniq(chunk_parts),
     )
     artifact_rows = _fetch_rows(
         "artifact_chunks", "artifact_chunk_id",
         "artifact_chunk_id, artifact_id, call_id, kind, content",
-        sorted(artifact_ids),
+        _uniq(artifact_parts),
     )
     return chunk_rows, artifact_rows
 
@@ -345,43 +358,54 @@ def _assemble(
             "timings_ms": plan.timings,
         }
 
-    chunk_ranked = rrf_merge(
-        {name: [doc_id for doc_id, _ in rows]
-         for name, rows in plan.chunk_lanes.items()},
-        k=RRF_K,
-    )
-    artifact_ranked = rrf_merge(
-        {name: [doc_id for doc_id, _ in rows]
-         for name, rows in plan.artifact_lanes.items()},
-        k=RRF_K,
+    chunk_ids, chunk_scores, chunk_masks, chunk_names = plan.chunk_merged
+    artifact_ids, artifact_scores, artifact_masks, artifact_names = (
+        plan.artifact_merged
     )
 
     reranked_from: Optional[int] = None
-    if settings.rerank_enabled and chunk_ranked:
+    if settings.rerank_enabled and chunk_ids.size:
         from .rerank import rerank
 
         t0 = time.perf_counter()
-        reranked_from = min(int(settings.rerank_topk), len(chunk_ranked))
-        chunk_ranked = rerank(
-            plan.query, chunk_ranked, "chunks",
+        reranked_from = min(int(settings.rerank_topk), int(chunk_ids.size))
+        # bridge arrays <-> the triple interface (the rerank providers read
+        # candidate rows from SQLite; conversion cost is noise next to that)
+        triples = [
+            (int(i), lane_mask_names(int(m), chunk_names), float(s))
+            for i, m, s in zip(chunk_ids, chunk_masks, chunk_scores)
+        ]
+        triples = rerank(
+            plan.query, triples, "chunks",
             index.chunks.doc_freq, index.chunks.live_count,
             topk=reranked_from,
             provider=settings.rerank_provider,
         )
+        bit_of = {name: 1 << i for i, name in enumerate(chunk_names)}
+        chunk_ids = np.array([t[0] for t in triples], dtype=np.int64)
+        chunk_scores = np.array([t[2] for t in triples], dtype=np.float64)
+        chunk_masks = np.array(
+            [sum(bit_of[n] for n in t[1]) for t in triples], dtype=np.uint8
+        )
         plan.timings["rerank_ms"] = (time.perf_counter() - t0) * 1e3
 
     if payload.return_style == "ids_only":
-        combined: List[Tuple[str, int, float]] = []
-        for doc_id, _lanes, score in artifact_ranked:
-            combined.append(("artifact_chunk", doc_id, score))
-        for doc_id, _lanes, score in chunk_ranked:
-            combined.append(("chunk", doc_id, score))
-        kind_order = {"artifact_chunk": 0, "chunk": 1}
-        combined.sort(key=lambda it: (-it[2], kind_order[it[0]], it[1]))
+        # sort by (-score, kind, id); artifacts sort before chunks on ties
+        ids_all = np.concatenate([artifact_ids, chunk_ids])
+        scores_all = np.concatenate([artifact_scores, chunk_scores])
+        kinds_all = np.concatenate([
+            np.zeros(artifact_ids.size, dtype=np.int8),
+            np.ones(chunk_ids.size, dtype=np.int8),
+        ])
+        order = np.lexsort((ids_all, kinds_all, -scores_all))
+        kind_name = ("artifact_chunk", "chunk")
         response: Dict[str, Any] = {
             "query_id": plan.query_id,
             "retrieved_ids": [
-                f"{kind}:{doc_id}" for kind, doc_id, _ in combined
+                f"{kind_name[k]}:{doc_id}"
+                for k, doc_id in zip(
+                    kinds_all[order].tolist(), ids_all[order].tolist()
+                )
             ],
         }
         if debug_payload is not None:
@@ -400,7 +424,7 @@ def _assemble(
         artifact_rows = _fetch_rows(
             "artifact_chunks", "artifact_chunk_id",
             "artifact_chunk_id, artifact_id, call_id, kind, content",
-            [doc_id for doc_id, _, _ in artifact_ranked],
+            artifact_ids.tolist(),
         )
     if chunk_row_cache is not None:
         chunk_rows = chunk_row_cache
@@ -408,7 +432,7 @@ def _assemble(
         chunk_rows = _fetch_rows(
             "chunks", "chunk_id",
             "chunk_id, call_id, speaker, start_ts_ms, end_ts_ms, text",
-            [doc_id for doc_id, _, _ in chunk_ranked],
+            chunk_ids.tolist(),
         )
 
     budget = plan.budget
@@ -419,16 +443,18 @@ def _assemble(
     evidence_count = 0
     max_artifacts = min(MAX_ARTIFACTS, max_items)
 
-    for doc_id, lane_hits, _score in artifact_ranked:
+    for pos in range(artifact_ids.size):
         if evidence_count >= max_items or len(artifacts_out) >= max_artifacts:
             break
         if remaining_chars <= 0:
             break
+        doc_id = int(artifact_ids[pos])
         row = artifact_rows.get(doc_id)
         if row is None:
             continue
         snippet = _clip(row["content"], min(SNIPPET_CHARS, remaining_chars))
         remaining_chars -= len(snippet)
+        lane_hits = lane_mask_names(int(artifact_masks[pos]), artifact_names)
         artifacts_out.append(
             {
                 "evidence_id": f"A-{doc_id}",
@@ -443,11 +469,12 @@ def _assemble(
         evidence_count += 1
 
     quotes_per_call: Dict[str, int] = {}
-    for doc_id, lane_hits, _score in chunk_ranked:
+    for pos in range(chunk_ids.size):
         if evidence_count >= max_items:
             break
         if remaining_chars <= 0:
             break
+        doc_id = int(chunk_ids[pos])
         row = chunk_rows.get(doc_id)
         if row is None:
             continue
@@ -456,6 +483,7 @@ def _assemble(
             continue
         snippet = _clip(row["text"], min(SNIPPET_CHARS, remaining_chars))
         remaining_chars -= len(snippet)
+        lane_hits = lane_mask_names(int(chunk_masks[pos]), chunk_names)
         quotes_out.append(
             {
                 "evidence_id": f"Q-{doc_id}",
@@ -548,6 +576,26 @@ def _assemble(
 
 # ------------------------------------------------------------- public API ----
 
+def _merge_plans(plans: Sequence[QueryPlan]) -> None:
+    """RRF-fuse every plan's lanes in one vectorized pass (per-corpus)."""
+    runnable = [p for p in plans if not p.empty]
+    if not runnable:
+        return
+    chunk_merged = rrf_merge_batch(
+        [{name: ids for name, (ids, _s) in p.chunk_lanes.items()}
+         for p in runnable],
+        k=RRF_K,
+    )
+    artifact_merged = rrf_merge_batch(
+        [{name: ids for name, (ids, _s) in p.artifact_lanes.items()}
+         for p in runnable],
+        k=RRF_K,
+    )
+    for plan, cm, am in zip(runnable, chunk_merged, artifact_merged):
+        plan.chunk_merged = cm
+        plan.artifact_merged = am
+
+
 def retrieve_evidence_batch(
     payloads: Sequence[RetrieveRequest],
 ) -> List[Dict[str, Any]]:
@@ -557,6 +605,7 @@ def retrieve_evidence_batch(
     for plan in plans:
         _finish_planning(plan)
     _execute_plans(plans)
+    _merge_plans(plans)
     chunk_rows, artifact_rows = _prefetch_rows(plans)
     return [_assemble(plan, chunk_rows, artifact_rows) for plan in plans]
 

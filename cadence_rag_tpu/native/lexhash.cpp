@@ -129,7 +129,49 @@ int64_t lex_doc_signature(const uint8_t* text, int64_t len, int32_t dim,
   return touched;
 }
 
+// Query-side featurization: text -> (bucket, sign, tf) arrays in
+// first-occurrence order, matching ops/hashing.py query_feature_arrays
+// bit-for-bit (bucket = h % dim as int64, sign from hash bit 33, tf
+// clipped at 3.0). The /retrieve hot path calls this per query; the pure
+// -Python fnv1a loop was ~15 ms per 64-query batch (profiled).
+// Returns the feature count written (<= max_out), or -1 on error.
+int64_t lex_query_features(const uint8_t* text, int64_t len, int32_t dim,
+                           int64_t max_out, int64_t* out_buckets,
+                           float* out_signs, float* out_tfs) {
+  if (dim <= 0 || len < 0 || max_out < 0) return -1;
+  FeatureCounts counts;
+  extract_features(text, len, &counts);
+  int64_t n = static_cast<int64_t>(counts.keys.size());
+  if (n > max_out) n = max_out;
+  for (int64_t s = 0; s < n; ++s) {
+    uint64_t h = counts.keys[s];
+    out_buckets[s] = static_cast<int64_t>(h % static_cast<uint64_t>(dim));
+    out_signs[s] = ((h >> 33) & 1ULL) ? 1.0f : -1.0f;
+    float tf = static_cast<float>(counts.tf[s]);
+    out_tfs[s] = tf < 3.0f ? tf : 3.0f;
+  }
+  return n;
+}
+
+// Raw feature extraction: (fnv1a64 hash, unclipped tf) pairs in
+// first-occurrence order — the deterministic hash embedder (embed/stub.py)
+// seeds one gaussian direction per 64-bit feature hash, so it needs the
+// raw hashes, not the dim-reduced buckets. Returns count or -1.
+int64_t lex_raw_features(const uint8_t* text, int64_t len, int64_t max_out,
+                         uint64_t* out_hashes, float* out_tfs) {
+  if (len < 0 || max_out < 0) return -1;
+  FeatureCounts counts;
+  extract_features(text, len, &counts);
+  int64_t n = static_cast<int64_t>(counts.keys.size());
+  if (n > max_out) n = max_out;
+  for (int64_t s = 0; s < n; ++s) {
+    out_hashes[s] = counts.keys[s];
+    out_tfs[s] = static_cast<float>(counts.tf[s]);
+  }
+  return n;
+}
+
 // Simple self-description for version checks.
-int32_t lexhash_abi_version() { return 1; }
+int32_t lexhash_abi_version() { return 2; }
 
 }  // extern "C"

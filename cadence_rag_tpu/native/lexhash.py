@@ -60,6 +60,28 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        try:
+            lib.lex_query_features.restype = ctypes.c_int64
+            lib.lex_query_features.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.lex_raw_features.restype = ctypes.c_int64
+            lib.lex_raw_features.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+        except AttributeError:  # stale .so predating abi v2: rebuild next run
+            _lib = None
+            _build_failed = True
+            try:
+                _LIB.unlink()
+            except OSError:
+                pass
+            return None
         _lib = lib
         return lib
 
@@ -89,3 +111,48 @@ def doc_signature(
     if n_touched < 0:
         raise RuntimeError("lex_doc_signature failed")
     return out_w, out_touched[:n_touched].copy(), int(out_dl.value)
+
+
+def query_features(
+    text: str, dim: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(buckets int64, signs f32, tfs f32) in first-occurrence order —
+    bit-identical to ops.hashing.query_feature_arrays (tested)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native lexhash unavailable")
+    data = normalize_text(text).encode("utf-8")
+    # unique features <= word runs + trigrams < 2 * len(data); never truncates
+    max_out = 2 * len(data) + 8
+    buckets = np.zeros(max_out, dtype=np.int64)
+    signs = np.zeros(max_out, dtype=np.float32)
+    tfs = np.zeros(max_out, dtype=np.float32)
+    n = lib.lex_query_features(
+        data, len(data), dim, max_out,
+        buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n < 0:
+        raise RuntimeError("lex_query_features failed")
+    return buckets[:n].copy(), signs[:n].copy(), tfs[:n].copy()
+
+
+def raw_features(text: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(fnv1a64 hashes uint64, unclipped tfs f32) in first-occurrence
+    order — matches ops.hashing.lexical_features key/value order."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native lexhash unavailable")
+    data = normalize_text(text).encode("utf-8")
+    max_out = 2 * len(data) + 8
+    hashes = np.zeros(max_out, dtype=np.uint64)
+    tfs = np.zeros(max_out, dtype=np.float32)
+    n = lib.lex_raw_features(
+        data, len(data), max_out,
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if n < 0:
+        raise RuntimeError("lex_raw_features failed")
+    return hashes[:n].copy(), tfs[:n].copy()

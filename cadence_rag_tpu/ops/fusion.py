@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Sequence, Set, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DEFAULT_RRF_K = 60
 
@@ -35,6 +36,133 @@ def rrf_merge(
             hits.setdefault(key, set()).add(lane_name)
     ordered = sorted(scores.items(), key=lambda item: item[1], reverse=True)
     return [(key, hits[key], score) for key, score in ordered]
+
+
+def rrf_merge_arrays(
+    lanes: Dict[str, np.ndarray], k: int = DEFAULT_RRF_K
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[str, ...]]:
+    """Vectorized ``rrf_merge`` for the serving hot path.
+
+    lanes: {lane_name: int64 doc-id array, ranked best-first} ->
+    (doc_ids, fused_scores, lane_bitmasks, lane_names), sorted by score
+    descending with first-occurrence order breaking ties — the EXACT
+    ordering of ``rrf_merge`` (Python dict insertion + stable sort), which
+    is the reference contract (app/retrieve.py:245-260). lane_bitmasks bit
+    i set = doc appeared in lane_names[i]. The per-plan dict/loop version
+    cost ~16 ms per 64-query batch on the 1-core serving host (profiled).
+    """
+    lane_names = tuple(lanes.keys())
+    parts = []
+    contribs = []
+    bits = []
+    for i, name in enumerate(lane_names):
+        ids = np.asarray(lanes[name], dtype=np.int64)
+        if ids.size == 0:
+            continue
+        parts.append(ids)
+        # float64 like the Python accumulation (scores must match bit-wise)
+        contribs.append(1.0 / (k + np.arange(1, ids.size + 1, dtype=np.float64)))
+        bits.append(np.full(ids.size, 1 << i, dtype=np.uint8))
+    if not parts:
+        empty_i = np.zeros(0, dtype=np.int64)
+        return (empty_i, np.zeros(0, dtype=np.float64),
+                np.zeros(0, dtype=np.uint8), lane_names)
+    all_ids = np.concatenate(parts)
+    all_contrib = np.concatenate(contribs)
+    all_bits = np.concatenate(bits)
+    uniq, first, inv = np.unique(
+        all_ids, return_index=True, return_inverse=True
+    )
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    # np.add.at accumulates in array order = lane insertion order, the same
+    # FP addition order as the dict loop
+    np.add.at(scores, inv, all_contrib)
+    masks = np.zeros(uniq.size, dtype=np.uint8)
+    np.bitwise_or.at(masks, inv, all_bits)
+    # primary: score desc; tie: first occurrence across the lane concat
+    # (= dict insertion order under Python's stable sort)
+    order = np.lexsort((first, -scores))
+    return uniq[order], scores[order], masks[order], lane_names
+
+
+def lane_mask_names(mask: int, lane_names: Sequence[str]) -> Set[str]:
+    return {name for i, name in enumerate(lane_names) if mask & (1 << i)}
+
+
+_contrib_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+
+def _contrib(k: int, n: int) -> np.ndarray:
+    cached = _contrib_cache.get((k, n))
+    if cached is None:
+        cached = 1.0 / (k + np.arange(1, n + 1, dtype=np.float64))
+        if len(_contrib_cache) < 4096:
+            _contrib_cache[(k, n)] = cached
+    return cached
+
+
+def rrf_merge_batch(
+    per_plan_lanes: Sequence[Dict[str, np.ndarray]], k: int = DEFAULT_RRF_K
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[str, ...]]]:
+    """``rrf_merge_arrays`` for MANY queries in ONE numpy pass.
+
+    Per-plan numpy merges cost ~110 us each in small-array overhead
+    (profiled: 14 ms per 64-query batch just fusing lanes); this runs one
+    unique/scatter-add/lexsort over every plan's candidates at once, keyed
+    by (plan, doc). Output list is ordering- and score-bitwise-identical
+    to calling ``rrf_merge_arrays`` per plan (tested)."""
+    n_plans = len(per_plan_lanes)
+    parts_ids: List[np.ndarray] = []
+    parts_contrib: List[np.ndarray] = []
+    parts_bits: List[np.ndarray] = []
+    parts_plan: List[np.ndarray] = []
+    names_per_plan: List[Tuple[str, ...]] = []
+    for p, lanes in enumerate(per_plan_lanes):
+        names = tuple(lanes.keys())
+        names_per_plan.append(names)
+        for i, name in enumerate(names):
+            ids = np.asarray(lanes[name], dtype=np.int64)
+            if ids.size == 0:
+                continue
+            parts_ids.append(ids)
+            parts_contrib.append(_contrib(k, ids.size))
+            parts_bits.append(np.full(ids.size, 1 << i, dtype=np.uint8))
+            parts_plan.append(np.full(ids.size, p, dtype=np.int64))
+
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
+             np.zeros(0, dtype=np.uint8))
+    if not parts_ids:
+        return [empty + (names_per_plan[p],) for p in range(n_plans)]
+
+    all_ids = np.concatenate(parts_ids)
+    all_contrib = np.concatenate(parts_contrib)
+    all_bits = np.concatenate(parts_bits)
+    all_plan = np.concatenate(parts_plan)
+    base = int(all_ids.max()) + 1  # doc ids are non-negative
+    key = all_plan * base + all_ids
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, all_contrib)  # accumulation order = lane order
+    masks = np.zeros(uniq.size, dtype=np.uint8)
+    np.bitwise_or.at(masks, inv, all_bits)
+    uniq_plan = uniq // base
+    uniq_doc = uniq - uniq_plan * base
+    # plan-major; within a plan: score desc, first-occurrence tiebreak
+    order = np.lexsort((first, -scores, uniq_plan))
+    plan_sorted = uniq_plan[order]
+    doc_sorted = uniq_doc[order]
+    score_sorted = scores[order]
+    mask_sorted = masks[order]
+    bounds = np.searchsorted(plan_sorted, np.arange(n_plans + 1))
+    out = []
+    for p in range(n_plans):
+        s, e = int(bounds[p]), int(bounds[p + 1])
+        if s == e:
+            out.append(empty + (names_per_plan[p],))
+        else:
+            out.append((doc_sorted[s:e], score_sorted[s:e], mask_sorted[s:e],
+                        names_per_plan[p]))
+    return out
 
 
 def rrf_scores_device(

@@ -50,8 +50,13 @@ def make_embed_app(provider_kind: str = ""):
             )
         except EmbeddingError as exc:
             return web.json_response({"detail": str(exc)}, status=500)
+        import numpy as np
+
         return web.json_response(
-            {"embeddings": result.vectors, "model": result.model}
+            {
+                "embeddings": np.asarray(result.vectors).tolist(),
+                "model": result.model,
+            }
         )
 
     async def health(_request) -> "web.Response":

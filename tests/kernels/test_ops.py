@@ -192,6 +192,38 @@ class TestFusion:
         assert keys[0] == "a" and keys[1] == "b"
         assert ranked[0][1] == {"bm25", "dense"}
 
+    def test_vectorized_rrf_matches_reference_merge(self):
+        """rrf_merge_arrays and rrf_merge_batch must reproduce rrf_merge's
+        ordering (score desc, first-seen tiebreak), scores bitwise, and
+        lane-hit sets — across random lane shapes including empties."""
+        rng = np.random.default_rng(7)
+        plans = []
+        refs = []
+        for _ in range(40):
+            lanes = {}
+            n_lanes = int(rng.integers(1, 4))
+            for name in ["bm25", "tech_tokens", "dense"][:n_lanes]:
+                n = int(rng.integers(0, 40))
+                lanes[name] = rng.integers(0, 50, size=n).astype(np.int64)
+            plans.append(lanes)
+            refs.append(fusion.rrf_merge(
+                {k: v.tolist() for k, v in lanes.items()}
+            ))
+        # single-plan variant
+        for lanes, ref in zip(plans, refs):
+            ids, scores, masks, names = fusion.rrf_merge_arrays(lanes)
+            assert ids.tolist() == [r[0] for r in ref]
+            assert scores.tolist() == [r[2] for r in ref]  # bitwise equal
+            for (_, rset, _), m in zip(ref, masks):
+                assert fusion.lane_mask_names(int(m), names) == rset
+        # batched variant
+        merged = fusion.rrf_merge_batch(plans)
+        for (ids, scores, masks, names), ref in zip(merged, refs):
+            assert ids.tolist() == [r[0] for r in ref]
+            assert scores.tolist() == [r[2] for r in ref]
+            for (_, rset, _), m in zip(ref, masks):
+                assert fusion.lane_mask_names(int(m), names) == rset
+
     def test_device_rrf_matches_host(self):
         lane_pos = np.array(
             [[[0, 1, 2]], [[1, 0, -1]]], dtype=np.int32

@@ -35,6 +35,19 @@ class TestNativeParity:
             )
             np.testing.assert_array_equal(c_touched, py_touched)
 
+    @pytest.mark.parametrize("dim", [512, 4096])
+    def test_query_features_bit_parity(self, dim):
+        for text in CASES:
+            c_b, c_s, c_t = lexhash.query_features(text, dim)
+            p_b, p_s, p_t = hashing.query_feature_arrays(text, dim)
+            np.testing.assert_array_equal(
+                c_b, p_b, err_msg=f"buckets mismatch for {text[:40]!r}"
+            )
+            np.testing.assert_array_equal(c_s, p_s)
+            np.testing.assert_array_equal(c_t, p_t)
+            assert c_b.dtype == p_b.dtype
+            assert c_s.dtype == p_s.dtype
+
     def test_native_is_faster(self):
         import time
 
