@@ -203,6 +203,8 @@ class CorpusIndex:
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
         self._ivf_rebuilding = False
+        # set by DeviceIndexManager: fires after each insert (prewarm hook)
+        self._on_insert = None
 
     def _alloc_device(self, cap: int) -> None:
         def place(arr):
@@ -268,6 +270,8 @@ class CorpusIndex:
         with self.lock:
             self._insert_locked(rows)
         self._maybe_schedule_ivf_rebuild()
+        if self._on_insert is not None:
+            self._on_insert()
 
     def _insert_locked(self, rows: Sequence[DocRow]) -> None:
         n = len(rows)
@@ -897,6 +901,16 @@ class DeviceIndexManager:
             row_sharding=row_sharding,
         )
         self.call_capacity = 256
+        from .prewarm import GrowthPrewarmer
+
+        # Compiles the next capacity's fused program in the background
+        # before growth needs it (the recompile guard; core/prewarm.py).
+        self.prewarmer = GrowthPrewarmer(self)
+        self.chunks._on_insert = self._after_insert
+        self.artifacts._on_insert = self._after_insert
+
+    def _after_insert(self) -> None:
+        self.prewarmer.maybe_prewarm()
 
     def ensure_call_capacity(self, n_calls: int) -> None:
         while self.call_capacity < n_calls:
@@ -1113,6 +1127,24 @@ class DeviceIndexManager:
             # and renumbers positions)
             chunk_snap = (self.chunks.h_ids, self.chunks.count)
             artifact_snap = (self.artifacts.h_ids, self.artifacts.count)
+        from .prewarm import QuerySignature
+
+        self.prewarmer.note_signature(QuerySignature(
+            batch=batch,
+            emb_dim=self.chunks.dim if dense_enabled else 1,
+            q_feats=F, tech_q=q_tech.shape[1],
+            n_calls=allowed_calls.shape[1],
+            chunk_ks=_clamp_ks(chunk_ks, self.chunks.capacity),
+            artifact_ks=_clamp_ks(artifact_ks, self.artifacts.capacity),
+            chunk_mode=chunk_mode, artifact_mode=artifact_mode,
+            recall_target=float(recall_target),
+            dense_enabled=dense_enabled,
+            packed_bytes=int(packed.shape[0]),
+            dim=self.chunks.dim, lex_dim=self.chunks.lex_dim,
+            tech_slots=self.chunks.tech_slots,
+            emb_dtype=str(self.chunks.emb_dtype),
+        ))
+        self.prewarmer.maybe_prewarm()
         chunks_np, artifacts_np = jax.device_get(
             (chunks_raw, artifacts_raw)
         )

@@ -1,0 +1,89 @@
+"""Growth-compile prewarm (core/prewarm.py): once a corpus fills past the
+threshold, the NEXT capacity's fused program compiles in the background,
+and the first post-growth query hits the warm jit cache (no new compile).
+
+Measured motivation (NOTES_DEV.md round-2 mixed read/write bench): the
+mid-serving capacity-doubling recompile drove query p99 from 119 ms to
+17.4 s under an unthrottled writer.
+"""
+
+import numpy as np
+import pytest
+
+from cadence_rag_tpu.core.index import DocRow, get_index
+from cadence_rag_tpu.ops.pack import dual_corpus_retrieve_packed
+from cadence_rag_tpu.schemas import RetrieveRequest
+
+
+def _rows(start, n, dim=64, lex_dim=1024, slots=16):
+    rng = np.random.default_rng(start)
+    out = []
+    for i in range(start, start + n):
+        emb = rng.standard_normal(dim).astype(np.float32)
+        emb /= np.linalg.norm(emb)
+        sig = rng.integers(-3, 4, size=lex_dim).astype(np.int8)
+        out.append(DocRow(
+            doc_id=i, call_seq=0, started_sec=1_700_000_000 + i,
+            lex_sig=sig, lex_dl=10,
+            lex_touched=np.flatnonzero(sig)[:32].astype(np.int32),
+            tech=np.zeros(slots, dtype=np.int32),
+            embedding=emb,
+        ))
+    return out
+
+
+@pytest.fixture()
+def prewarm_env(tmp_store, monkeypatch):
+    monkeypatch.setattr(tmp_store, "prewarm_growth_enabled", True)
+    monkeypatch.setattr(tmp_store, "prewarm_min_capacity", 256)
+    monkeypatch.setattr(tmp_store, "prewarm_fill_fraction", 0.75)
+    return tmp_store
+
+
+class TestGrowthPrewarm:
+    def test_post_growth_query_hits_warm_cache(self, prewarm_env):
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+
+        index = get_index()
+        index.chunks.insert(_rows(1, 100))
+        index.artifacts.insert(_rows(1, 16))
+
+        reqs = [RetrieveRequest(query="object store gateway retry",
+                                return_style="ids_only")
+                for _ in range(4)]
+        retrieve_evidence_batch(reqs)  # compiles at capacity 256, notes sig
+        assert not index.prewarmer.maybe_prewarm()  # below fill threshold
+
+        # fill chunks past 75% of 256 -> prewarm fires on insert
+        index.chunks.insert(_rows(101, 100))
+        assert index.chunks.capacity == 256
+        assert index.chunks.count == 200
+        index.prewarmer.wait(timeout=120)
+        size_after_prewarm = dual_corpus_retrieve_packed._cache_size()
+
+        # grow for real; the first post-growth query must add NO cache entry
+        index.chunks.insert(_rows(201, 100))
+        assert index.chunks.capacity == 512
+        retrieve_evidence_batch(reqs)
+        assert dual_corpus_retrieve_packed._cache_size() == size_after_prewarm
+
+    def test_prewarm_disabled_is_inert(self, prewarm_env, monkeypatch):
+        monkeypatch.setattr(prewarm_env, "prewarm_growth_enabled", False)
+        index = get_index()
+        index.chunks.insert(_rows(1, 250))
+        assert not index.prewarmer.maybe_prewarm()
+
+    def test_signature_dedupe(self, prewarm_env):
+        from cadence_rag_tpu.core.prewarm import QuerySignature
+
+        index = get_index()
+        sig = QuerySignature(
+            batch=2, emb_dim=64, q_feats=16, tech_q=8, n_calls=256,
+            chunk_ks=(5, 5, 5), artifact_ks=(2, 2, 5),
+            chunk_mode="exact", artifact_mode="exact",
+            recall_target=0.95, dense_enabled=True, packed_bytes=1024,
+            dim=64, lex_dim=1024, tech_slots=16, emb_dtype="bfloat16",
+        )
+        index.prewarmer.note_signature(sig)
+        index.prewarmer.note_signature(sig)
+        assert len(index.prewarmer._sigs) == 1
