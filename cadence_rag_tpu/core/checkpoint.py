@@ -38,7 +38,7 @@ from __future__ import annotations
 import json
 import threading
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -144,23 +144,51 @@ def save_index(
     return result
 
 
-def _load_corpus_v2(
-    src: Path, name: str, n_shards: int, generation: Optional[int]
-) -> Dict[str, np.ndarray]:
+def _read_shard(src: Path, prefix: str, i: int) -> Dict[str, np.ndarray]:
+    with np.load(src / f"{prefix}.{i:04d}.npz", allow_pickle=False) as data:
+        kind = str(data["_kind"][0])
+        shard = {k: data[k] for k in ROW_KEYS if k != "emb"}
+        shard["emb"] = _decode_emb(data["emb"], kind)
+    return shard
+
+
+def _shard_stream(src: Path, prefix: str, n_shards: int):
+    """Yield shards in row order, prefetching the next file on a reader
+    thread so disk I/O overlaps the (async) H2D transfer of the previous
+    shard (TODO_NEXT round-3 item 9: restore streaming)."""
+    import queue
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def reader() -> None:
+        try:
+            for i in range(n_shards):
+                q.put(("shard", _read_shard(src, prefix, i)))
+            q.put(("done", None))
+        except Exception as exc:  # surface on the consumer side
+            q.put(("error", exc))
+
+    threading.Thread(target=reader, daemon=True).start()
+    while True:
+        kind, payload = q.get()
+        if kind == "error":
+            raise payload
+        if kind == "done":
+            return
+        yield payload
+
+
+def _restore_corpus_v2(
+    src: Path, corpus, n_rows: int, n_shards: int, generation: Optional[int]
+) -> None:
+    name = corpus.name
     prefix = f"{name}.g{generation:04d}" if generation is not None else name
-    parts: Dict[str, List[np.ndarray]] = {k: [] for k in ROW_KEYS}
-    for i in range(n_shards):
-        with np.load(src / f"{prefix}.{i:04d}.npz", allow_pickle=False) as data:
-            kind = str(data["_kind"][0])
-            for k in ROW_KEYS:
-                raw = data["emb" if k == "emb" else k]
-                parts[k].append(_decode_emb(raw, kind) if k == "emb" else raw)
-    arrays = {k: np.concatenate(v) if len(v) > 1 else v[0]
-              for k, v in parts.items()}
     with np.load(src / f"{prefix}.stats.npz") as stats:
-        arrays["doc_freq"] = stats["doc_freq"]
-        arrays["dl_sum"] = stats["dl_sum"]
-    return arrays
+        doc_freq = stats["doc_freq"]
+        dl_sum = int(stats["dl_sum"][0])
+    corpus.load_state_streaming(
+        _shard_stream(src, prefix, n_shards), doc_freq, dl_sum, n_rows
+    )
 
 
 def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict:
@@ -188,9 +216,10 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
             with np.load(src / f"{corpus.name}.npz") as data:
                 corpus.load_state({k: data[k] for k in data.files})
         else:
-            corpus.load_state(_load_corpus_v2(
-                src, corpus.name, int(meta["shards"][corpus.name]),
+            _restore_corpus_v2(
+                src, corpus, int(meta["counts"][corpus.name]),
+                int(meta["shards"][corpus.name]),
                 int(generation) if generation is not None else None,
-            ))
+            )
     index.ensure_call_capacity(int(meta["call_capacity"]))
     return meta

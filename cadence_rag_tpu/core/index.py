@@ -759,6 +759,73 @@ class CorpusIndex:
         )
         self.count = n
 
+    def load_state_streaming(
+        self,
+        shards,                       # iterable of {ROW_KEYS: np.ndarray}
+        doc_freq: np.ndarray,
+        dl_sum: int,
+        total_rows: int,
+    ) -> None:
+        """Streaming restore: one H2D slab write per shard, enqueued as each
+        shard arrives — disk reads of shard i+1 overlap the (async) device
+        transfer of shard i, and the host never materializes the whole
+        corpus (load_state's concatenate peaks at full-corpus host bytes).
+        Shards must arrive in row order and carry the keys of
+        checkpoint.ROW_KEYS (emb already decoded to the storage dtype)."""
+        with self.lock:
+            n = int(total_rows)
+            self.count = 0
+            self.ivf = None
+            self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+            cap = max(self.capacity, _next_pow2(max(n, 8)))
+            self.capacity = cap
+            self._alloc_device(cap)
+            self.h_ids = np.zeros(cap, dtype=np.int64)
+            self.h_call = np.zeros(cap, dtype=np.int32)
+            self.h_started = np.full(cap, INT32_MIN, dtype=np.int32)
+            self.h_has_emb = np.zeros(cap, dtype=bool)
+            off = 0
+            for shard in shards:
+                m = int(shard["ids"].shape[0])
+                if m == 0:
+                    continue
+                # exact-size slabs (no pow2 padding): a padded slab near the
+                # tail could clamp past capacity and overwrite earlier rows;
+                # shard sizes are uniform (+1 tail size) so this costs at
+                # most two jit variants per restore
+                (self.emb, self.lex, self.tech, self.call_idx, self.started,
+                 self.has_emb) = _write_all_slabs(
+                    self.emb, self.lex, self.tech, self.call_idx,
+                    self.started, self.has_emb,
+                    jnp.asarray(shard["emb"], dtype=self.emb_dtype),
+                    jnp.asarray(shard["lex"].astype(np.int8)),
+                    jnp.asarray(shard["tech"].astype(np.int32)),
+                    jnp.asarray(shard["call"].astype(np.int32)),
+                    jnp.asarray(shard["started"].astype(np.int32)),
+                    jnp.asarray(shard["has_emb"].astype(bool)),
+                    off,
+                )
+                self.h_ids[off:off + m] = shard["ids"]
+                self.h_call[off:off + m] = shard["call"]
+                self.h_started[off:off + m] = shard["started"]
+                self.h_has_emb[off:off + m] = shard["has_emb"].astype(bool)
+                off += m
+            if off != n:
+                raise ValueError(
+                    f"{self.name}: checkpoint shards carried {off} rows, "
+                    f"meta says {n}"
+                )
+            self.doc_freq = doc_freq.astype(np.int64)
+            self.dl_sum = int(dl_sum)
+            started = self.h_started[:n]
+            self._id_to_pos = {
+                int(d): p for p, d in enumerate(self.h_ids[:n])
+                if started[p] != INT32_MIN
+            }
+            self.emb_rows = int(self.h_has_emb[:n].sum())
+            self.tombstones = int((started == INT32_MIN).sum())
+            self.count = n
+
     # -- query -------------------------------------------------------------
     def query(
         self,
@@ -1098,27 +1165,57 @@ class DeviceIndexManager:
         # orders a later donation after the query's reads, so the blocking
         # device_get happens OUTSIDE the locks — inserts and the next
         # batch's dispatch overlap with this batch's device time.
+        from .prewarm import QuerySignature
+
         with self.chunks.lock, self.artifacts.lock:
             chunk_mode, ivf_dense = self._resolve_chunk_dense(
                 chunk_mode, dense_enabled, q_emb, allowed_calls, date_min,
                 date_max, chunk_ks[0],
             )
-            chunks_raw, artifacts_raw = dual_corpus_retrieve_packed(
-                self.chunks.device_arrays(),
-                self.artifacts.device_arrays(),
-                d_packed,
+            sig = QuerySignature(
                 batch=batch,
                 emb_dim=self.chunks.dim if dense_enabled else 1,
-                q_feats=F,
-                tech_q=q_tech.shape[1],
+                q_feats=F, tech_q=q_tech.shape[1],
                 n_calls=allowed_calls.shape[1],
                 chunk_ks=_clamp_ks(chunk_ks, self.chunks.capacity),
                 artifact_ks=_clamp_ks(artifact_ks, self.artifacts.capacity),
-                chunk_mode=chunk_mode,
-                artifact_mode=artifact_mode,
+                chunk_mode=chunk_mode, artifact_mode=artifact_mode,
                 recall_target=float(recall_target),
                 dense_enabled=dense_enabled,
+                packed_bytes=int(packed.shape[0]),
+                dim=self.chunks.dim, lex_dim=self.chunks.lex_dim,
+                tech_slots=self.chunks.tech_slots,
+                emb_dtype=str(self.chunks.emb_dtype),
             )
+            # post-growth fast path: run the prewarmed AOT executable (the
+            # jitted call would recompile — AOT compiles don't populate the
+            # jit dispatch cache)
+            compiled = self.prewarmer.get_compiled(
+                sig, self.chunks.capacity, self.artifacts.capacity
+            )
+            if compiled is not None:
+                chunks_raw, artifacts_raw = compiled(
+                    self.chunks.device_arrays(),
+                    self.artifacts.device_arrays(),
+                    d_packed,
+                )
+            else:
+                chunks_raw, artifacts_raw = dual_corpus_retrieve_packed(
+                    self.chunks.device_arrays(),
+                    self.artifacts.device_arrays(),
+                    d_packed,
+                    batch=batch,
+                    emb_dim=sig.emb_dim,
+                    q_feats=F,
+                    tech_q=q_tech.shape[1],
+                    n_calls=allowed_calls.shape[1],
+                    chunk_ks=sig.chunk_ks,
+                    artifact_ks=sig.artifact_ks,
+                    chunk_mode=chunk_mode,
+                    artifact_mode=artifact_mode,
+                    recall_target=float(recall_target),
+                    dense_enabled=dense_enabled,
+                )
             if ivf_dense is not None:
                 chunks_raw = dict(chunks_raw)
                 chunks_raw["dense"] = ivf_dense
@@ -1127,23 +1224,7 @@ class DeviceIndexManager:
             # and renumbers positions)
             chunk_snap = (self.chunks.h_ids, self.chunks.count)
             artifact_snap = (self.artifacts.h_ids, self.artifacts.count)
-        from .prewarm import QuerySignature
-
-        self.prewarmer.note_signature(QuerySignature(
-            batch=batch,
-            emb_dim=self.chunks.dim if dense_enabled else 1,
-            q_feats=F, tech_q=q_tech.shape[1],
-            n_calls=allowed_calls.shape[1],
-            chunk_ks=_clamp_ks(chunk_ks, self.chunks.capacity),
-            artifact_ks=_clamp_ks(artifact_ks, self.artifacts.capacity),
-            chunk_mode=chunk_mode, artifact_mode=artifact_mode,
-            recall_target=float(recall_target),
-            dense_enabled=dense_enabled,
-            packed_bytes=int(packed.shape[0]),
-            dim=self.chunks.dim, lex_dim=self.chunks.lex_dim,
-            tech_slots=self.chunks.tech_slots,
-            emb_dtype=str(self.chunks.emb_dtype),
-        ))
+        self.prewarmer.note_signature(sig)
         self.prewarmer.maybe_prewarm()
         chunks_np, artifacts_np = jax.device_get(
             (chunks_raw, artifacts_raw)

@@ -10,16 +10,23 @@ writer at 500k drove query p99 from 119 ms to 17.4 s, dominated by exactly
 that recompile.
 
 This module watches fill levels and, once a corpus crosses
-``prewarm_fill_fraction`` of capacity, compiles the doubled-capacity
-variant of every recently-served query signature in a background thread —
-against throwaway zero arrays, so it takes NO corpus locks and never
-touches serving state. jax's jit cache keys on (shapes, dtypes, static
-args), so the real post-growth query hits the warm cache (verified by
-test: post-growth dispatch adds no cache entry).
+``prewarm_fill_fraction`` of capacity, AOT-compiles the doubled-capacity
+variant of every recently-served query signature in a background thread
+via ``jit(...).lower(ShapeDtypeStruct...).compile()`` — abstract avals
+only, so prewarm allocates NO device arrays and takes NO corpus locks.
+(The first implementation ran the program against throwaway zero arrays;
+at 500k live + 1M dummies + mid-growth old/new coexistence that peaked at
+~5x corpus bytes and OOMed a 16 GB v5e. AOT lowering costs zero HBM.)
 
-Memory: the dummy arrays transiently cost the next capacity's footprint —
-within the 3x growth headroom operators already provision (NOTES_DEV.md
-sizing caveat), because growth itself holds old+new buffers concurrently.
+Because AOT compilation does not populate jax's jit dispatch cache, the
+dispatch path (core/index.query_both_packed) asks ``get_compiled`` for a
+warm executable for its exact signature before falling back to the jitted
+call; post-growth queries therefore run the prewarmed binary immediately
+(tested: the post-growth dispatch adds no jit cache entry).
+
+Single-device only: under MESH_SHAPE the AOT input-sharding contract is
+stricter and multi-chip deployments provision capacity upfront; prewarm
+quietly stands down when the index is mesh-sharded.
 
 No reference counterpart (Postgres has no compile step); this is the
 TPU-native analogue of index warm-up. SURVEY.md §5 failure-detection calls
@@ -31,7 +38,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import threading
-from typing import TYPE_CHECKING, Optional, Set, Tuple
+from typing import TYPE_CHECKING, Dict, Optional, Set, Tuple
 
 from ..config import settings
 
@@ -66,12 +73,14 @@ class QuerySignature:
 
 class GrowthPrewarmer:
     _MAX_SIGS = 8
+    _MAX_COMPILED = 8
 
     def __init__(self, manager: "DeviceIndexManager"):
         self._manager = manager
         self._lock = threading.Lock()
         self._sigs: list[QuerySignature] = []
-        self._warmed: Set[Tuple[QuerySignature, int, int]] = set()
+        self._started: Set[Tuple[QuerySignature, int, int]] = set()
+        self._compiled: Dict[Tuple[QuerySignature, int, int], object] = {}
         self._thread: Optional[threading.Thread] = None
 
     # -- bookkeeping -------------------------------------------------------
@@ -82,6 +91,13 @@ class GrowthPrewarmer:
                 self._sigs.remove(sig)
             self._sigs.insert(0, sig)
             del self._sigs[self._MAX_SIGS:]
+
+    def get_compiled(
+        self, sig: QuerySignature, chunk_cap: int, art_cap: int
+    ):
+        """A prewarmed executable for this exact signature, or None."""
+        with self._lock:
+            return self._compiled.get((sig, chunk_cap, art_cap))
 
     def _target_caps(self) -> Tuple[int, int]:
         frac = float(settings.prewarm_fill_fraction)
@@ -101,6 +117,8 @@ class GrowthPrewarmer:
         next capacity's program isn't warm yet. Returns True if spawned."""
         if not settings.prewarm_growth_enabled:
             return False
+        if self._manager.chunks.row_sharding is not None:
+            return False  # mesh-sharded: see module docstring
         chunk_cap, art_cap = self._target_caps()
         if (chunk_cap == self._manager.chunks.capacity
                 and art_cap == self._manager.artifacts.capacity):
@@ -110,12 +128,12 @@ class GrowthPrewarmer:
                 return False
             pending = [
                 sig for sig in self._sigs
-                if (sig, chunk_cap, art_cap) not in self._warmed
+                if (sig, chunk_cap, art_cap) not in self._started
             ]
             if not pending:
                 return False
             for sig in pending:
-                self._warmed.add((sig, chunk_cap, art_cap))
+                self._started.add((sig, chunk_cap, art_cap))
             self._thread = threading.Thread(
                 target=self._compile_all,
                 args=(pending, chunk_cap, art_cap),
@@ -131,40 +149,22 @@ class GrowthPrewarmer:
             thread.join(timeout)
 
     # -- compile -----------------------------------------------------------
-    def _dummy_arrays(self, cap: int, sig: QuerySignature):
+    @staticmethod
+    def _corpus_specs(cap: int, sig: QuerySignature):
+        import jax
         import jax.numpy as jnp
 
-        sharding = self._manager.chunks.row_sharding
-
-        def place(arr):
-            if sharding is None:
-                return arr
-            import jax
-
-            return jax.device_put(arr, sharding)
-
-        def place_1d(arr):
-            if sharding is None:
-                return arr
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            return jax.device_put(
-                arr, NamedSharding(sharding.mesh, PartitionSpec(sharding.spec[0]))
-            )
-
+        spec = jax.ShapeDtypeStruct
         return (
-            place(jnp.zeros((cap, sig.dim), dtype=sig.emb_dtype)),
-            place(jnp.zeros((cap, sig.lex_dim), dtype=jnp.int8)),
-            place(jnp.zeros((cap, sig.tech_slots), dtype=jnp.int32)),
-            place_1d(jnp.zeros((cap,), dtype=jnp.int32)),
-            place_1d(jnp.full((cap,), -(2**31), dtype=jnp.int32)),
-            place_1d(jnp.zeros((cap,), dtype=jnp.bool_)),
+            spec((cap, sig.dim), jnp.dtype(sig.emb_dtype)),
+            spec((cap, sig.lex_dim), jnp.int8),
+            spec((cap, sig.tech_slots), jnp.int32),
+            spec((cap,), jnp.int32),
+            spec((cap,), jnp.int32),
+            spec((cap,), jnp.bool_),
         )
 
-    def _compile_all(
-        self, sigs, chunk_cap: int, art_cap: int
-    ) -> None:
+    def _compile_all(self, sigs, chunk_cap: int, art_cap: int) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -172,11 +172,10 @@ class GrowthPrewarmer:
 
         for sig in sigs:
             try:
-                chunk_arrays = self._dummy_arrays(chunk_cap, sig)
-                artifact_arrays = self._dummy_arrays(art_cap, sig)
-                packed = jnp.zeros((sig.packed_bytes,), dtype=jnp.uint8)
-                out = dual_corpus_retrieve_packed(
-                    chunk_arrays, artifact_arrays, packed,
+                lowered = dual_corpus_retrieve_packed.lower(
+                    self._corpus_specs(chunk_cap, sig),
+                    self._corpus_specs(art_cap, sig),
+                    jax.ShapeDtypeStruct((sig.packed_bytes,), jnp.uint8),
                     batch=sig.batch, emb_dim=sig.emb_dim,
                     q_feats=sig.q_feats, tech_q=sig.tech_q,
                     n_calls=sig.n_calls,
@@ -186,7 +185,19 @@ class GrowthPrewarmer:
                     recall_target=sig.recall_target,
                     dense_enabled=sig.dense_enabled,
                 )
-                jax.block_until_ready(out)
+                executable = lowered.compile()
+                with self._lock:
+                    self._compiled[(sig, chunk_cap, art_cap)] = executable
+                    # prune executables for superseded capacities (each
+                    # holds a device program binary)
+                    if len(self._compiled) > self._MAX_COMPILED:
+                        cur = (self._manager.chunks.capacity,
+                               self._manager.artifacts.capacity)
+                        for key in list(self._compiled):
+                            if (key[1], key[2]) < cur:
+                                del self._compiled[key]
+                        while len(self._compiled) > self._MAX_COMPILED:
+                            del self._compiled[next(iter(self._compiled))]
                 logger.info(
                     "prewarm.compiled chunk_cap=%s art_cap=%s batch=%s "
                     "modes=%s/%s", chunk_cap, art_cap, sig.batch,
@@ -197,5 +208,3 @@ class GrowthPrewarmer:
                     "prewarm.failed chunk_cap=%s art_cap=%s", chunk_cap,
                     art_cap,
                 )
-            finally:
-                chunk_arrays = artifact_arrays = packed = None  # free HBM

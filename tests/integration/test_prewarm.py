@@ -59,13 +59,23 @@ class TestGrowthPrewarm:
         assert index.chunks.capacity == 256
         assert index.chunks.count == 200
         index.prewarmer.wait(timeout=120)
+        assert len(index.prewarmer._compiled) >= 1  # AOT executable ready
         size_after_prewarm = dual_corpus_retrieve_packed._cache_size()
 
-        # grow for real; the first post-growth query must add NO cache entry
+        # grow for real; the first post-growth query must run the prewarmed
+        # AOT executable and add NO jit cache entry (no recompile)
         index.chunks.insert(_rows(201, 100))
         assert index.chunks.capacity == 512
-        retrieve_evidence_batch(reqs)
+        warm = retrieve_evidence_batch(reqs)
         assert dual_corpus_retrieve_packed._cache_size() == size_after_prewarm
+
+        # equivalence: the AOT executable and a fresh jit compile of the
+        # same program must produce identical responses
+        index.prewarmer._compiled.clear()
+        cold = retrieve_evidence_batch(reqs)
+        assert dual_corpus_retrieve_packed._cache_size() > size_after_prewarm
+        for a, b in zip(warm, cold):
+            assert a["retrieved_ids"] == b["retrieved_ids"]
 
     def test_prewarm_disabled_is_inert(self, prewarm_env, monkeypatch):
         monkeypatch.setattr(prewarm_env, "prewarm_growth_enabled", False)
