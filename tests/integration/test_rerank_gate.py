@@ -1,0 +1,35 @@
+"""Rerank gate (evals/rerank_gate.py): the relevance-tuned cross-encoder
+must beat the lexical rescorer on same-service/other-event paraphrase
+candidates — the confusion lexical scoring cannot resolve.
+
+The committed artifact (artifacts/reranker/paraphrase_v1.npz) was trained
+on-chip: gate numbers neural_raw MRR 0.779 vs lexical 0.635 (margin 0.14,
+floor 0.50). CI re-evaluates that artifact through the production rerank
+providers on the regenerated gate corpus; a short CPU training run only
+smoke-tests the training half of the machinery.
+"""
+
+from pathlib import Path
+
+import pytest
+
+from cadence_rag_tpu.evals.rerank_gate import run_gate
+
+ARTIFACT = Path(__file__).resolve().parents[2] / "artifacts" / "reranker" / "paraphrase_v1.npz"
+
+
+class TestRerankGate:
+    def test_committed_artifact_beats_lexical(self):
+        assert ARTIFACT.is_file(), "committed reranker artifact missing"
+        outcome = run_gate(params_path=str(ARTIFACT))
+        assert outcome["failures"] == [], outcome
+        assert outcome["neural_mrr"] > outcome["lexical_mrr"] + 0.10
+        assert outcome["shuffled_mrr"] < outcome["neural_mrr"]
+
+    def test_training_path_smoke(self):
+        # machinery only: triples build, training runs, eval produces MRRs
+        outcome = run_gate(steps=60, min_margin=-1.0, min_mrr=0.0)
+        assert outcome["triples"] > 100
+        assert outcome["queries"] > 10
+        assert 0.0 <= outcome["neural_mrr"] <= 1.0
+        assert outcome["final_loss"] is not None
