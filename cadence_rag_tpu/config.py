@@ -119,6 +119,9 @@ class Settings:
     dist_coordinator: str = ""
     dist_num_processes: int = 0
     dist_process_id: int = 0
+    # Device-index op-log port for multi-host lockstep serving
+    # (parallel/oplog.py); 0 = coordinator port + 1.
+    dist_oplog_port: int = 0
 
     def __post_init__(self) -> None:
         env = dict(_load_env_file(os.environ.get("CADENCE_ENV_FILE", ".env")))

@@ -36,6 +36,38 @@ from ..ops.masks import filter_mask
 INT32_MIN = np.int32(-2147483648)
 INT32_MAX = np.int32(2147483647)
 
+# Multi-host serving (parallel/oplog.py): when the mesh spans OS
+# processes, every device-touching op below is mirrored to follower
+# processes so the gang enqueues identical XLA programs. set_oplog is
+# called on the LEADER only; followers replay via oplog._apply.
+_oplog = None
+
+
+def set_oplog(log) -> None:
+    global _oplog
+    _oplog = log
+
+
+# sentinel: the multi-process path already ran the dispatch
+_MULTIPROCESS_DISPATCHED = object()
+
+
+def _multiprocess() -> bool:
+    """True when the device mesh spans OS processes — host->device inputs
+    must then stay uncommitted numpy (jit stages them replicated on every
+    process; a committed process-local jnp.asarray poisons the global
+    dispatch), and leader-read outputs need replicated out_shardings."""
+    return jax.process_count() > 1
+
+
+def _stage(arr, dtype=None):
+    """Host->device staging for jit inputs: eager transfer single-process
+    (overlaps the tunneled H2D with other host work), raw numpy when the
+    mesh spans processes (see _multiprocess)."""
+    if _multiprocess():
+        return np.asarray(arr, dtype=dtype) if dtype is not None else arr
+    return jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
+
 
 @dataclasses.dataclass
 class DocRow:
@@ -207,28 +239,41 @@ class CorpusIndex:
         self._on_insert = None
 
     def _alloc_device(self, cap: int) -> None:
-        def place(arr):
-            if self.row_sharding is None:
-                return arr
-            return jax.device_put(arr, self.row_sharding)
+        if self.row_sharding is None:
+            self.emb = jnp.zeros((cap, self.dim), dtype=self.emb_dtype)
+            self.lex = jnp.zeros((cap, self.lex_dim), dtype=jnp.int8)
+            self.tech = jnp.zeros((cap, self.tech_slots), dtype=jnp.int32)
+            self.call_idx = jnp.zeros((cap,), dtype=jnp.int32)
+            self.started = jnp.full((cap,), int(INT32_MIN), dtype=jnp.int32)
+            self.has_emb = jnp.zeros((cap,), dtype=jnp.bool_)
+            return
+        # Sharded: build from per-shard callbacks — each process
+        # materializes only its addressable shards, which is both the
+        # multi-process-legal construction (device_put to non-addressable
+        # devices is not) and avoids a full-capacity host buffer.
+        from jax.sharding import NamedSharding, PartitionSpec
 
-        def place_1d(arr):
-            if self.row_sharding is None:
-                return arr
-            from jax.sharding import NamedSharding, PartitionSpec
+        sharding_2d = self.row_sharding
+        sharding_1d = NamedSharding(
+            sharding_2d.mesh, PartitionSpec(sharding_2d.spec[0])
+        )
 
-            spec = self.row_sharding.spec
-            return jax.device_put(
-                arr, NamedSharding(self.row_sharding.mesh,
-                                   PartitionSpec(spec[0]))
-            )
+        def alloc(shape, dtype, fill, sharding):
+            def cb(idx):
+                shard_shape = tuple(
+                    len(range(*s.indices(dim)))
+                    for s, dim in zip(idx, shape)
+                )
+                return np.full(shard_shape, fill, dtype=dtype)
 
-        self.emb = place(jnp.zeros((cap, self.dim), dtype=self.emb_dtype))
-        self.lex = place(jnp.zeros((cap, self.lex_dim), dtype=jnp.int8))
-        self.tech = place(jnp.zeros((cap, self.tech_slots), dtype=jnp.int32))
-        self.call_idx = place_1d(jnp.zeros((cap,), dtype=jnp.int32))
-        self.started = place_1d(jnp.full((cap,), int(INT32_MIN), dtype=jnp.int32))
-        self.has_emb = place_1d(jnp.zeros((cap,), dtype=jnp.bool_))
+            return jax.make_array_from_callback(shape, sharding, cb)
+
+        self.emb = alloc((cap, self.dim), self.emb_dtype, 0, sharding_2d)
+        self.lex = alloc((cap, self.lex_dim), np.int8, 0, sharding_2d)
+        self.tech = alloc((cap, self.tech_slots), np.int32, 0, sharding_2d)
+        self.call_idx = alloc((cap,), np.int32, 0, sharding_1d)
+        self.started = alloc((cap,), np.int32, int(INT32_MIN), sharding_1d)
+        self.has_emb = alloc((cap,), bool, False, sharding_1d)
 
     @property
     def avgdl(self) -> float:
@@ -236,6 +281,8 @@ class CorpusIndex:
 
     # -- growth ---------------------------------------------------------
     def _grow_to(self, cap: int) -> None:
+        if _oplog is not None:
+            _oplog.emit("grow", {"corpus": self.name, "cap": int(cap)})
         old = (self.emb, self.lex, self.tech, self.call_idx, self.started,
                self.has_emb)
         self.capacity = cap
@@ -297,16 +344,29 @@ class CorpusIndex:
         pad_started = np.full(padded, INT32_MIN, dtype=np.int32)
         pad_started[:n] = started
 
+        emb_p = _pad_rows(emb, padded)
+        lex_p = _pad_rows(lex, padded)
+        tech_p = _pad_rows(tech, padded)
+        call_p = _pad_rows(call, padded)
+        has_p = _pad_rows(has, padded)
+        if _oplog is not None:
+            _oplog.emit(
+                "write_slabs",
+                {"corpus": self.name, "start": int(start),
+                 "count_after": int(start + n)},
+                {"emb": emb_p, "lex": lex_p, "tech": tech_p, "call": call_p,
+                 "started": pad_started, "has": has_p},
+            )
         (self.emb, self.lex, self.tech, self.call_idx, self.started,
          self.has_emb) = _write_all_slabs(
             self.emb, self.lex, self.tech, self.call_idx, self.started,
             self.has_emb,
-            jnp.asarray(_pad_rows(emb, padded), dtype=self.emb_dtype),
-            jnp.asarray(_pad_rows(lex, padded)),
-            jnp.asarray(_pad_rows(tech, padded)),
-            jnp.asarray(_pad_rows(call, padded)),
-            jnp.asarray(pad_started),
-            jnp.asarray(_pad_rows(has, padded)),
+            _stage(emb_p, dtype=self.emb_dtype),
+            _stage(lex_p),
+            _stage(tech_p),
+            _stage(call_p),
+            _stage(pad_started),
+            _stage(has_p),
             start,
         )
 
@@ -348,10 +408,16 @@ class CorpusIndex:
         pad_vals = np.zeros((padded, self.dim), dtype=np.float32)
         pad_vals[:n] = vals
         pad_vals[n:] = vals[0] if n else 0.0
+        flags = np.ones(padded, dtype=bool)
+        if _oplog is not None:
+            _oplog.emit(
+                "scatter_emb", {"corpus": self.name},
+                {"pos": pad_pos, "vals": pad_vals, "flags": flags},
+            )
         self.emb, self.has_emb = _scatter_emb_and_flags(
-            self.emb, self.has_emb, jnp.asarray(pad_pos),
-            jnp.asarray(pad_vals, dtype=self.emb_dtype),
-            jnp.asarray(np.ones(padded, dtype=bool)),
+            self.emb, self.has_emb, _stage(pad_pos),
+            _stage(pad_vals, dtype=self.emb_dtype),
+            _stage(flags),
         )
         self.emb_rows += int((~self.h_has_emb[pos]).sum())
         self.h_has_emb[pos] = True
@@ -378,8 +444,11 @@ class CorpusIndex:
         pad_vals = np.zeros((padded, self.tech_slots), dtype=np.int32)
         pad_vals[:n] = vals
         pad_vals[n:] = vals[0] if n else 0
+        if _oplog is not None:
+            _oplog.emit("scatter_tech", {"corpus": self.name},
+                        {"pos": pad_pos, "vals": pad_vals})
         self.tech = _scatter_rows(
-            self.tech, jnp.asarray(pad_pos), jnp.asarray(pad_vals)
+            self.tech, _stage(pad_pos), _stage(pad_vals)
         )
         return int(n)
 
@@ -421,8 +490,10 @@ class CorpusIndex:
         padded = _next_pow2(n)
         pad_pos = np.full(padded, pos[0], dtype=np.int32)
         pad_pos[:n] = pos
+        if _oplog is not None:
+            _oplog.emit("tombstone", {"corpus": self.name}, {"pos": pad_pos})
         self.started, self.has_emb = _tombstone_rows(
-            self.started, self.has_emb, jnp.asarray(pad_pos)
+            self.started, self.has_emb, _stage(pad_pos)
         )
         self.emb_rows -= int(self.h_has_emb[pos].sum())
         self.h_started[pos] = INT32_MIN
@@ -449,6 +520,11 @@ class CorpusIndex:
     def maybe_compact(self, threshold_frac: float = 0.25) -> bool:
         """Compact when tombstones exceed a quarter of the rows (bounded
         wasted HBM + scan work); O(live rows) one-time gather."""
+        if _multiprocess():
+            # compaction gathers through host buffers the leader cannot
+            # read across processes; tombstones accumulate until an
+            # offline (single-process) compact — parallel/oplog.py
+            return False
         with self.lock:
             if self.tombstones < max(
                 int(self.count * threshold_frac), 64
@@ -462,6 +538,12 @@ class CorpusIndex:
             self._compact_locked()
 
     def _compact_locked(self) -> None:
+        if _multiprocess():
+            raise RuntimeError(
+                "index compaction is single-process only (multi-host "
+                "serving tombstones until an offline compact; "
+                "parallel/oplog.py)"
+            )
         n = self.count
         live = np.flatnonzero(self.h_started[:n] != INT32_MIN).astype(np.int32)
         out_rows = int(live.shape[0])
@@ -543,6 +625,11 @@ class CorpusIndex:
         clustering runs OUTSIDE the lock, and the finished state installs
         atomically — rows inserted meanwhile land in the exact-scanned
         overflow tail, so nothing is ever invisible."""
+        if _multiprocess():
+            raise RuntimeError(
+                "IVF build is single-process only; multi-host serving "
+                "uses the exact/ann dense modes (parallel/oplog.py)"
+            )
         with self.lock:
             if self.count == 0:
                 raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
@@ -607,6 +694,7 @@ class CorpusIndex:
             state is None
             or self._ivf_rebuilding
             or not settings.dense_ivf_enabled
+            or _multiprocess()  # multi-host serves exact/ann (oplog.py)
             or state.overflow_count < max(state.built_count // 2, 8)
         ):
             return
@@ -683,6 +771,12 @@ class CorpusIndex:
             return self._state_arrays_locked()
 
     def _state_arrays_locked(self) -> Dict[str, np.ndarray]:
+        if _multiprocess():
+            raise RuntimeError(
+                "checkpoint save is single-process only (device arrays "
+                "span processes); snapshot from a single-process restart "
+                "— restore IS multi-host-supported (parallel/oplog.py)"
+            )
         c = self.count
         return {
             # storage dtype passes through (bf16 stays bf16): checkpoints
@@ -712,6 +806,8 @@ class CorpusIndex:
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
         cap = max(self.capacity, _next_pow2(max(n, 8)))
         self.capacity = cap
+        if _oplog is not None:
+            _oplog.emit("alloc", {"corpus": self.name, "cap": int(cap)})
         self._alloc_device(cap)
         self.h_ids = np.zeros(cap, dtype=np.int64)
         self.h_call = np.zeros(cap, dtype=np.int32)
@@ -721,23 +817,26 @@ class CorpusIndex:
             padded = _next_pow2(n)
             started = np.full(padded, INT32_MIN, dtype=np.int32)
             started[:n] = arrays["started"]
-            self.emb = _write_slab(
-                self.emb,
-                jnp.asarray(_pad_rows(arrays["emb"], padded),
-                            dtype=self.emb_dtype), 0,
-            )
-            self.lex = _write_slab(
-                self.lex, jnp.asarray(_pad_rows(arrays["lex"].astype(np.int8), padded)), 0
-            )
-            self.tech = _write_slab(
-                self.tech, jnp.asarray(_pad_rows(arrays["tech"].astype(np.int32), padded)), 0
-            )
-            self.call_idx = _write_slab(
-                self.call_idx, jnp.asarray(_pad_rows(arrays["call"].astype(np.int32), padded)), 0
-            )
-            self.started = _write_slab(self.started, jnp.asarray(started), 0)
-            self.has_emb = _write_slab(
-                self.has_emb, jnp.asarray(_pad_rows(arrays["has_emb"].astype(bool), padded)), 0
+            emb_p = _pad_rows(arrays["emb"], padded)
+            lex_p = _pad_rows(arrays["lex"].astype(np.int8), padded)
+            tech_p = _pad_rows(arrays["tech"].astype(np.int32), padded)
+            call_p = _pad_rows(arrays["call"].astype(np.int32), padded)
+            has_p = _pad_rows(arrays["has_emb"].astype(bool), padded)
+            if _oplog is not None:
+                _oplog.emit(
+                    "write_slabs",
+                    {"corpus": self.name, "start": 0, "count_after": int(n)},
+                    {"emb": emb_p, "lex": lex_p, "tech": tech_p,
+                     "call": call_p, "started": started, "has": has_p},
+                )
+            (self.emb, self.lex, self.tech, self.call_idx, self.started,
+             self.has_emb) = _write_all_slabs(
+                self.emb, self.lex, self.tech, self.call_idx, self.started,
+                self.has_emb,
+                _stage(emb_p, dtype=self.emb_dtype),
+                _stage(lex_p), _stage(tech_p), _stage(call_p),
+                _stage(started), _stage(has_p),
+                0,
             )
             self.h_ids[:n] = arrays["ids"]
             self.h_call[:n] = arrays["call"]
@@ -779,6 +878,8 @@ class CorpusIndex:
             self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
             cap = max(self.capacity, _next_pow2(max(n, 8)))
             self.capacity = cap
+            if _oplog is not None:
+                _oplog.emit("alloc", {"corpus": self.name, "cap": int(cap)})
             self._alloc_device(cap)
             self.h_ids = np.zeros(cap, dtype=np.int64)
             self.h_call = np.zeros(cap, dtype=np.int32)
@@ -793,16 +894,30 @@ class CorpusIndex:
                 # tail could clamp past capacity and overwrite earlier rows;
                 # shard sizes are uniform (+1 tail size) so this costs at
                 # most two jit variants per restore
+                emb_s = shard["emb"]
+                lex_s = shard["lex"].astype(np.int8)
+                tech_s = shard["tech"].astype(np.int32)
+                call_s = shard["call"].astype(np.int32)
+                started_s = shard["started"].astype(np.int32)
+                has_s = shard["has_emb"].astype(bool)
+                if _oplog is not None:
+                    _oplog.emit(
+                        "write_slabs",
+                        {"corpus": self.name, "start": int(off),
+                         "count_after": int(off + m)},
+                        {"emb": emb_s, "lex": lex_s, "tech": tech_s,
+                         "call": call_s, "started": started_s, "has": has_s},
+                    )
                 (self.emb, self.lex, self.tech, self.call_idx, self.started,
                  self.has_emb) = _write_all_slabs(
                     self.emb, self.lex, self.tech, self.call_idx,
                     self.started, self.has_emb,
-                    jnp.asarray(shard["emb"], dtype=self.emb_dtype),
-                    jnp.asarray(shard["lex"].astype(np.int8)),
-                    jnp.asarray(shard["tech"].astype(np.int32)),
-                    jnp.asarray(shard["call"].astype(np.int32)),
-                    jnp.asarray(shard["started"].astype(np.int32)),
-                    jnp.asarray(shard["has_emb"].astype(bool)),
+                    _stage(emb_s, dtype=self.emb_dtype),
+                    _stage(lex_s),
+                    _stage(tech_s),
+                    _stage(call_s),
+                    _stage(started_s),
+                    _stage(has_s),
                     off,
                 )
                 self.h_ids[off:off + m] = shard["ids"]
@@ -871,6 +986,42 @@ class CorpusIndex:
         k_dense_c = min(k_dense, self.capacity)
         k_lex_c = min(k_lex, self.capacity)
         k_tech_c = min(k_tech, self.capacity)
+        if _multiprocess():
+            from ..parallel import oplog as oplog_mod
+
+            statics = {
+                "k_dense": k_dense_c, "k_lex": k_lex_c, "k_tech": k_tech_c,
+                "dense_mode": dense_mode,
+                "recall_target": float(
+                    recall_target if recall_target is not None
+                    else settings.ann_recall_target
+                ),
+                "dense_enabled": dense_enabled,
+            }
+            q_emb_np = np.asarray(
+                q_emb if dense_enabled
+                else np.zeros((batch, self.dim), np.float32),
+                dtype=np.float32,
+            )
+            payload = {
+                "q_emb": q_emb_np,
+                "q_lex": np.asarray(q_lex, dtype=np.float32),
+                "q_tech": np.asarray(q_tech, dtype=np.int32),
+                "allowed": np.asarray(allowed_calls, dtype=bool),
+                "dmin": np.asarray(date_min, dtype=np.int32),
+                "dmax": np.asarray(date_max, dtype=np.int32),
+            }
+            if _oplog is not None:
+                _oplog.emit(
+                    "query_single",
+                    {"corpus": self.name, "statics": statics}, payload,
+                )
+            out = oplog_mod.single_query(
+                self, payload["q_emb"], payload["q_lex"], payload["q_tech"],
+                payload["allowed"], payload["dmin"], payload["dmax"],
+                statics,
+            )
+            return self.postprocess_lanes(jax.device_get(out), batch)
         out = multi_lane_retrieve(
             self.emb, self.lex, self.tech, self.call_idx, self.started,
             self.has_emb,
@@ -1064,6 +1215,12 @@ class DeviceIndexManager:
             )
             return chunks_out, artifacts_out
 
+        if _multiprocess():
+            raise RuntimeError(
+                "multi-host serving dispatches through query_both_packed "
+                "(mirrored op-log); the unpacked dual-corpus path is "
+                "single-process only — parallel/oplog.py"
+            )
         q_emb_arr = jnp.asarray(
             q_emb if dense_enabled
             else np.zeros((batch, self.chunks.dim), np.float32)
@@ -1099,6 +1256,33 @@ class DeviceIndexManager:
         return (
             self.chunks.postprocess_lanes(chunks_np, batch),
             self.artifacts.postprocess_lanes(artifacts_np, batch),
+        )
+
+    def _dispatch_multiprocess(self, sig, chunk_mode: str, packed: np.ndarray):
+        """Multi-host dispatch: mirror the query to followers, then run
+        the replicated-output program (parallel/oplog.py). Called under
+        both corpus locks so the op-log order matches enqueue order."""
+        from ..parallel import oplog as oplog_mod
+
+        statics = {
+            "batch": sig.batch, "emb_dim": sig.emb_dim,
+            "q_feats": sig.q_feats, "tech_q": sig.tech_q,
+            "n_calls": sig.n_calls,
+            "chunk_ks": list(sig.chunk_ks),
+            "artifact_ks": list(sig.artifact_ks),
+            "chunk_mode": chunk_mode,
+            "artifact_mode": sig.artifact_mode,
+            "recall_target": sig.recall_target,
+            "dense_enabled": sig.dense_enabled,
+        }
+        if _oplog is not None:
+            _oplog.emit("query_packed",
+                        {"corpus": "chunks", "statics": statics},
+                        {"packed": packed})
+        return oplog_mod.packed_query(
+            self.chunks.device_arrays(),
+            self.artifacts.device_arrays(),
+            packed, statics,
         )
 
     def query_both_packed(
@@ -1157,8 +1341,10 @@ class DeviceIndexManager:
         )
         # H2D OUTSIDE the locks: the transfer references no corpus buffer,
         # and through the tunneled link it costs ~25-35 ms — concurrent
-        # batches overlap their uploads with the current batch's compute
-        d_packed = jnp.asarray(packed)
+        # batches overlap their uploads with the current batch's compute.
+        # (Multi-process: stays numpy — jit stages it replicated on every
+        # process; see _stage.)
+        d_packed = _stage(packed)
         # Locks are held only from CAPTURING the array handles to ENQUEUE:
         # the donated-insert hazard is an insert deleting a handle between
         # capture and dispatch. Once the program is enqueued the runtime
@@ -1187,13 +1373,21 @@ class DeviceIndexManager:
                 tech_slots=self.chunks.tech_slots,
                 emb_dtype=str(self.chunks.emb_dtype),
             )
-            # post-growth fast path: run the prewarmed AOT executable (the
-            # jitted call would recompile — AOT compiles don't populate the
-            # jit dispatch cache)
-            compiled = self.prewarmer.get_compiled(
-                sig, self.chunks.capacity, self.artifacts.capacity
-            )
-            if compiled is not None:
+            if _multiprocess():
+                chunks_raw, artifacts_raw = self._dispatch_multiprocess(
+                    sig, chunk_mode, packed
+                )
+                compiled = _MULTIPROCESS_DISPATCHED
+            else:
+                # post-growth fast path: run the prewarmed AOT executable
+                # (the jitted call would recompile — AOT compiles don't
+                # populate the jit dispatch cache)
+                compiled = self.prewarmer.get_compiled(
+                    sig, self.chunks.capacity, self.artifacts.capacity
+                )
+            if compiled is _MULTIPROCESS_DISPATCHED:
+                pass
+            elif compiled is not None:
                 chunks_raw, artifacts_raw = compiled(
                     self.chunks.device_arrays(),
                     self.artifacts.device_arrays(),

@@ -16,8 +16,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INT32_MIN = jnp.int32(-2147483648)
+# plain numpy: a module-level jnp value would initialize the XLA backend
+# at import, breaking jax.distributed.initialize on multi-host startup
+INT32_MIN = np.int32(-2147483648)
 
 
 def tech_match(doc_tokens: jax.Array, q_tokens: jax.Array) -> jax.Array:

@@ -20,8 +20,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain numpy: a module-level jnp value would initialize the XLA backend
+# at import, breaking jax.distributed.initialize on multi-host startup
+NEG_INF = np.float32(-np.inf)
 
 
 def dense_scores(

@@ -384,6 +384,32 @@ def startup() -> None:
             settings.dist_coordinator, settings.dist_process_id,
             settings.dist_num_processes,
         )
+        if jax.process_count() > 1:
+            # Lockstep multi-host serving: the leader (process 0) runs the
+            # HTTP server + store + engine and mirrors every device-index
+            # op to followers over the op-log; followers replay the op
+            # stream so the gang enqueues identical XLA programs
+            # (parallel/oplog.py). Must install BEFORE any index mutation
+            # — including the rebuild-from-store below.
+            if not settings.mesh_shape.strip():
+                raise RuntimeError(
+                    "multi-host serving requires MESH_SHAPE spanning the "
+                    "gang's devices (e.g. data:8)"
+                )
+            from ..parallel import oplog
+
+            coord_host, _, coord_port = (
+                settings.dist_coordinator.strip().partition(":")
+            )
+            oplog_port = int(settings.dist_oplog_port) or int(coord_port) + 1
+            if jax.process_index() == 0:
+                oplog.install_leader(
+                    get_index(), oplog_port, jax.process_count() - 1
+                )
+            else:
+                logger.info("api.follower process=%s", jax.process_index())
+                oplog.follower_main(get_index(), coord_host, oplog_port)
+                raise SystemExit(0)  # leader shut down; no HTTP on followers
     if int(settings.profiler_port) > 0:
         import jax.profiler
 

@@ -1,0 +1,195 @@
+"""Multi-host lockstep serving end-to-end (parallel/oplog.py).
+
+Two OS processes join a jax.distributed gang (CPU Gloo, 4+4 virtual
+devices, MESH_SHAPE=data:8). The LEADER runs the REAL serve startup path
+(serve/http.py main -> api.startup -> oplog.install_leader) and its HTTP
+server; the FOLLOWER enters the op-log replay loop inside the same
+startup path. The test drives ingest (enough to force a capacity-growth
+op), analysis artifacts, delete, and /retrieve over HTTP against the
+leader, then replays the identical scenario against a single-process
+server and asserts bit-identical retrieval results — proving inserts,
+growth, tombstones and query dispatch all mirror correctly across the
+process boundary.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+WORKER = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.argv = ["serve", "--host", "127.0.0.1", "--port", sys.argv[1]]
+from cadence_rag_tpu.serve.http import main
+main()
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        return sock.getsockname()[1]
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", json.dumps(payload).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def _delete(port, path):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method="DELETE"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def _wait_health(port, proc, timeout_s=180):
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError(
+                f"server exited rc={proc.returncode} before healthy"
+            )
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=5
+            ) as resp:
+                if resp.status == 200:
+                    return
+        except OSError:
+            time.sleep(0.5)
+    raise AssertionError("server never became healthy")
+
+
+def _drive(port):
+    """The scenario: ingest past the 64-row initial capacity (growth op),
+    an analysis artifact, a delete, then retrievals."""
+    words = ["deploy", "rollback", "latency", "kafka", "billing", "cache",
+             "timeout", "retry", "incident", "postgres"]
+    for c in range(4):
+        turns = [
+            {"speaker": "A" if i % 2 == 0 else "B",
+             "start_ts_ms": i * 5000, "end_ts_ms": i * 5000 + 4500,
+             "text": " ".join(
+                 words[(c + i + j) % len(words)] for j in range(10)
+             ) + f" svc-{c % 2} step {i}"}
+            for i in range(24)
+        ]
+        _post(port, "/ingest/transcript", {
+            "call_ref": {"external_id": f"mh-{c}", "tags": [f"svc-{c % 2}"]},
+            "transcript": {"format": "json_turns", "content": turns},
+            "options": {"target_tokens": 20, "max_tokens": 40,
+                        "overlap_tokens": 4},
+        })
+    _post(port, "/ingest/analysis", {
+        "call_ref": {"external_id": "mh-0"},
+        "artifacts": [{"kind": "summary",
+                       "content": "kafka timeout incident summary for "
+                                  "svc-0 rollback"}],
+    })
+    doomed = _post(port, "/ingest/call",
+                   {"call_ref": {"external_id": "mh-3"}})["call_id"]
+    results = {}
+    results["pre_delete"] = _post(port, "/retrieve", {
+        "query": "kafka timeout incident on svc-0",
+        "return_style": "ids_only",
+    })["retrieved_ids"]
+    _delete(port, f"/calls/{doomed}")
+    results["post_delete"] = _post(port, "/retrieve", {
+        "query": "billing rollback latency", "return_style": "ids_only",
+    })["retrieved_ids"]
+    full = _post(port, "/retrieve", {"query": "postgres cache retry"})
+    results["evidence"] = [q["chunk_id"] for q in full["quotes"]]
+    stats = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/index/stats", timeout=30
+    ).read())
+    results["counts"] = (stats["chunks"]["count"],
+                         stats["artifact_chunks"]["count"])
+    results["capacity"] = stats["chunks"]["capacity"]
+    return results
+
+
+def _spawn(tmp_path, name, port, extra_env):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.update({
+        "STORE_PATH": str(tmp_path / f"{name}.db"),
+        "EMBEDDINGS_PROVIDER": "stub",
+        "EMBEDDINGS_BASE_URL": "",
+        "INDEX_INITIAL_CAPACITY": "64",
+        "LOG_LEVEL": "INFO",
+    })
+    env.update(extra_env)
+    log = open(tmp_path / f"{name}.log", "w")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", WORKER, str(port)],
+        env=env, stdout=log, stderr=subprocess.STDOUT,
+    )
+    return proc
+
+
+class TestMultihostServing:
+    def test_two_process_gang_matches_single_process(self, tmp_path):
+        coord = _free_port()
+        oplog_port = _free_port()
+        http_port = _free_port()
+        gang_env = {
+            "DIST_COORDINATOR": f"127.0.0.1:{coord}",
+            "DIST_NUM_PROCESSES": "2",
+            "DIST_OPLOG_PORT": str(oplog_port),
+            "MESH_SHAPE": "data:8",
+        }
+        follower = _spawn(tmp_path, "follower", _free_port(),
+                          {**gang_env, "DIST_PROCESS_ID": "1"})
+        leader = _spawn(tmp_path, "leader", http_port,
+                        {**gang_env, "DIST_PROCESS_ID": "0"})
+        try:
+            _wait_health(http_port, leader)
+            gang = _drive(http_port)
+        finally:
+            leader.terminate()
+            try:
+                leader.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                leader.kill()
+            try:
+                follower.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                follower.kill()
+                raise AssertionError(
+                    "follower did not exit after leader shutdown"
+                )
+
+        assert gang["capacity"] > 64, "scenario must exercise growth"
+        assert gang["counts"][0] > 64 and gang["counts"][1] >= 1
+
+        # single-process oracle: identical scenario, no gang
+        oracle_port = _free_port()
+        oracle = _spawn(tmp_path, "oracle", oracle_port, {})
+        try:
+            _wait_health(oracle_port, oracle)
+            solo = _drive(oracle_port)
+        finally:
+            oracle.terminate()
+            try:
+                oracle.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                oracle.kill()
+
+        assert gang["counts"] == solo["counts"]
+        assert gang["pre_delete"] == solo["pre_delete"]
+        assert gang["post_delete"] == solo["post_delete"]
+        assert gang["evidence"] == solo["evidence"]
