@@ -95,12 +95,12 @@ class Settings:
     ivf_clusters: int = 0                    # 0 = auto sqrt(N)
     ivf_nprobe: int = 0                      # 0 = auto 8% of clusters (>=4)
     retrieve_batch_window_ms: int = 0        # server-side query batching
-    # Growth-compile prewarm: background-compile the fused program for the
-    # NEXT capacity before fill crosses the doubling threshold. Measured
-    # without it: an unthrottled writer at 500k drove query p99 from 119 ms
-    # to 17.4 s — the tail was the mid-serving recompile (NOTES_DEV.md).
-    # Costs one transient dummy-array allocation at the next capacity
-    # (within the 3x growth headroom operators already provision).
+    # Growth-compile prewarm: AOT-compile the fused program for the NEXT
+    # capacity before fill crosses the doubling threshold (zero-HBM
+    # jit.lower().compile(); core/prewarm.py). Measured without it: an
+    # unthrottled writer at 500k drove query p99 from 119 ms to 17.4 s —
+    # the tail was the mid-serving recompile; with it, p99 1.78 s
+    # (NOTES_DEV.md).
     prewarm_growth_enabled: bool = True
     prewarm_fill_fraction: float = 0.75      # trigger at this fill level
     prewarm_min_capacity: int = 65536        # small corpora compile fast
