@@ -146,7 +146,18 @@ class LeaderOpLog:
              arrays: Optional[Dict] = None) -> None:
         with self._send_lock:
             for sock in self._socks:
-                _send_msg(sock, op, statics or {}, arrays or {})
+                try:
+                    _send_msg(sock, op, statics or {}, arrays or {})
+                except OSError as exc:
+                    # A lost follower means the gang can no longer enqueue
+                    # lockstep programs — the next collective would hang.
+                    # Fail fast with an operator-actionable error; the
+                    # deployment must restart the gang (and can restore
+                    # from checkpoint + store).
+                    raise RuntimeError(
+                        "op-log follower lost mid-serving; the multi-host "
+                        "gang must be restarted"
+                    ) from exc
 
     def shutdown(self) -> None:
         try:

@@ -14,11 +14,13 @@ process boundary.
 
 import json
 import os
+import shutil
 import socket
 import subprocess
 import sys
 import time
 import urllib.request
+from pathlib import Path
 
 import pytest
 
@@ -141,6 +143,44 @@ def _spawn(tmp_path, name, port, extra_env):
     return proc
 
 
+class TestFollowerLoss:
+    def test_emit_after_follower_loss_raises_gang_error(self):
+        """A lost follower means the next collective would hang; emit must
+        fail fast with an operator-actionable error instead."""
+        import threading
+
+        import numpy as np
+
+        from cadence_rag_tpu.parallel.oplog import LeaderOpLog
+
+        port = _free_port()
+        holder = {}
+
+        def connect():
+            deadline = time.monotonic() + 30
+            while True:
+                try:
+                    holder["sock"] = socket.create_connection(
+                        ("127.0.0.1", port), timeout=5)
+                    return
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise
+                    time.sleep(0.05)
+
+        t = threading.Thread(target=connect)
+        t.start()
+        log = LeaderOpLog(port, 1, timeout_s=30)
+        t.join()
+        holder["sock"].close()
+        with pytest.raises(RuntimeError, match="gang must be restarted"):
+            # the first sends may land in socket buffers before the
+            # peer-closed state surfaces; keep pushing
+            for _ in range(200):
+                log.emit("grow", {"corpus": "chunks", "cap": 8},
+                         {"pad": np.zeros(1 << 16, dtype=np.uint8)})
+
+
 class TestMultihostServing:
     def test_two_process_gang_matches_single_process(self, tmp_path):
         coord = _free_port()
@@ -193,3 +233,134 @@ class TestMultihostServing:
         assert gang["pre_delete"] == solo["pre_delete"]
         assert gang["post_delete"] == solo["post_delete"]
         assert gang["evidence"] == solo["evidence"]
+
+    def test_restore_backfill_and_fallback_ops(self, tmp_store, tmp_path):
+        """Engine-level gang: checkpoint restore (alloc/write ops), the
+        cold-start query_single fallback (artifacts empty), embedding
+        backfill (scatter_emb ops), then the packed path — all mirrored
+        across two processes and identical to this (single-process)
+        oracle."""
+        from cadence_rag_tpu.core.checkpoint import save_index
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+        from cadence_rag_tpu.ingest.ingest import (
+            ingest_analysis,
+            ingest_transcript,
+        )
+        from cadence_rag_tpu.schemas import (
+            AnalysisArtifactIn,
+            CallRef,
+            ChunkingOptions,
+            RetrieveRequest,
+        )
+
+        words = ["kafka", "timeout", "incident", "rollback", "billing",
+                 "cache", "deploy", "latency"]
+        for c in range(3):
+            from cadence_rag_tpu.schemas import UtteranceIn
+
+            turns = [
+                UtteranceIn(
+                    speaker="A", start_ts_ms=i * 5000,
+                    end_ts_ms=i * 5000 + 4500,
+                    text=" ".join(words[(c + i + j) % len(words)]
+                                  for j in range(8)) + f" s{c} step {i}",
+                )
+                for i in range(20)
+            ]
+            ingest_transcript(
+                CallRef(external_id=f"seed-{c}"), turns,
+                ChunkingOptions(target_tokens=16, max_tokens=32,
+                                overlap_tokens=0),
+            )
+        ckpt = str(tmp_path / "ckpt")
+        save_index(ckpt)
+        # leader's store must match the pre-backfill/pre-artifact state
+        # the checkpoint captured — copy the db (and its WAL, which holds
+        # recent writes) before the oracle mutates
+        db_copy = tmp_path / "leader_seed.db"
+        shutil.copyfile(tmp_store.store_path, db_copy)
+        for suffix in ("-wal", "-shm"):
+            src = Path(tmp_store.store_path + suffix)
+            if src.exists():
+                shutil.copyfile(src, str(db_copy) + suffix)
+
+        def ids(query):
+            return retrieve_evidence_batch(
+                [RetrieveRequest(query=query, return_style="ids_only")]
+            )[0]["retrieved_ids"]
+
+        index = get_index()
+        oracle = {"counts": [index.chunks.count, index.artifacts.count]}
+        oracle["restored"] = ids("kafka timeout incident")
+        run_embedding_backfill(batch_size=16)
+        oracle["embedded"] = int(index.chunks.emb_rows)
+        oracle["dense"] = ids("kafka timeout incident")
+        ingest_analysis(
+            CallRef(external_id="seed-0"),
+            [AnalysisArtifactIn(kind="summary",
+                                content="kafka incident rollback summary")],
+        )
+        oracle["packed"] = ids("kafka rollback")
+
+        coord = _free_port()
+        oplog_port = _free_port()
+        env_common = {
+            "DIST_COORDINATOR": f"127.0.0.1:{coord}",
+            "MESH_SHAPE": "data:8",
+            "LEXICAL_DIM": "1024",
+            "EMBEDDINGS_DIM": "64",
+            "INDEX_INITIAL_CAPACITY": "64",
+        }
+        worker = str(Path(__file__).parent / "_multihost_engine_worker.py")
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["PYTHONPATH"] = (
+            str(Path(__file__).resolve().parents[2])
+            + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        env.update(env_common)
+        env.update({
+            "EMBEDDINGS_PROVIDER": "stub",
+            "EMBEDDINGS_BASE_URL": "",
+        })
+        fenv = dict(env)
+        fenv["STORE_PATH"] = str(tmp_path / "follower.db")
+        lenv = dict(env)
+        lenv["STORE_PATH"] = str(tmp_path / "leader.db")
+        shutil.copyfile(db_copy, lenv["STORE_PATH"])
+        for suffix in ("-wal", "-shm"):
+            src = Path(str(db_copy) + suffix)
+            if src.exists():
+                shutil.copyfile(src, lenv["STORE_PATH"] + suffix)
+        flog = open(tmp_path / "f.log", "w")
+        llog = open(tmp_path / "l.log", "w")
+        follower = subprocess.Popen(
+            [sys.executable, worker, "1", f"127.0.0.1:{coord}",
+             str(oplog_port), ckpt],
+            env=fenv, stdout=flog, stderr=subprocess.STDOUT,
+        )
+        leader = subprocess.Popen(
+            [sys.executable, worker, "0", f"127.0.0.1:{coord}",
+             str(oplog_port), ckpt],
+            env=lenv, stdout=llog, stderr=subprocess.STDOUT,
+        )
+        try:
+            rc = leader.wait(timeout=420)
+            follower.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            leader.kill()
+            follower.kill()
+            raise
+        finally:
+            flog.close()
+            llog.close()
+        leader_out = (tmp_path / "l.log").read_text()
+        assert rc == 0, leader_out + (tmp_path / "f.log").read_text()
+        result_line = [ln for ln in leader_out.splitlines()
+                       if ln.startswith("RESULT ")]
+        assert result_line, leader_out
+        gang = json.loads(result_line[0][len("RESULT "):])
+        assert gang == oracle
