@@ -21,7 +21,8 @@ Two measurements over the SAME live index (one compiled program):
 Prints ONE JSON line:
   {"metric": "...", "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
 
-Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (default 64),
+Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (default 128 = the
+serve batcher's max_batch),
 BENCH_ITERS (default 20), BENCH_LEX_DIM (default 4096 = the production
 lexical_dim default), BENCH_DENSE_MODE (default ann), BENCH_SKIP_PACK.
 """
@@ -203,7 +204,9 @@ def bench_host_baseline(n, sample_n=100_000, queries=8):
 
 def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_000_000))
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    # 128 = the production micro-batch cap (serve/batcher.py): measured
+    # 3749 device QPS vs 2759 at 64 (same HBM streaming, amortized)
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     lex_dim = int(os.environ.get("BENCH_LEX_DIM", 4096))
     dense_mode = os.environ.get("BENCH_DENSE_MODE", "ann")

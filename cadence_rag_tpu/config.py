@@ -82,7 +82,11 @@ class Settings:
     # Device index capacity is padded to these sizes; growing beyond a
     # capacity re-jits once per doubling (core/index.py).
     index_initial_capacity: int = 4096
-    index_embedding_dtype: str = "bfloat16"  # storage dtype; accum is f32
+    # Embedding storage dtype: "bfloat16" (default), "float32", or "int8"
+    # (unit vectors quantized round(x*127) at insert — halves dense-lane
+    # HBM traffic and checkpoint size vs bf16; scoring widens in-register
+    # and accumulates f32; IVF unsupported under int8).
+    index_embedding_dtype: str = "bfloat16"
     lexical_dim: int = 4096                  # hashed BM25 signature buckets
     lexical_dtype: str = "int8"
     tech_hash_slots: int = 16                # token-hash slots per document

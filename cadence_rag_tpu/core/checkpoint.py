@@ -53,12 +53,14 @@ SHARD_EMB_BYTES = 256 * 1024 * 1024
 def _encode_emb(emb: np.ndarray) -> Dict[str, np.ndarray]:
     if emb.dtype == np.float32:
         return {"emb": emb, "_kind": np.array(["f32"])}
+    if emb.dtype == np.int8:  # INDEX_EMBEDDING_DTYPE=int8 quantized rows
+        return {"emb": emb, "_kind": np.array(["i8"])}
     # ml_dtypes.bfloat16 (or any 2-byte float) -> raw bit pattern
     return {"emb": emb.view(np.uint16), "_kind": np.array(["bf16"])}
 
 
 def _decode_emb(raw: np.ndarray, kind: str) -> np.ndarray:
-    if kind == "f32":
+    if kind in ("f32", "i8"):
         return raw
     import ml_dtypes
 

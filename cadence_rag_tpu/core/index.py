@@ -279,6 +279,20 @@ class CorpusIndex:
     def avgdl(self) -> float:
         return (self.dl_sum / self.count) if self.count else 0.0
 
+    def _encode_emb(self, rows: np.ndarray) -> np.ndarray:
+        """Host-side encode to the storage dtype. int8 storage quantizes
+        unit vectors as round(x*127) (ops/topk.dense_scores restores the
+        scale); a plain cast would truncate [-1,1] floats to zero. Rows
+        already in the storage dtype pass through (checkpoint restore)."""
+        rows = np.asarray(rows)
+        if rows.dtype == self.emb_dtype:
+            return rows
+        if self.emb_dtype == jnp.int8:
+            return np.clip(
+                np.rint(rows.astype(np.float32) * 127.0), -127, 127
+            ).astype(np.int8)
+        return rows.astype(self.emb_dtype)
+
     # -- growth ---------------------------------------------------------
     def _grow_to(self, cap: int) -> None:
         if _oplog is not None:
@@ -344,7 +358,7 @@ class CorpusIndex:
         pad_started = np.full(padded, INT32_MIN, dtype=np.int32)
         pad_started[:n] = started
 
-        emb_p = _pad_rows(emb, padded)
+        emb_p = self._encode_emb(_pad_rows(emb, padded))
         lex_p = _pad_rows(lex, padded)
         tech_p = _pad_rows(tech, padded)
         call_p = _pad_rows(call, padded)
@@ -361,7 +375,7 @@ class CorpusIndex:
          self.has_emb) = _write_all_slabs(
             self.emb, self.lex, self.tech, self.call_idx, self.started,
             self.has_emb,
-            _stage(emb_p, dtype=self.emb_dtype),
+            _stage(emb_p),
             _stage(lex_p),
             _stage(tech_p),
             _stage(call_p),
@@ -408,6 +422,7 @@ class CorpusIndex:
         pad_vals = np.zeros((padded, self.dim), dtype=np.float32)
         pad_vals[:n] = vals
         pad_vals[n:] = vals[0] if n else 0.0
+        pad_vals = self._encode_emb(pad_vals)
         flags = np.ones(padded, dtype=bool)
         if _oplog is not None:
             _oplog.emit(
@@ -416,7 +431,7 @@ class CorpusIndex:
             )
         self.emb, self.has_emb = _scatter_emb_and_flags(
             self.emb, self.has_emb, _stage(pad_pos),
-            _stage(pad_vals, dtype=self.emb_dtype),
+            _stage(pad_vals),
             _stage(flags),
         )
         self.emb_rows += int((~self.h_has_emb[pos]).sum())
@@ -630,6 +645,12 @@ class CorpusIndex:
                 "IVF build is single-process only; multi-host serving "
                 "uses the exact/ann dense modes (parallel/oplog.py)"
             )
+        if self.emb_dtype == jnp.int8:
+            raise RuntimeError(
+                "IVF requires float embedding storage (k-means centroids "
+                "degenerate under int8 quantization); use exact/ann dense "
+                "modes with INDEX_EMBEDDING_DTYPE=int8"
+            )
         with self.lock:
             if self.count == 0:
                 raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
@@ -817,7 +838,7 @@ class CorpusIndex:
             padded = _next_pow2(n)
             started = np.full(padded, INT32_MIN, dtype=np.int32)
             started[:n] = arrays["started"]
-            emb_p = _pad_rows(arrays["emb"], padded)
+            emb_p = self._encode_emb(_pad_rows(arrays["emb"], padded))
             lex_p = _pad_rows(arrays["lex"].astype(np.int8), padded)
             tech_p = _pad_rows(arrays["tech"].astype(np.int32), padded)
             call_p = _pad_rows(arrays["call"].astype(np.int32), padded)
@@ -833,7 +854,7 @@ class CorpusIndex:
              self.has_emb) = _write_all_slabs(
                 self.emb, self.lex, self.tech, self.call_idx, self.started,
                 self.has_emb,
-                _stage(emb_p, dtype=self.emb_dtype),
+                _stage(emb_p),
                 _stage(lex_p), _stage(tech_p), _stage(call_p),
                 _stage(started), _stage(has_p),
                 0,
@@ -894,7 +915,7 @@ class CorpusIndex:
                 # tail could clamp past capacity and overwrite earlier rows;
                 # shard sizes are uniform (+1 tail size) so this costs at
                 # most two jit variants per restore
-                emb_s = shard["emb"]
+                emb_s = self._encode_emb(shard["emb"])
                 lex_s = shard["lex"].astype(np.int8)
                 tech_s = shard["tech"].astype(np.int32)
                 call_s = shard["call"].astype(np.int32)
@@ -912,7 +933,7 @@ class CorpusIndex:
                  self.has_emb) = _write_all_slabs(
                     self.emb, self.lex, self.tech, self.call_idx,
                     self.started, self.has_emb,
-                    _stage(emb_s, dtype=self.emb_dtype),
+                    _stage(emb_s),
                     _stage(lex_s),
                     _stage(tech_s),
                     _stage(call_s),

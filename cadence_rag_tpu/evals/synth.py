@@ -61,6 +61,12 @@ def install_synthetic_corpus(
     def gen_emb():
         emb = jax.random.normal(k_emb, (cap, dim), dtype=jnp.float32)
         emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+        if corpus.emb_dtype == jnp.int8:
+            # quantize like core/index._encode_emb (a plain cast would
+            # truncate unit vectors to all-zero rows)
+            return jnp.clip(
+                jnp.round(emb * 127.0), -127, 127
+            ).astype(jnp.int8)
         return emb.astype(corpus.emb_dtype)
 
     @jax.jit

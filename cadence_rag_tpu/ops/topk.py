@@ -30,7 +30,22 @@ NEG_INF = np.float32(-np.inf)
 def dense_scores(
     q_emb: jax.Array, emb: jax.Array
 ) -> jax.Array:
-    """(B, dim) x (N, dim) -> (B, N) cosine scores, f32 accumulation."""
+    """(B, dim) x (N, dim) -> (B, N) cosine scores, f32 accumulation.
+
+    int8 storage (INDEX_EMBEDDING_DTYPE=int8): rows are unit vectors
+    quantized as round(x*127) at insert (core/index._encode_emb); they
+    are widened to bf16 in-register (integers <= 127 are exact in bf16,
+    and HBM reads stay 1 byte/dim — the whole point) and the 1/127 scale
+    restores cosine units. The query keeps bf16 precision — only the
+    stored side pays quantization error."""
+    if emb.dtype == jnp.int8:
+        scores = jax.lax.dot_general(
+            q_emb.astype(jnp.bfloat16),
+            emb.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return scores * jnp.float32(1.0 / 127.0)
     return jax.lax.dot_general(
         q_emb.astype(emb.dtype),
         emb,

@@ -21,7 +21,11 @@ logger = get_logger(__name__)
 
 
 class RetrieveBatcher:
-    def __init__(self, window_ms: Optional[float] = None, max_batch: int = 64):
+    # max_batch 128: the 1M-chunk sweep (NOTES_DEV.md) measured device
+    # throughput 2759 -> 3749 QPS and serial full-stack 706 -> 925 QPS
+    # going 64 -> 128 (the scan streams the same HBM bytes regardless of
+    # batch, so bigger batches amortize it); 256 regressed the host side.
+    def __init__(self, window_ms: Optional[float] = None, max_batch: int = 128):
         self.window_s = (
             window_ms if window_ms is not None
             else float(settings.retrieve_batch_window_ms)
