@@ -99,6 +99,33 @@ class GrowthPrewarmer:
         with self._lock:
             return self._compiled.get((sig, chunk_cap, art_cap))
 
+    @staticmethod
+    def _row_bytes(corpus) -> int:
+        return (
+            corpus.dim * corpus.emb_dtype.itemsize
+            + corpus.lex_dim            # int8 signature
+            + corpus.tech_slots * 4 + 16  # call/started/has_emb + slack
+        )
+
+    def _fits_hbm(self, chunk_cap: int, art_cap: int) -> bool:
+        """Would the doubled-capacity program even fit the chip? Growth
+        holds old+new buffers concurrently and a query batch carries
+        (batch, cap) f32 score planes per lane; if the budget is blown,
+        the AOT compile fails anyway (measured at 2M->4M on 16 GB: the
+        compile OOMs its HLO temps) — and the client-side lowering of a
+        multi-million-row program steals the serving host's core while it
+        fails. Skip instead; operators at that scale provision capacity
+        upfront or shard (MESH_SHAPE)."""
+        budget = float(settings.prewarm_hbm_budget_gb) * (1 << 30)
+        batch = max((sig.batch for sig in self._sigs), default=128)
+        need = 0.0
+        for corpus, cap in ((self._manager.chunks, chunk_cap),
+                            (self._manager.artifacts, art_cap)):
+            rows = self._row_bytes(corpus)
+            # old + new buffers coexist mid-growth; 3 f32 score planes
+            need += cap * rows * 1.5 + 3 * batch * cap * 4
+        return need <= budget
+
     def _target_caps(self) -> Tuple[int, int]:
         frac = float(settings.prewarm_fill_fraction)
         min_cap = int(settings.prewarm_min_capacity)
@@ -122,6 +149,14 @@ class GrowthPrewarmer:
         chunk_cap, art_cap = self._target_caps()
         if (chunk_cap == self._manager.chunks.capacity
                 and art_cap == self._manager.artifacts.capacity):
+            return False
+        if not self._fits_hbm(chunk_cap, art_cap):
+            logger.warning(
+                "prewarm.skipped_hbm chunk_cap=%s art_cap=%s budget_gb=%s "
+                "(provision INDEX_INITIAL_CAPACITY upfront or shard via "
+                "MESH_SHAPE at this scale)",
+                chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
+            )
             return False
         with self._lock:
             if self._thread is not None and self._thread.is_alive():

@@ -77,6 +77,29 @@ class TestGrowthPrewarm:
         for a, b in zip(warm, cold):
             assert a["retrieved_ids"] == b["retrieved_ids"]
 
+    def test_prewarm_skips_when_next_capacity_cannot_fit(
+        self, prewarm_env, monkeypatch
+    ):
+        """The doubled-capacity compile is skipped (not attempted and
+        failed) when it would blow the HBM budget — at 2M->4M on a 16GB
+        chip the AOT compile OOMs and its lowering steals the serving
+        core (NOTES_DEV.md)."""
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+
+        index = get_index()
+        index.chunks.insert(_rows(1, 220))   # past 75% of 256
+        index.artifacts.insert(_rows(1, 16))
+        reqs = [RetrieveRequest(query="object store gateway retry",
+                                return_style="ids_only")]
+        monkeypatch.setattr(prewarm_env, "prewarm_hbm_budget_gb", 1e-6)
+        retrieve_evidence_batch(reqs)
+        assert not index.prewarmer.maybe_prewarm()
+        assert not index.prewarmer._compiled
+        monkeypatch.setattr(prewarm_env, "prewarm_hbm_budget_gb", 12.0)
+        assert index.prewarmer.maybe_prewarm()
+        index.prewarmer.wait(timeout=120)
+        assert index.prewarmer._compiled
+
     def test_prewarm_disabled_is_inert(self, prewarm_env, monkeypatch):
         monkeypatch.setattr(prewarm_env, "prewarm_growth_enabled", False)
         index = get_index()
