@@ -1214,6 +1214,11 @@ class DeviceIndexManager:
         artifact_mode, recall_target, batch, dense_enabled,
     ):
         if self.chunks.count == 0 or self.artifacts.count == 0:
+            # The separate-dispatch IVF path rides the packed branch only;
+            # in this (rare: one corpus still empty) fallback a planner
+            # "ivf" choice serves as ann — same lanes, approx top-k.
+            if chunk_mode == "ivf":
+                chunk_mode = "ann"
             chunks_out = (
                 self.chunks.query(
                     q_emb, chunk_q_lex, q_tech, allowed_calls, date_min,

@@ -162,7 +162,7 @@ class LeaderOpLog:
     def shutdown(self) -> None:
         try:
             self.emit("shutdown")
-        except OSError:
+        except (OSError, RuntimeError):  # follower already gone
             pass
         for sock in self._socks:
             try:
