@@ -129,6 +129,19 @@ def _features(text: str) -> Tuple[np.ndarray, np.ndarray]:
     return hashes, tfs
 
 
+def _features_batch(texts: Sequence[str]):
+    """One native call for the whole batch (native/lexhash
+    raw_features_batch); per-text fallback otherwise."""
+    try:
+        from ..native import lexhash
+
+        if lexhash.available():
+            return lexhash.raw_features_batch(texts)
+    except Exception:
+        pass
+    return [_features(text) for text in texts]
+
+
 def embed_one(text: str, dim: int) -> np.ndarray:
     hashes, tfs = _features(text)
     if hashes.size == 0:
@@ -153,7 +166,7 @@ class HashEmbeddingProvider:
         out = np.zeros((len(texts), dim), dtype=np.float32)
         if not texts:
             return EmbeddingResult(vectors=out, model=self.model_id)
-        feats = [_features(text) for text in texts]
+        feats = _features_batch(texts)
         all_hashes = np.concatenate([h for h, _ in feats])
         if all_hashes.size == 0:
             out[:, 0] = 1.0

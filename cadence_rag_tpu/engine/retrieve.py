@@ -112,12 +112,26 @@ def _make_plan(payload: RetrieveRequest) -> QueryPlan:
         return plan
     plan.tech_tokens = extract_tech_tokens(query)
     plan.q_tech = featurize.query_tech_hashes(plan.tech_tokens)
-    plan.q_lex_feats = featurize.query_lexical_features(query)
+    # q_lex_feats is filled by _featurize_plans (one native call per batch)
     plan.dense_enabled = embeddings_enabled()
     plan.resolved = resolve_filters(
         get_store(), payload.filters, get_index().call_capacity
     )
     return plan
+
+
+def _featurize_plans(plans: Sequence[QueryPlan]) -> None:
+    """Lexical query featurization for the whole batch in one native
+    call — 128 per-text ctypes crossings cost ~5 ms on the 1-core
+    serving host (profiled; see native/lexhash.query_features_batch)."""
+    pending = [p for p in plans if not p.empty]
+    if not pending:
+        return
+    feats = featurize.query_lexical_features_batch(
+        [p.query for p in pending]
+    )
+    for plan, triple in zip(pending, feats):
+        plan.q_lex_feats = triple
 
 
 def _embed_plans(plans: Sequence[QueryPlan]) -> None:
@@ -601,6 +615,7 @@ def retrieve_evidence_batch(
 ) -> List[Dict[str, Any]]:
     """Serve many queries with one device dispatch per planner-mode group."""
     plans = [_make_plan(p) for p in payloads]
+    _featurize_plans(plans)
     _embed_plans(plans)
     for plan in plans:
         _finish_planning(plan)

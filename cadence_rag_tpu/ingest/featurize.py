@@ -53,6 +53,17 @@ def query_lexical_features(text: str):
     return hashing.query_feature_arrays(text, dim)
 
 
+def query_lexical_features_batch(texts):
+    """Per-text feature triples for a request batch in ONE native call
+    (native/lexhash.query_features_batch); falls back to per-text
+    hashing when the native featurizer is unavailable."""
+    dim = int(settings.lexical_dim)
+    native = _native()
+    if native is not None:
+        return native.query_features_batch(texts, dim)
+    return [hashing.query_feature_arrays(text, dim) for text in texts]
+
+
 def query_lexical_vector_from(
     feats, doc_freq: np.ndarray, n_docs: int
 ) -> np.ndarray:

@@ -171,7 +171,59 @@ int64_t lex_raw_features(const uint8_t* text, int64_t len, int64_t max_out,
   return n;
 }
 
+// Batch variants: one ctypes crossing per request batch instead of one
+// per text (the 128 per-call crossings + numpy scratch allocations cost
+// ~5 ms per micro-batch on the 1-core serving host, profiled). `ends`
+// holds exclusive end offsets into the concatenated utf-8 buffer;
+// per-text results are written back-to-back with counts in out_counts.
+// Returns the total features written, or -1 if `cap` would overflow
+// (caller re-sizes and retries).
+
+int64_t lex_query_features_batch(const uint8_t* data, const int64_t* ends,
+                                 int64_t n_texts, int32_t dim, int64_t cap,
+                                 int64_t* out_buckets, float* out_signs,
+                                 float* out_tfs, int64_t* out_counts) {
+  if (dim <= 0 || n_texts < 0 || cap < 0) return -1;
+  int64_t total = 0;
+  int64_t start = 0;
+  for (int64_t t = 0; t < n_texts; ++t) {
+    int64_t end = ends[t];
+    if (end < start) return -1;
+    int64_t n = lex_query_features(data + start, end - start, dim,
+                                   cap - total, out_buckets + total,
+                                   out_signs + total, out_tfs + total);
+    if (n < 0) return -1;
+    // a truncated text means cap was too small — signal retry
+    if (n == cap - total && t + 1 < n_texts) return -1;
+    out_counts[t] = n;
+    total += n;
+    start = end;
+  }
+  return total;
+}
+
+int64_t lex_raw_features_batch(const uint8_t* data, const int64_t* ends,
+                               int64_t n_texts, int64_t cap,
+                               uint64_t* out_hashes, float* out_tfs,
+                               int64_t* out_counts) {
+  if (n_texts < 0 || cap < 0) return -1;
+  int64_t total = 0;
+  int64_t start = 0;
+  for (int64_t t = 0; t < n_texts; ++t) {
+    int64_t end = ends[t];
+    if (end < start) return -1;
+    int64_t n = lex_raw_features(data + start, end - start, cap - total,
+                                 out_hashes + total, out_tfs + total);
+    if (n < 0) return -1;
+    if (n == cap - total && t + 1 < n_texts) return -1;
+    out_counts[t] = n;
+    total += n;
+    start = end;
+  }
+  return total;
+}
+
 // Simple self-description for version checks.
-int32_t lexhash_abi_version() { return 2; }
+int32_t lexhash_abi_version() { return 3; }
 
 }  // extern "C"

@@ -74,7 +74,21 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_float),
             ]
-        except AttributeError:  # stale .so predating abi v2: rebuild next run
+            lib.lex_query_features_batch.restype = ctypes.c_int64
+            lib.lex_query_features_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.lex_raw_features_batch.restype = ctypes.c_int64
+            lib.lex_raw_features_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ]
+        except AttributeError:  # stale .so predating abi v3: rebuild next run
             _lib = None
             _build_failed = True
             try:
@@ -136,6 +150,82 @@ def query_features(
     if n < 0:
         raise RuntimeError("lex_query_features failed")
     return buckets[:n].copy(), signs[:n].copy(), tfs[:n].copy()
+
+
+def query_features_batch(
+    texts, dim: int
+):
+    """Per-text (buckets, signs, tfs) for a whole request batch in ONE
+    native call — the per-text ctypes crossings + scratch allocations
+    cost ~5 ms per 128-query micro-batch on the 1-core serving host
+    (profiled). Bit-identical to query_features per text (tested)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native lexhash unavailable")
+    blobs = [normalize_text(text).encode("utf-8") for text in texts]
+    n = len(blobs)
+    if n == 0:
+        return []
+    data = b"".join(blobs)
+    ends = np.cumsum([len(blob) for blob in blobs], dtype=np.int64)
+    cap = 2 * len(data) + 8 * n
+    buckets = np.zeros(cap, dtype=np.int64)
+    signs = np.zeros(cap, dtype=np.float32)
+    tfs = np.zeros(cap, dtype=np.float32)
+    counts = np.zeros(n, dtype=np.int64)
+    total = lib.lex_query_features_batch(
+        data, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, dim,
+        cap,
+        buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if total < 0:
+        raise RuntimeError("lex_query_features_batch failed")
+    out = []
+    off = 0
+    for count in counts:
+        count = int(count)
+        out.append((buckets[off:off + count].copy(),
+                    signs[off:off + count].copy(),
+                    tfs[off:off + count].copy()))
+        off += count
+    return out
+
+
+def raw_features_batch(texts):
+    """Per-text (hashes, tfs) for a batch in one native call (see
+    query_features_batch)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native lexhash unavailable")
+    blobs = [normalize_text(text).encode("utf-8") for text in texts]
+    n = len(blobs)
+    if n == 0:
+        return []
+    data = b"".join(blobs)
+    ends = np.cumsum([len(blob) for blob in blobs], dtype=np.int64)
+    cap = 2 * len(data) + 8 * n
+    hashes = np.zeros(cap, dtype=np.uint64)
+    tfs = np.zeros(cap, dtype=np.float32)
+    counts = np.zeros(n, dtype=np.int64)
+    total = lib.lex_raw_features_batch(
+        data, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, cap,
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if total < 0:
+        raise RuntimeError("lex_raw_features_batch failed")
+    out = []
+    off = 0
+    for count in counts:
+        count = int(count)
+        out.append((hashes[off:off + count].copy(),
+                    tfs[off:off + count].copy()))
+        off += count
+    return out
 
 
 def raw_features(text: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -64,3 +64,29 @@ class TestNativeParity:
             hashing.doc_signature(text, 4096, 500.0)
         python_t = time.perf_counter() - t0
         assert native_t < python_t, (native_t, python_t)
+
+
+class TestBatchFeaturize:
+    """Batch entry points (one ctypes crossing per request batch) must be
+    bit-identical to the per-text calls."""
+
+    def test_query_features_batch_parity(self):
+        got = lexhash.query_features_batch(CASES, 4096)
+        assert len(got) == len(CASES)
+        for text, triple in zip(CASES, got):
+            ref = lexhash.query_features(text, 4096)
+            for a, b in zip(triple, ref):
+                np.testing.assert_array_equal(a, b)
+
+    def test_raw_features_batch_parity(self):
+        got = lexhash.raw_features_batch(CASES)
+        for text, pair in zip(CASES, got):
+            ref = lexhash.raw_features(text)
+            for a, b in zip(pair, ref):
+                np.testing.assert_array_equal(a, b)
+
+    def test_empty_inputs(self):
+        assert lexhash.query_features_batch([], 4096) == []
+        assert lexhash.raw_features_batch([]) == []
+        triple = lexhash.query_features_batch([""], 4096)[0]
+        assert triple[0].size == 0
