@@ -81,6 +81,7 @@ class GrowthPrewarmer:
         self._sigs: list[QuerySignature] = []
         self._started: Set[Tuple[QuerySignature, int, int]] = set()
         self._compiled: Dict[Tuple[QuerySignature, int, int], object] = {}
+        self._hbm_warned: Set[Tuple[int, int]] = set()
         self._thread: Optional[threading.Thread] = None
 
     # -- bookkeeping -------------------------------------------------------
@@ -151,12 +152,14 @@ class GrowthPrewarmer:
                 and art_cap == self._manager.artifacts.capacity):
             return False
         if not self._fits_hbm(chunk_cap, art_cap):
-            logger.warning(
-                "prewarm.skipped_hbm chunk_cap=%s art_cap=%s budget_gb=%s "
-                "(provision INDEX_INITIAL_CAPACITY upfront or shard via "
-                "MESH_SHAPE at this scale)",
-                chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
-            )
+            if (chunk_cap, art_cap) not in self._hbm_warned:
+                self._hbm_warned.add((chunk_cap, art_cap))
+                logger.warning(
+                    "prewarm.skipped_hbm chunk_cap=%s art_cap=%s "
+                    "budget_gb=%s (provision INDEX_INITIAL_CAPACITY "
+                    "upfront or shard via MESH_SHAPE at this scale)",
+                    chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
+                )
             return False
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
