@@ -40,10 +40,14 @@ def _populate(n_chunks: int, n_calls: int = N_CALLS) -> None:
     bulk_store_rows(get_store(), n_chunks, n_art, n_calls)
 
 
-def _start_writer(stop_event, inserted_counter):
+def _start_writer(stop_event, inserted_counter, rate_rows_s: float = 0.0):
     """Background ingest load: repeated slab inserts (each one donates the
     corpus buffers) while queries run — measures the write path's impact
-    on query tail latency (TODO_NEXT round-3 item 7)."""
+    on query tail latency (TODO_NEXT round-3 item 7). ``rate_rows_s``
+    throttles the writer (0 = unthrottled): after the host batching work
+    the unthrottled writer sustains >2k rows/s and interleaves an insert
+    dispatch per query dispatch — a fixed rate is the apples-to-apples
+    operational number."""
     import threading
 
     from ..core.index import DocRow, get_index
@@ -52,6 +56,7 @@ def _start_writer(stop_event, inserted_counter):
         from ..config import settings
 
         index = get_index()
+        t_start = time.perf_counter()
         rng = np.random.default_rng(99)
         dim = int(settings.embeddings_dim)
         lex_dim = int(settings.lexical_dim)
@@ -74,6 +79,12 @@ def _start_writer(stop_event, inserted_counter):
                 next_id += 1
             index.chunks.insert(rows)
             inserted_counter[0] += len(rows)
+            if rate_rows_s > 0:
+                # sleep until the cumulative average matches the target
+                ahead = (inserted_counter[0] / rate_rows_s
+                         - (time.perf_counter() - t_start))
+                if ahead > 0:
+                    stop_event.wait(ahead)
         return
 
     thread = threading.Thread(target=writer, daemon=True)
@@ -83,7 +94,7 @@ def _start_writer(stop_event, inserted_counter):
 
 def run_serve_bench(
     n_chunks: int, batch: int, iters: int, style: str, threads: int = 1,
-    concurrent_ingest: bool = False,
+    concurrent_ingest: bool = False, ingest_rate_rows_s: float = 0.0,
 ) -> dict:
     from ..config import settings
     from ..core.index import reset_index
@@ -126,7 +137,7 @@ def run_serve_bench(
         inserted = [0]
         writer = None
         if concurrent_ingest:
-            writer = _start_writer(stop_event, inserted)
+            writer = _start_writer(stop_event, inserted, ingest_rate_rows_s)
         if threads > 1:
             # overlapped clients: one batch's host featurize/postprocess
             # runs while another owns the device (how the aiohttp
@@ -196,10 +207,14 @@ def main() -> None:
     parser.add_argument("--concurrent-ingest", action="store_true",
                         help="run a background slab-insert writer during "
                              "the timed loop (query p99 under write load)")
+    parser.add_argument("--ingest-rate", type=float, default=0.0,
+                        help="throttle the writer to N rows/s (0 = "
+                             "unthrottled max-contention mode)")
     args = parser.parse_args()
     print(json.dumps(run_serve_bench(
         args.chunks, args.batch, args.iters, args.style, args.threads,
         concurrent_ingest=args.concurrent_ingest,
+        ingest_rate_rows_s=args.ingest_rate,
     )))
 
 
