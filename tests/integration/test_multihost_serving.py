@@ -234,12 +234,20 @@ class TestMultihostServing:
         assert gang["post_delete"] == solo["post_delete"]
         assert gang["evidence"] == solo["evidence"]
 
-    def test_restore_backfill_and_fallback_ops(self, tmp_store, tmp_path):
+    @pytest.mark.parametrize("emb_dtype", ["bfloat16", "int8"])
+    def test_restore_backfill_and_fallback_ops(
+        self, tmp_store, tmp_path, monkeypatch, emb_dtype
+    ):
         """Engine-level gang: checkpoint restore (alloc/write ops), the
         cold-start query_single fallback (artifacts empty), embedding
         backfill (scatter_emb ops), then the packed path — all mirrored
         across two processes and identical to this (single-process)
-        oracle."""
+        oracle. The int8 variant exercises the encode-before-emit slab
+        path (quantized rows on the wire must replay bit-identically)."""
+        from cadence_rag_tpu.core.index import reset_index
+
+        monkeypatch.setattr(tmp_store, "index_embedding_dtype", emb_dtype)
+        reset_index()
         from cadence_rag_tpu.core.checkpoint import save_index
         from cadence_rag_tpu.core.index import get_index
         from cadence_rag_tpu.embed.pipeline import run_embedding_backfill
@@ -312,6 +320,7 @@ class TestMultihostServing:
             "LEXICAL_DIM": "1024",
             "EMBEDDINGS_DIM": "64",
             "INDEX_INITIAL_CAPACITY": "64",
+            "INDEX_EMBEDDING_DTYPE": emb_dtype,
         }
         worker = str(Path(__file__).parent / "_multihost_engine_worker.py")
         env = dict(os.environ)
