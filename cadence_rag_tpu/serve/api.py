@@ -350,11 +350,17 @@ def index_stats_endpoint(_req: Request):
             "avgdl": corpus.avgdl,
             "lexical_dim": corpus.lex_dim,
             "dim": corpus.dim,
+            "emb_dtype": str(corpus.emb_dtype),
+            "tombstones": corpus.tombstones,
+            "ivf_built": corpus.ivf is not None,
         }
     return 200, {
         "chunks": corpus_stats(index.chunks),
         "artifact_chunks": corpus_stats(index.artifacts),
         "call_capacity": index.call_capacity,
+        # growth-prewarm observability: operators watch for warm
+        # executables before a capacity doubling (core/prewarm.py)
+        "prewarm_compiled": len(index.prewarmer._compiled),
     }
 
 

@@ -86,6 +86,10 @@ class TestHealthDiagnostics:
         body = resp.json()
         assert body["chunks"]["count"] >= 1
         assert body["artifact_chunks"]["count"] >= 2
+        assert body["chunks"]["emb_dtype"] in ("bfloat16", "float32", "int8")
+        assert body["chunks"]["tombstones"] == 0
+        assert body["chunks"]["ivf_built"] is False
+        assert body["prewarm_compiled"] >= 0
 
 
 class TestIngestEndpoints:
