@@ -130,6 +130,16 @@ class Settings:
     # Device-index op-log port for multi-host lockstep serving
     # (parallel/oplog.py); 0 = coordinator port + 1.
     dist_oplog_port: int = 0
+    # Interface the leader's op-log listener binds; empty = the
+    # coordinator's host (pod-internal by construction — never a
+    # wildcard bind). Set explicitly if the op-log should ride a
+    # different interface than the coordinator.
+    dist_oplog_bind: str = ""
+    # Shared secret for the follower handshake; empty = a token derived
+    # from the coordinator address (guards against stray connections
+    # squatting follower slots — set a real secret in production, the
+    # op-log stream carries document signatures and embeddings).
+    dist_oplog_token: str = ""
 
     def __post_init__(self) -> None:
         env = dict(_load_env_file(os.environ.get("CADENCE_ENV_FILE", ".env")))

@@ -59,8 +59,17 @@ def _encode_emb(emb: np.ndarray) -> Dict[str, np.ndarray]:
     return {"emb": emb.view(np.uint16), "_kind": np.array(["bf16"])}
 
 
-def _decode_emb(raw: np.ndarray, kind: str) -> np.ndarray:
-    if kind in ("f32", "i8"):
+def _decode_emb(raw: np.ndarray, kind: str, target_dtype) -> np.ndarray:
+    """Decode stored rows AND bridge a storage-dtype change across the
+    checkpoint boundary (ADVICE r2): int8 rows restored under a float
+    INDEX_EMBEDDING_DTYPE must be dequantized (x/127) — a plain cast
+    would score them ~127x hot; float rows restored under int8 pass
+    through and CorpusIndex._encode_emb quantizes them."""
+    if kind == "i8":
+        if np.dtype(target_dtype) == np.int8:
+            return raw
+        return raw.astype(np.float32) / 127.0
+    if kind == "f32":
         return raw
     import ml_dtypes
 
@@ -91,6 +100,9 @@ def save_index(
     meta: Dict = {
         "format_version": FORMAT_VERSION,
         "generation": generation,
+        # informational (per-shard _kind drives decode): lets operators
+        # see a storage-dtype switch across a checkpoint boundary
+        "emb_storage_dtype": str(index.chunks.emb_dtype),
         "embeddings_dim": int(settings.embeddings_dim),
         "lexical_dim": int(settings.lexical_dim),
         "tech_hash_slots": int(settings.tech_hash_slots),
@@ -146,38 +158,57 @@ def save_index(
     return result
 
 
-def _read_shard(src: Path, prefix: str, i: int) -> Dict[str, np.ndarray]:
+def _read_shard(
+    src: Path, prefix: str, i: int, target_dtype
+) -> Dict[str, np.ndarray]:
     with np.load(src / f"{prefix}.{i:04d}.npz", allow_pickle=False) as data:
         kind = str(data["_kind"][0])
         shard = {k: data[k] for k in ROW_KEYS if k != "emb"}
-        shard["emb"] = _decode_emb(data["emb"], kind)
+        shard["emb"] = _decode_emb(data["emb"], kind, target_dtype)
     return shard
 
 
-def _shard_stream(src: Path, prefix: str, n_shards: int):
+def _shard_stream(src: Path, prefix: str, n_shards: int, target_dtype):
     """Yield shards in row order, prefetching the next file on a reader
     thread so disk I/O overlaps the (async) H2D transfer of the previous
-    shard (TODO_NEXT round-3 item 9: restore streaming)."""
+    shard (TODO_NEXT round-3 item 9: restore streaming). If the consumer
+    abandons the generator mid-restore (device error, shard-count
+    mismatch), close() signals the reader to stop — without it the
+    reader would block forever on q.put and pin up to two decoded
+    shards (~512 MB) for the process lifetime (ADVICE r2)."""
     import queue
 
     q: "queue.Queue" = queue.Queue(maxsize=2)
+    stop = threading.Event()
 
     def reader() -> None:
         try:
             for i in range(n_shards):
-                q.put(("shard", _read_shard(src, prefix, i)))
+                item = ("shard", _read_shard(src, prefix, i, target_dtype))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(("done", None))
         except Exception as exc:  # surface on the consumer side
-            q.put(("error", exc))
+            if not stop.is_set():
+                q.put(("error", exc))
 
     threading.Thread(target=reader, daemon=True).start()
-    while True:
-        kind, payload = q.get()
-        if kind == "error":
-            raise payload
-        if kind == "done":
-            return
-        yield payload
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "error":
+                raise payload
+            if kind == "done":
+                return
+            yield payload
+    finally:
+        stop.set()
 
 
 def _restore_corpus_v2(
@@ -189,7 +220,8 @@ def _restore_corpus_v2(
         doc_freq = stats["doc_freq"]
         dl_sum = int(stats["dl_sum"][0])
     corpus.load_state_streaming(
-        _shard_stream(src, prefix, n_shards), doc_freq, dl_sum, n_rows
+        _shard_stream(src, prefix, n_shards, corpus.emb_dtype),
+        doc_freq, dl_sum, n_rows,
     )
 
 
@@ -216,7 +248,11 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
     for corpus in (index.chunks, index.artifacts):
         if version == 1:
             with np.load(src / f"{corpus.name}.npz") as data:
-                corpus.load_state({k: data[k] for k in data.files})
+                arrays = {k: data[k] for k in data.files}
+            if (arrays["emb"].dtype == np.int8
+                    and np.dtype(corpus.emb_dtype) != np.int8):
+                arrays["emb"] = arrays["emb"].astype(np.float32) / 127.0
+            corpus.load_state(arrays)
         else:
             _restore_corpus_v2(
                 src, corpus, int(meta["counts"][corpus.name]),

@@ -193,8 +193,10 @@ int64_t lex_query_features_batch(const uint8_t* data, const int64_t* ends,
                                    cap - total, out_buckets + total,
                                    out_signs + total, out_tfs + total);
     if (n < 0) return -1;
-    // a truncated text means cap was too small — signal retry
-    if (n == cap - total && t + 1 < n_texts) return -1;
+    // a full output window means the text MAY have been truncated (the
+    // last text included — n == remaining cap is indistinguishable from
+    // an exact fit) — signal retry; the caller doubles cap and re-calls
+    if (n == cap - total) return -1;
     out_counts[t] = n;
     total += n;
     start = end;
@@ -215,7 +217,7 @@ int64_t lex_raw_features_batch(const uint8_t* data, const int64_t* ends,
     int64_t n = lex_raw_features(data + start, end - start, cap - total,
                                  out_hashes + total, out_tfs + total);
     if (n < 0) return -1;
-    if (n == cap - total && t + 1 < n_texts) return -1;
+    if (n == cap - total) return -1;
     out_counts[t] = n;
     total += n;
     start = end;
@@ -224,6 +226,6 @@ int64_t lex_raw_features_batch(const uint8_t* data, const int64_t* ends,
 }
 
 // Simple self-description for version checks.
-int32_t lexhash_abi_version() { return 3; }
+int32_t lexhash_abi_version() { return 4; }
 
 }  // extern "C"

@@ -136,17 +136,22 @@ def query_features(
     if lib is None:
         raise RuntimeError("native lexhash unavailable")
     data = normalize_text(text).encode("utf-8")
-    # unique features <= word runs + trigrams < 2 * len(data); never truncates
+    # unique features <= word runs + trigrams < 2 * len(data); a full
+    # window (n == max_out) may still mean truncation — double and retry
     max_out = 2 * len(data) + 8
-    buckets = np.zeros(max_out, dtype=np.int64)
-    signs = np.zeros(max_out, dtype=np.float32)
-    tfs = np.zeros(max_out, dtype=np.float32)
-    n = lib.lex_query_features(
-        data, len(data), dim, max_out,
-        buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    while True:
+        buckets = np.zeros(max_out, dtype=np.int64)
+        signs = np.zeros(max_out, dtype=np.float32)
+        tfs = np.zeros(max_out, dtype=np.float32)
+        n = lib.lex_query_features(
+            data, len(data), dim, max_out,
+            buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if n < max_out:
+            break
+        max_out *= 2
     if n < 0:
         raise RuntimeError("lex_query_features failed")
     return buckets[:n].copy(), signs[:n].copy(), tfs[:n].copy()
@@ -169,18 +174,26 @@ def query_features_batch(
     data = b"".join(blobs)
     ends = np.cumsum([len(blob) for blob in blobs], dtype=np.int64)
     cap = 2 * len(data) + 8 * n
-    buckets = np.zeros(cap, dtype=np.int64)
-    signs = np.zeros(cap, dtype=np.float32)
-    tfs = np.zeros(cap, dtype=np.float32)
-    counts = np.zeros(n, dtype=np.int64)
-    total = lib.lex_query_features_batch(
-        data, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, dim,
-        cap,
-        buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
+    # -1 signals a possibly-truncated text (output window filled): double
+    # the capacity and retry per the lexhash.cpp contract. The 2*len+8n
+    # bound makes a retry unreachable in practice, but the contract is
+    # implemented rather than assumed.
+    for _ in range(4):
+        buckets = np.zeros(cap, dtype=np.int64)
+        signs = np.zeros(cap, dtype=np.float32)
+        tfs = np.zeros(cap, dtype=np.float32)
+        counts = np.zeros(n, dtype=np.int64)
+        total = lib.lex_query_features_batch(
+            data, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            dim, cap,
+            buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if total >= 0:
+            break
+        cap *= 2
     if total < 0:
         raise RuntimeError("lex_query_features_batch failed")
     out = []
@@ -207,15 +220,20 @@ def raw_features_batch(texts):
     data = b"".join(blobs)
     ends = np.cumsum([len(blob) for blob in blobs], dtype=np.int64)
     cap = 2 * len(data) + 8 * n
-    hashes = np.zeros(cap, dtype=np.uint64)
-    tfs = np.zeros(cap, dtype=np.float32)
-    counts = np.zeros(n, dtype=np.int64)
-    total = lib.lex_raw_features_batch(
-        data, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n, cap,
-        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
+    for _ in range(4):  # -1 = retry with doubled cap (see lexhash.cpp)
+        hashes = np.zeros(cap, dtype=np.uint64)
+        tfs = np.zeros(cap, dtype=np.float32)
+        counts = np.zeros(n, dtype=np.int64)
+        total = lib.lex_raw_features_batch(
+            data, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            cap,
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if total >= 0:
+            break
+        cap *= 2
     if total < 0:
         raise RuntimeError("lex_raw_features_batch failed")
     out = []
@@ -236,13 +254,17 @@ def raw_features(text: str) -> Tuple[np.ndarray, np.ndarray]:
         raise RuntimeError("native lexhash unavailable")
     data = normalize_text(text).encode("utf-8")
     max_out = 2 * len(data) + 8
-    hashes = np.zeros(max_out, dtype=np.uint64)
-    tfs = np.zeros(max_out, dtype=np.float32)
-    n = lib.lex_raw_features(
-        data, len(data), max_out,
-        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
+    while True:
+        hashes = np.zeros(max_out, dtype=np.uint64)
+        tfs = np.zeros(max_out, dtype=np.float32)
+        n = lib.lex_raw_features(
+            data, len(data), max_out,
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if n < max_out:
+            break
+        max_out *= 2
     if n < 0:
         raise RuntimeError("lex_raw_features failed")
     return hashes[:n].copy(), tfs[:n].copy()

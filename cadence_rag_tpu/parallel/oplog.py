@@ -60,6 +60,25 @@ logger = get_logger(__name__)
 
 _HDR = struct.Struct("<II")  # (json_len, npz_len)
 
+
+def _handshake_digest(token: str) -> bytes:
+    """32-byte follower-hello: sha256 over a purpose tag + the shared
+    token. With no explicit DIST_OPLOG_TOKEN both sides derive the token
+    from the coordinator address, which rejects accidental/stray
+    connections (a real secret is required to resist an adversary on the
+    network — documented in OPERATIONS.md)."""
+    import hashlib
+
+    return hashlib.sha256(b"cadence-oplog-v1\x00" + token.encode()).digest()
+
+
+def default_token() -> str:
+    from ..config import settings
+
+    return settings.dist_oplog_token.strip() or (
+        "derived:" + settings.dist_coordinator.strip()
+    )
+
 # module state (one gang per process)
 _leader: Optional["LeaderOpLog"] = None
 _mesh = None
@@ -127,16 +146,41 @@ class LeaderOpLog:
     device enqueue order; the send lock keeps multi-corpus interleaving
     a valid serialization of it."""
 
-    def __init__(self, port: int, n_followers: int, timeout_s: float = 120.0):
+    def __init__(self, port: int, n_followers: int, timeout_s: float = 120.0,
+                 bind_host: str = "127.0.0.1", token: str = ""):
         self._send_lock = threading.Lock()
         self._socks = []
+        expected = _handshake_digest(token or default_token())
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        srv.bind(("0.0.0.0", port))
+        srv.bind((bind_host, port))
         srv.listen(n_followers)
-        srv.settimeout(timeout_s)
-        for _ in range(n_followers):
+        deadline = time.monotonic() + timeout_s
+        # Accept until n_followers AUTHENTICATE: an unauthenticated peer
+        # is dropped and does not consume a follower slot (ADVICE r2 —
+        # without the handshake any network peer could squat a slot and
+        # hang the gang, or receive the full index stream).
+        while len(self._socks) < n_followers:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                srv.close()
+                raise TimeoutError(
+                    f"op-log: {len(self._socks)}/{n_followers} followers "
+                    f"authenticated within {timeout_s}s"
+                )
+            srv.settimeout(remaining)
             conn, addr = srv.accept()
+            try:
+                conn.settimeout(10.0)
+                hello = _recv_exact(conn, len(expected))
+            except (OSError, ConnectionError):
+                conn.close()
+                continue
+            if hello != expected:
+                logger.warning("oplog.follower_rejected addr=%s", addr)
+                conn.close()
+                continue
+            conn.settimeout(None)
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self._socks.append(conn)
             logger.info("oplog.follower_connected addr=%s", addr)
@@ -237,7 +281,9 @@ def single_query(corpus, q_emb, q_lex, q_tech, allowed, dmin, dmax,
 
 # -- lifecycle -------------------------------------------------------------
 
-def install_leader(manager, port: int, n_followers: int) -> None:
+def install_leader(manager, port: int, n_followers: int,
+                   bind_host: str = "127.0.0.1",
+                   token: str = "") -> None:
     """Process 0: wait for the gang's followers, then mirror every device
     op (must run BEFORE any index mutation — including the startup
     rebuild-from-store)."""
@@ -245,7 +291,8 @@ def install_leader(manager, port: int, n_followers: int) -> None:
     from ..core import index as index_mod
 
     _mesh = manager.mesh
-    _leader = LeaderOpLog(port, n_followers)
+    _leader = LeaderOpLog(port, n_followers, bind_host=bind_host,
+                          token=token)
     index_mod.set_oplog(_leader)
     import atexit
 
@@ -263,12 +310,14 @@ def leader() -> Optional[LeaderOpLog]:
 
 # -- follower --------------------------------------------------------------
 
-def _connect(host: str, port: int, timeout_s: float) -> socket.socket:
+def _connect(host: str, port: int, timeout_s: float,
+             token: str = "") -> socket.socket:
     deadline = time.monotonic() + timeout_s
     while True:
         try:
             sock = socket.create_connection((host, port), timeout=5.0)
             sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock.sendall(_handshake_digest(token or default_token()))
             sock.settimeout(None)
             return sock
         except OSError:

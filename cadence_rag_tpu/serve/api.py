@@ -404,13 +404,23 @@ def startup() -> None:
                 )
             from ..parallel import oplog
 
-            coord_host, _, coord_port = (
-                settings.dist_coordinator.strip().partition(":")
-            )
-            oplog_port = int(settings.dist_oplog_port) or int(coord_port) + 1
+            coord = settings.dist_coordinator.strip()
+            coord_host, _, coord_port = coord.partition(":")
+            if int(settings.dist_oplog_port):
+                oplog_port = int(settings.dist_oplog_port)
+            else:
+                try:
+                    oplog_port = int(coord_port) + 1
+                except ValueError:
+                    raise RuntimeError(
+                        "cannot derive the op-log port: DIST_COORDINATOR="
+                        f"{coord!r} carries no port — set DIST_OPLOG_PORT "
+                        "or use DIST_COORDINATOR=host:port"
+                    ) from None
             if jax.process_index() == 0:
                 oplog.install_leader(
-                    get_index(), oplog_port, jax.process_count() - 1
+                    get_index(), oplog_port, jax.process_count() - 1,
+                    bind_host=settings.dist_oplog_bind.strip() or coord_host,
                 )
             else:
                 logger.info("api.follower process=%s", jax.process_index())

@@ -173,6 +173,45 @@ class TestCheckpoint:
         restore_index(str(out))
         assert retrieve_evidence(req)["retrieved_ids"] == before
 
+    def test_int8_checkpoint_restores_under_float_dtype(
+        self, populated, tmp_path, tmp_store, monkeypatch
+    ):
+        """ADVICE r2 (medium): an int8 checkpoint restored under a float
+        INDEX_EMBEDDING_DTYPE must dequantize (x/127) — an astype cast
+        would leave rows scoring ~127x hotter than fresh unit rows."""
+        import json
+
+        from cadence_rag_tpu.core.index import reset_index
+
+        req = RetrieveRequest(query="ECONNRESET v2.3.1",
+                              return_style="ids_only")
+        before = retrieve_evidence(req)["retrieved_ids"]
+
+        # re-ingest the same corpus under int8 storage and checkpoint it
+        monkeypatch.setattr(tmp_store, "index_embedding_dtype", "int8")
+        reset_index()
+        from cadence_rag_tpu.ingest.ingest import rebuild_index_from_store
+
+        rebuild_index_from_store()
+        run_embedding_backfill(batch_size=8)
+        save_index(str(tmp_path / "snap8"))
+        meta = json.loads((tmp_path / "snap8" / "meta.json").read_text())
+        assert meta["emb_storage_dtype"] == "int8"
+
+        # restore under the bf16 default
+        monkeypatch.setattr(tmp_store, "index_embedding_dtype", "bfloat16")
+        reset_index()
+        restore_index(str(tmp_path / "snap8"))
+        index = get_index()
+        assert index.chunks.emb.dtype != np.int8
+        # restored rows must be ~unit-norm (dequantized), not ~127-norm
+        emb = np.asarray(index.chunks.emb[: index.chunks.count],
+                         dtype=np.float32)
+        norms = np.linalg.norm(emb[index.chunks.h_has_emb[: index.chunks.count]],
+                               axis=1)
+        assert norms.size and np.all(norms < 1.1), norms.max()
+        assert retrieve_evidence(req)["retrieved_ids"] == before
+
     def test_insert_after_restore(self, populated, tmp_path):
         save_index(str(tmp_path / "snap"))
         reset_index()

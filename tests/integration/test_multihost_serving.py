@@ -151,7 +151,11 @@ class TestFollowerLoss:
 
         import numpy as np
 
-        from cadence_rag_tpu.parallel.oplog import LeaderOpLog
+        from cadence_rag_tpu.parallel.oplog import (
+            LeaderOpLog,
+            _handshake_digest,
+            default_token,
+        )
 
         port = _free_port()
         holder = {}
@@ -162,6 +166,8 @@ class TestFollowerLoss:
                 try:
                     holder["sock"] = socket.create_connection(
                         ("127.0.0.1", port), timeout=5)
+                    holder["sock"].sendall(
+                        _handshake_digest(default_token()))
                     return
                 except OSError:
                     if time.monotonic() > deadline:
@@ -179,6 +185,54 @@ class TestFollowerLoss:
             for _ in range(200):
                 log.emit("grow", {"corpus": "chunks", "cap": 8},
                          {"pad": np.zeros(1 << 16, dtype=np.uint8)})
+
+
+class TestFollowerHandshake:
+    def test_unauthenticated_peer_rejected_without_squatting_slot(self):
+        """ADVICE r2: a peer that fails the token handshake must be
+        dropped — it must neither receive the op stream nor consume a
+        follower slot (the real follower still connects)."""
+        import threading
+
+        from cadence_rag_tpu.parallel.oplog import (
+            LeaderOpLog,
+            _handshake_digest,
+        )
+
+        port = _free_port()
+        results = {}
+
+        def stray():
+            deadline = time.monotonic() + 30
+            while True:
+                try:
+                    s = socket.create_connection(("127.0.0.1", port),
+                                                 timeout=5)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise
+                    time.sleep(0.05)
+            s.sendall(_handshake_digest("wrong-token"))
+            # leader should close on us
+            s.settimeout(10)
+            results["stray_closed"] = s.recv(1) == b""
+            s.close()
+
+        def real():
+            time.sleep(0.5)  # let the stray connect first
+            s = socket.create_connection(("127.0.0.1", port), timeout=5)
+            s.sendall(_handshake_digest("right-token"))
+            results["real_sock"] = s
+
+        t1 = threading.Thread(target=stray)
+        t2 = threading.Thread(target=real)
+        t1.start(); t2.start()
+        log = LeaderOpLog(port, 1, timeout_s=30, token="right-token")
+        t1.join(); t2.join()
+        assert results["stray_closed"]
+        log.emit("grow", {"corpus": "chunks", "cap": 8})
+        results["real_sock"].close()
 
 
 class TestMultihostServing:

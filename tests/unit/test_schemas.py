@@ -56,6 +56,94 @@ class TestExpandRequest:
             ExpandRequest(evidence_id="Q-1", window_ms=-1)
 
 
+class TestFieldParity:
+    """Pin the wire contract: every request model's field set and defaults,
+    as data. A rename, a dropped field, or a changed default fails here —
+    this is what keeps the reference's clients working unchanged
+    (behavioral contract: reference app/schemas.py:8-99)."""
+
+    CONTRACT = {
+        "CallRef": {
+            "call_id": None, "external_id": None, "external_source": None,
+            "source_uri": None, "source_hash": None, "started_at": None,
+            "ended_at": None, "title": None, "participants": None,
+            "tags": None, "metadata": None,
+        },
+        "UtteranceIn": {
+            "speaker": None, "speaker_id": None, "start_ts_ms": ...,
+            "end_ts_ms": ..., "confidence": None, "text": ...,
+        },
+        "TranscriptPayload": {"format": "json_turns", "content": ...},
+        "ChunkingOptions": {
+            "target_tokens": 350, "max_tokens": 600, "overlap_tokens": 50,
+        },
+        "TranscriptIngestRequest": {
+            "call_ref": None, "transcript": ..., "options": None,
+        },
+        "AnalysisArtifactIn": {"kind": ..., "content": ..., "metadata": None},
+        "AnalysisIngestRequest": {"call_ref": ..., "artifacts": []},
+        "CallIngestRequest": {"call_ref": ...},
+        "Budget": {"max_evidence_items": 8, "max_total_chars": 6000},
+        "RetrieveFilters": {
+            "date_from": None, "date_to": None, "call_ids": None,
+            "external_id": None, "external_source": None, "call_tags": None,
+        },
+        "RetrieveRequest": {
+            "query": ..., "intent": "auto", "filters": None,
+            "budget": Budget(), "return_style": "evidence_pack_json",
+            "debug": False,
+        },
+        "ExpandRequest": {
+            "evidence_id": ..., "window_ms": None, "max_chars": 2000,
+        },
+    }
+
+    def test_field_names_and_defaults(self):
+        import cadence_rag_tpu.schemas as schemas
+        from pydantic_core import PydanticUndefined
+
+        for model_name, expected in self.CONTRACT.items():
+            model = getattr(schemas, model_name)
+            fields = model.model_fields
+            assert set(fields) == set(expected), model_name
+            for fname, default in expected.items():
+                f = fields[fname]
+                if default is ...:
+                    assert f.is_required(), (model_name, fname)
+                elif f.default_factory is not None:
+                    assert f.default_factory() == default, (model_name, fname)
+                else:
+                    assert f.default is not PydanticUndefined
+                    assert f.default == default, (model_name, fname)
+
+
+class TestResponseModels:
+    def test_live_evidence_pack_validates(self):
+        """The typed response spec must match what the engine actually
+        emits (reference returns untyped dicts; here the contract is
+        pinned by model)."""
+        from cadence_rag_tpu.schemas import EvidencePackResponse
+
+        sample = {
+            "query_id": "q-1",
+            "intent": "auto",
+            "budget": {"max_evidence_items": 8, "max_total_chars": 6000},
+            "artifacts": [{
+                "evidence_id": "A-3", "call_id": "c", "artifact_id": 1,
+                "artifact_chunk_id": 3, "kind": "summary", "snippet": "s",
+                "why_relevant": "bm25",
+            }],
+            "quotes": [{
+                "evidence_id": "Q-9", "call_id": "c", "chunk_id": 9,
+                "speaker": "Ana", "start_ts_ms": 0, "end_ts_ms": 900,
+                "snippet": "t", "why_relevant": "dense + tech_tokens",
+            }],
+            "notes": {"retrieval": {"planner": "ann"}},
+        }
+        pack = EvidencePackResponse.model_validate(sample)
+        assert pack.quotes[0].chunk_id == 9
+
+
 class TestRetrieveRequest:
     def test_defaults(self):
         req = RetrieveRequest(query="q")
