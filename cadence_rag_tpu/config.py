@@ -99,6 +99,11 @@ class Settings:
     ivf_clusters: int = 0                    # 0 = auto sqrt(N)
     ivf_nprobe: int = 0                      # 0 = auto 8% of clusters (>=4)
     retrieve_batch_window_ms: int = 0        # server-side query batching
+    # Live store->index sync: the serving process tails the store's
+    # trigger-maintained mutation log so writes by OTHER processes
+    # (worker daemon, backfill CLIs) become retrievable without a
+    # restart (ingest/sync.py). 0 disables the background poll.
+    store_sync_interval_s: float = 1.0
     # Growth-compile prewarm: AOT-compile the fused program for the NEXT
     # capacity before fill crosses the doubling threshold (zero-HBM
     # jit.lower().compile(); core/prewarm.py). Measured without it: an

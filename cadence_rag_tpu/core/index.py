@@ -335,6 +335,14 @@ class CorpusIndex:
             self._on_insert()
 
     def _insert_locked(self, rows: Sequence[DocRow]) -> None:
+        # Drop rows already present (same doc_id): the live store->index
+        # syncer (ingest/sync.py) and a local ingest can race to insert
+        # the same committed row — whichever arrives second must be a
+        # no-op, not a duplicate index row.
+        if any(int(r.doc_id) in self._id_to_pos for r in rows):
+            rows = [r for r in rows if int(r.doc_id) not in self._id_to_pos]
+        if not rows:
+            return
         n = len(rows)
         padded = _next_pow2(n)
         # Reserve room for the PADDED slab: dynamic_update_slice silently

@@ -134,6 +134,12 @@ def _write_vectors(spec: TableSpec, rows, vectors: Sequence[Sequence[float]]) ->
                 for row, vec in zip(rows, vectors)
             ],
         )
+    from ..ingest.ingest import store_only
+
+    if store_only():
+        # standalone backfill process: the store write above logged an
+        # index mutation; the serving process's syncer scatters it
+        return
     corpus = get_index().corpus(spec.table)
     corpus.set_embeddings(
         [row["row_id"] for row in rows],

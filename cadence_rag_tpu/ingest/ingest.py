@@ -49,6 +49,39 @@ logger = get_logger(__name__)
 EMBEDDING_CONFIG_DISABLED = {"enabled": False, "model_id": None, "dim": 1024}
 NER_CONFIG_DISABLED = {"enabled": False}
 
+# Store-only mode: standalone writer processes (ingest worker daemon,
+# backfill CLIs) write the durable store and its trigger-maintained
+# mutation log ONLY — their process-local device index would die with
+# the process, and a serving process never sees it. The serving process
+# tails the log (ingest/sync.py) and applies the device work itself.
+# This is how the reference's 3-process topology guarantee (worker
+# writes visible to the API instantly via shared Postgres,
+# docker-compose.yml:22-102) is reproduced with an HBM-resident index.
+_STORE_ONLY = False
+
+
+def set_store_only(on: bool) -> None:
+    global _STORE_ONLY
+    _STORE_ONLY = bool(on)
+
+
+def store_only() -> bool:
+    return _STORE_ONLY
+
+
+def _featurize_avgdl(corpus_name: str, default: float) -> float:
+    """avgdl for BM25 signature weighting at featurize time. Store-only
+    writers have no live corpus; they use the last persisted stats
+    (index_meta) so worker-ingested rows weight like API-ingested ones."""
+    if not _STORE_ONLY:
+        corpus = get_index().corpus(corpus_name)
+        return corpus.avgdl or default
+    with get_store().read() as conn:
+        row = conn.execute(
+            "SELECT avgdl FROM index_meta WHERE corpus = ?", (corpus_name,)
+        ).fetchone()
+    return float(row["avgdl"]) if row and row["avgdl"] else default
+
 
 # ---------------------------------------------------------------- calls ----
 
@@ -186,7 +219,8 @@ def resolve_call(
                 started_at = call_ref.started_at
             return call_id, call_seq, started_at, False
         call_id, call_seq, started_at = _create_call(conn, call_ref)
-    get_index().ensure_call_capacity(call_seq + 1)
+    if not _STORE_ONLY:
+        get_index().ensure_call_capacity(call_seq + 1)
     return call_id, call_seq, started_at, True
 
 
@@ -236,7 +270,7 @@ def ingest_transcript(
     options: ChunkingOptions,
 ) -> Tuple[str, int, int]:
     store = get_store()
-    index = get_index()
+    index = None if _STORE_ONLY else get_index()
     call_id, call_seq, started_at, _created = resolve_call(call_ref, store)
     dedupe_key = transcript_hash(utterances_in, options)
     started_sec = epoch_sec(started_at)
@@ -279,7 +313,7 @@ def ingest_transcript(
 
         chunks = build_chunks(records, options)
         doc_rows: List[DocRow] = []
-        avgdl = index.chunks.avgdl or 400.0
+        avgdl = _featurize_avgdl("chunks", 400.0)
         for chunk in chunks:
             tokens = extract_tech_tokens(chunk.text)
             sig, touched, dl = featurize.lexical_signature(chunk.text, avgdl)
@@ -319,11 +353,13 @@ def ingest_transcript(
             (len(records), len(chunks), ingest_row_id),
         )
 
-    index.chunks.insert(doc_rows)
-    persist_lexical_meta(store, index.chunks)
+    if index is not None:
+        index.chunks.insert(doc_rows)
+        persist_lexical_meta(store, index.chunks)
     logger.info(
-        "ingest_transcript.complete call_id=%s utterances=%s chunks=%s",
-        call_id, len(records), len(chunks),
+        "ingest_transcript.complete call_id=%s utterances=%s chunks=%s "
+        "store_only=%s",
+        call_id, len(records), len(chunks), _STORE_ONLY,
     )
     return call_id, len(records), len(chunks)
 
@@ -334,7 +370,7 @@ def ingest_analysis(
     call_ref: CallRef, artifacts: Sequence[AnalysisArtifactIn]
 ) -> Tuple[str, int]:
     store = get_store()
-    index = get_index()
+    index = None if _STORE_ONLY else get_index()
     call_id, call_seq, started_at, _created = resolve_call(call_ref, store)
     started_sec = epoch_sec(started_at)
 
@@ -352,7 +388,7 @@ def ingest_analysis(
                  json.dumps(artifact.metadata or {})),
             )
             artifact_id = cur.lastrowid
-            avgdl = index.artifacts.avgdl or 60.0
+            avgdl = _featurize_avgdl("artifact_chunks", 60.0)
             for chunk in build_artifact_chunks(artifact.kind, content):
                 sig, touched, dl = featurize.lexical_signature(
                     chunk.content, avgdl
@@ -388,11 +424,12 @@ def ingest_analysis(
             EMBEDDING_CONFIG_DISABLED, NER_CONFIG_DISABLED,
         )
 
-    index.artifacts.insert(doc_rows)
-    persist_lexical_meta(store, index.artifacts)
+    if index is not None:
+        index.artifacts.insert(doc_rows)
+        persist_lexical_meta(store, index.artifacts)
     logger.info(
-        "ingest_analysis.complete call_id=%s artifacts=%s",
-        call_id, len(artifacts),
+        "ingest_analysis.complete call_id=%s artifacts=%s store_only=%s",
+        call_id, len(artifacts), _STORE_ONLY,
     )
     return call_id, len(artifacts)
 
@@ -405,7 +442,7 @@ def delete_call(call_id: str) -> dict:
     reference has no delete path (VERDICT round-1 item 10); a production
     index needs one."""
     store = get_store()
-    index = get_index()
+    index = None if _STORE_ONLY else get_index()
     with store.read() as conn:
         row = conn.execute(
             "SELECT call_seq FROM calls WHERE call_id = ?", (call_id,)
@@ -434,16 +471,20 @@ def delete_call(call_id: str) -> dict:
     # twice is harmless after dedupe). The reverse order would commit the
     # store delete and then — on an index failure — permanently serve
     # doc_ids whose rows are gone, with the retry 404ing.
-    removed_chunks = index.chunks.delete_ids(
-        chunk_ids,
-        [_sig(r["lex_sig"]) for r in chunk_rows],
-        [int(r["lex_dl"]) for r in chunk_rows],
-    )
-    removed_artifacts = index.artifacts.delete_ids(
-        [int(r["artifact_chunk_id"]) for r in artifact_rows],
-        [_sig(r["lex_sig"]) for r in artifact_rows],
-        [int(r["lex_dl"]) for r in artifact_rows],
-    )
+    # (Store-only writers skip the index; the delete triggers log the
+    # rows + lex stats and the serving process's syncer tombstones.)
+    removed_chunks = removed_artifacts = 0
+    if index is not None:
+        removed_chunks = index.chunks.delete_ids(
+            chunk_ids,
+            [_sig(r["lex_sig"]) for r in chunk_rows],
+            [int(r["lex_dl"]) for r in chunk_rows],
+        )
+        removed_artifacts = index.artifacts.delete_ids(
+            [int(r["artifact_chunk_id"]) for r in artifact_rows],
+            [_sig(r["lex_sig"]) for r in artifact_rows],
+            [int(r["lex_dl"]) for r in artifact_rows],
+        )
 
     with store.tx() as conn:
         if chunk_ids:
@@ -461,7 +502,11 @@ def delete_call(call_id: str) -> dict:
             "DELETE FROM call_tags WHERE call_seq = ?", (int(row["call_seq"]),)
         )
         conn.execute("DELETE FROM calls WHERE call_id = ?", (call_id,))
-    compacted = index.chunks.maybe_compact() | index.artifacts.maybe_compact()
+    compacted = False
+    if index is not None:
+        compacted = (
+            index.chunks.maybe_compact() | index.artifacts.maybe_compact()
+        )
     logger.info(
         "delete_call.complete call=%s chunks=%s artifacts=%s compacted=%s",
         call_id, removed_chunks, removed_artifacts, compacted,
@@ -476,54 +521,68 @@ def delete_call(call_id: str) -> dict:
 
 # ---------------------------------------------------------------- rebuild ----
 
+INDEXED_TABLES = (
+    ("chunks", "chunk_id"),
+    ("artifact_chunks", "artifact_chunk_id"),
+)
+
+# Columns a DocRow needs back out of the store (featurized state is
+# persisted at ingest, so no re-featurization on reload/sync).
+DOC_ROW_SELECT = (
+    "SELECT t.{id_col} AS doc_id, t.call_started_at, t.lex_sig, "
+    "t.lex_dl, t.tech_tokens, t.embedding, c.call_seq "
+    "FROM {table} t JOIN calls c ON c.call_id = t.call_id "
+)
+
+
+def doc_row_from_store_row(row) -> DocRow:
+    """Rehydrate a device-index DocRow from a persisted store row (used
+    by the startup rebuild AND the live store->index syncer)."""
+    lex_dim = int(settings.lexical_dim)
+    dim = int(settings.embeddings_dim)
+    sig = (
+        np.frombuffer(row["lex_sig"], dtype=np.int8).copy()
+        if row["lex_sig"]
+        else np.zeros(lex_dim, np.int8)
+    )
+    if sig.shape[0] != lex_dim:
+        sig = np.zeros(lex_dim, np.int8)
+    emb = None
+    if row["embedding"]:
+        emb = np.frombuffer(row["embedding"], dtype=np.float32).copy()
+        if emb.shape[0] != dim:
+            emb = None
+    return DocRow(
+        doc_id=int(row["doc_id"]),
+        call_seq=int(row["call_seq"]),
+        started_sec=epoch_sec(parse_iso(row["call_started_at"])),
+        lex_sig=sig,
+        lex_dl=int(row["lex_dl"]),
+        lex_touched=np.flatnonzero(sig).astype(np.int32),
+        tech=featurize.tech_slots(from_json(row["tech_tokens"]) or []),
+        embedding=emb,
+    )
+
+
 def rebuild_index_from_store() -> Tuple[int, int]:
     """Reload device index state from SQLite (startup recovery; the
     reference's analogue is that Postgres IS its index — ours must be
     reconstructable, SURVEY.md §5 checkpoint/resume)."""
     store = get_store()
     index = get_index()
-    dim = int(settings.embeddings_dim)
-    specs = [
-        ("chunks", "chunk_id", "text", index.chunks),
-        ("artifact_chunks", "artifact_chunk_id", "content", index.artifacts),
-    ]
     totals = []
-    max_seq = -1
     with store.read() as conn:
         seq_row = conn.execute("SELECT COALESCE(MAX(call_seq),-1) FROM calls").fetchone()
         max_seq = int(seq_row[0])
     index.ensure_call_capacity(max_seq + 1)
-    for table, id_col, _text_col, corpus in specs:
-        rows_out: List[DocRow] = []
+    for table, id_col in INDEXED_TABLES:
+        corpus = index.corpus(table)
         with store.read() as conn:
             rows = conn.execute(
-                f"SELECT t.{id_col} AS doc_id, t.call_started_at, t.lex_sig, "
-                f"t.lex_dl, t.tech_tokens, t.embedding, c.call_seq "
-                f"FROM {table} t JOIN calls c ON c.call_id = t.call_id "
-                f"ORDER BY t.{id_col} ASC"
+                DOC_ROW_SELECT.format(id_col=id_col, table=table)
+                + f"ORDER BY t.{id_col} ASC"
             ).fetchall()
-        for row in rows:
-            sig = np.frombuffer(row["lex_sig"], dtype=np.int8).copy() \
-                if row["lex_sig"] else np.zeros(int(settings.lexical_dim), np.int8)
-            if sig.shape[0] != int(settings.lexical_dim):
-                sig = np.zeros(int(settings.lexical_dim), np.int8)
-            emb = None
-            if row["embedding"]:
-                emb = np.frombuffer(row["embedding"], dtype=np.float32).copy()
-                if emb.shape[0] != dim:
-                    emb = None
-            rows_out.append(
-                DocRow(
-                    doc_id=int(row["doc_id"]),
-                    call_seq=int(row["call_seq"]),
-                    started_sec=epoch_sec(parse_iso(row["call_started_at"])),
-                    lex_sig=sig,
-                    lex_dl=int(row["lex_dl"]),
-                    lex_touched=np.flatnonzero(sig).astype(np.int32),
-                    tech=featurize.tech_slots(from_json(row["tech_tokens"]) or []),
-                    embedding=emb,
-                )
-            )
+        rows_out = [doc_row_from_store_row(row) for row in rows]
         if rows_out:
             corpus.insert(rows_out)
         totals.append(len(rows_out))

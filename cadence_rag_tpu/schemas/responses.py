@@ -63,10 +63,17 @@ class IdsOnlyResponse(ContractModel):
 
 
 class ExpandResponse(ContractModel):
+    """Q-* expansions carry chunk/timestamp fields; A-* carry kind."""
+
     evidence_id: str
     call_id: str
-    text: str
-    truncated: bool
+    snippet: str
+    chunk_id: Optional[int] = None
+    start_ts_ms: Optional[int] = None
+    end_ts_ms: Optional[int] = None
+    artifact_chunk_id: Optional[int] = None
+    artifact_id: Optional[int] = None
+    kind: Optional[str] = None
 
 
 class IngestTranscriptResponse(ContractModel):

@@ -21,8 +21,19 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="embedding backfill")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--call-id", type=str, default=None)
+    parser.add_argument(
+        "--device-index", action="store_true",
+        help="also scatter vectors into a process-local device index "
+        "(default: store-only — a serving process syncs via the "
+        "mutation log, and a standalone process's device state is "
+        "discarded at exit anyway)",
+    )
     args = parser.parse_args()
     configure_logging(settings.log_level)
+    if not args.device_index:
+        from ..ingest.ingest import set_store_only
+
+        set_store_only(True)
     summary = run_embedding_backfill(
         batch_size=args.batch_size or int(settings.embeddings_batch_size),
         call_id=args.call_id,

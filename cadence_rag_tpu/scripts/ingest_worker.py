@@ -24,8 +24,22 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="ingest queue worker")
     parser.add_argument("--once", action="store_true", help="drain one job")
     parser.add_argument("--idle-sleep", type=float, default=1.0)
+    parser.add_argument(
+        "--device-index", action="store_true",
+        help="also build a process-local device index (single-process "
+        "setups only; by default the worker writes the store and a "
+        "serving process syncs the device index via the mutation log)",
+    )
     args = parser.parse_args()
     configure_logging(settings.log_level)
+    if not args.device_index:
+        # A standalone worker's device index dies with the process and a
+        # serving API never sees it (the round-2 coherence gap): write
+        # the store + mutation log only; the server's StoreSyncer
+        # (ingest/sync.py) applies the device work.
+        from ..ingest.ingest import set_store_only
+
+        set_store_only(True)
     worker_id = f"worker-{uuid.uuid4().hex[:8]}"
 
     if args.once:

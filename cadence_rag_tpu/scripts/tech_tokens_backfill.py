@@ -36,7 +36,11 @@ def backfill_table(
 ) -> int:
     id_col, text_col, corpus_name = TABLES[table]
     store = get_store()
-    index = get_index()
+    from ..ingest.ingest import store_only
+
+    # standalone runs write the store only — the UPDATE triggers log the
+    # mutations and a serving process's syncer re-scatters the slots
+    index = None if store_only() else get_index()
     changed = 0
     after_id = 0
     while True:
@@ -63,7 +67,7 @@ def backfill_table(
                     f"UPDATE {table} SET tech_tokens = ? WHERE {id_col} = ?",
                     updates,
                 )
-            if corpus_name is not None and device_ids:
+            if index is not None and corpus_name is not None and device_ids:
                 index.corpus(corpus_name).set_tech(
                     device_ids, np.stack(device_tech)
                 )
@@ -77,8 +81,17 @@ def main() -> None:
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--batch-size", type=int, default=500)
     parser.add_argument("--table", choices=sorted(TABLES), default=None)
+    parser.add_argument(
+        "--device-index", action="store_true",
+        help="also update a process-local device index (default: "
+        "store-only; a serving process syncs via the mutation log)",
+    )
     args = parser.parse_args()
     configure_logging(settings.log_level)
+    if not args.device_index:
+        from ..ingest.ingest import set_store_only
+
+        set_store_only(True)
     tables = [args.table] if args.table else list(TABLES)
     total = 0
     for table in tables:

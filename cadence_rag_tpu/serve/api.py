@@ -354,6 +354,9 @@ def index_stats_endpoint(_req: Request):
             "tombstones": corpus.tombstones,
             "ivf_built": corpus.ivf is not None,
         }
+    from ..ingest.sync import get_syncer
+
+    syncer = get_syncer()
     return 200, {
         "chunks": corpus_stats(index.chunks),
         "artifact_chunks": corpus_stats(index.artifacts),
@@ -361,6 +364,13 @@ def index_stats_endpoint(_req: Request):
         # growth-prewarm observability: operators watch for warm
         # executables before a capacity doubling (core/prewarm.py)
         "prewarm_compiled": len(index.prewarmer._compiled),
+        # store->index sync observability: lag = mutations not yet
+        # applied to this process's device index (ingest/sync.py)
+        "sync": {
+            "consumer_id": syncer.consumer_id,
+            "applied_seq": syncer.last_seq,
+            "store_seq": syncer.current_watermark(),
+        },
     }
 
 
@@ -437,11 +447,28 @@ def startup() -> None:
         if not ok:
             raise RuntimeError(message)
     from ..ingest.ingest import rebuild_index_from_store
+    from ..ingest.sync import get_syncer
 
     index = get_index()
+    syncer = get_syncer()
+    # watermark BEFORE the rebuild read: any row committed in between has
+    # seq > watermark and the first poll picks it up (rows both rebuilt
+    # and logged dedupe on doc_id)
+    syncer.init_watermark()
     if index.chunks.count == 0 and index.artifacts.count == 0:
         counts = rebuild_index_from_store()
         logger.info("api.startup index_rebuilt chunks=%s artifacts=%s", *counts)
+    else:
+        # pre-populated index (checkpoint restore): diff against the
+        # store so writes that happened while this process was down —
+        # or rows deleted since the snapshot — are applied
+        counts = syncer.reconcile()
+        logger.info("api.startup index_reconciled %s", counts)
+    if float(settings.store_sync_interval_s) > 0:
+        # (multi-host leaders included: syncer-applied ops go through the
+        # same corpus methods, so they mirror to followers via the
+        # op-log like any other index mutation)
+        syncer.start(float(settings.store_sync_interval_s))
     if (
         settings.dense_ivf_enabled
         and index.chunks.count >= int(settings.ivf_min_rows)

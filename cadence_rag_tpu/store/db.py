@@ -24,7 +24,7 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 from ..config import settings
 
-SCHEMA_VERSION = 5
+SCHEMA_VERSION = 6
 
 # Ordered DDL migrations (the reference evolves its schema through 8 alembic
 # revisions; we group the same end-state into 4 logical revisions).
@@ -197,6 +197,63 @@ MIGRATIONS: List[Tuple[int, str]] = [
         PRIMARY KEY (tag, call_seq)
     ) WITHOUT ROWID;
     CREATE INDEX call_tags_seq_idx ON call_tags (call_seq);
+    """),
+    # Index-mutation log: trigger-maintained so ANY writer process
+    # (worker daemon, backfill CLI, the API itself) logs the device-index
+    # work its store writes imply. A serving process tails this log
+    # (ingest/sync.py) to keep its HBM index coherent with the store —
+    # the reference gets this for free because Postgres IS its index
+    # (worker writes at reference ingest_fs.py:840-963 are instantly
+    # visible to the API through the shared database).
+    # Delete entries carry the dead row's lex_sig/lex_dl so the index
+    # can shed the document's df/avgdl mass after the row is gone.
+    (6, """
+    CREATE TABLE index_mutations (
+        seq INTEGER PRIMARY KEY AUTOINCREMENT,
+        tbl TEXT NOT NULL,
+        op TEXT NOT NULL,
+        row_id INTEGER NOT NULL,
+        lex_sig BLOB,
+        lex_dl INTEGER
+    );
+
+    CREATE TABLE sync_consumers (
+        consumer_id TEXT PRIMARY KEY,
+        last_seq INTEGER NOT NULL,
+        heartbeat_at REAL NOT NULL
+    );
+
+    CREATE TRIGGER chunks_mut_ins AFTER INSERT ON chunks BEGIN
+        INSERT INTO index_mutations (tbl, op, row_id)
+            VALUES ('chunks', 'insert', NEW.chunk_id);
+    END;
+    CREATE TRIGGER chunks_mut_upd AFTER UPDATE OF embedding, tech_tokens
+    ON chunks BEGIN
+        INSERT INTO index_mutations (tbl, op, row_id)
+            VALUES ('chunks', 'update', NEW.chunk_id);
+    END;
+    CREATE TRIGGER chunks_mut_del AFTER DELETE ON chunks BEGIN
+        INSERT INTO index_mutations (tbl, op, row_id, lex_sig, lex_dl)
+            VALUES ('chunks', 'delete', OLD.chunk_id, OLD.lex_sig,
+                    OLD.lex_dl);
+    END;
+
+    CREATE TRIGGER artifact_chunks_mut_ins AFTER INSERT ON artifact_chunks
+    BEGIN
+        INSERT INTO index_mutations (tbl, op, row_id)
+            VALUES ('artifact_chunks', 'insert', NEW.artifact_chunk_id);
+    END;
+    CREATE TRIGGER artifact_chunks_mut_upd
+    AFTER UPDATE OF embedding, tech_tokens ON artifact_chunks BEGIN
+        INSERT INTO index_mutations (tbl, op, row_id)
+            VALUES ('artifact_chunks', 'update', NEW.artifact_chunk_id);
+    END;
+    CREATE TRIGGER artifact_chunks_mut_del AFTER DELETE ON artifact_chunks
+    BEGIN
+        INSERT INTO index_mutations (tbl, op, row_id, lex_sig, lex_dl)
+            VALUES ('artifact_chunks', 'delete', OLD.artifact_chunk_id,
+                    OLD.lex_sig, OLD.lex_dl);
+    END;
     """),
 ]
 

@@ -33,6 +33,8 @@ def tmp_store(tmp_path, monkeypatch):
     tests/conftest.py:46-126 random Postgres schemas)."""
     from cadence_rag_tpu.config import settings
     from cadence_rag_tpu.core.index import reset_index
+    from cadence_rag_tpu.ingest.ingest import set_store_only
+    from cadence_rag_tpu.ingest.sync import reset_syncer
     from cadence_rag_tpu.store.db import reset_store
 
     monkeypatch.setattr(settings, "store_path", str(tmp_path / "store.db"))
@@ -41,8 +43,12 @@ def tmp_store(tmp_path, monkeypatch):
     monkeypatch.setattr(settings, "index_initial_capacity", 256)
     monkeypatch.setattr(settings, "lexical_dim", 1024)
     monkeypatch.setattr(settings, "embeddings_dim", 64)
+    set_store_only(False)
     reset_store()
     reset_index()
+    reset_syncer()
     yield settings
+    set_store_only(False)
     reset_store()
     reset_index()
+    reset_syncer()

@@ -42,6 +42,9 @@ class TestCliScripts:
         assert list_ingest_jobs()["items"][0]["status"] == "queued"
 
     def test_worker_once(self, ingest_env, monkeypatch):
+        """Worker default = store-only (its own device index dies with
+        the process); a serving process's syncer applies the device
+        work — asserted here via poll_once."""
         from cadence_rag_tpu.scripts.ingest_scanner import main as scan_main
         from cadence_rag_tpu.scripts.ingest_worker import main as work_main
 
@@ -53,6 +56,14 @@ class TestCliScripts:
         from cadence_rag_tpu.ingest.fs_queue import list_ingest_jobs
 
         assert list_ingest_jobs()["items"][0]["status"] == "succeeded"
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.ingest.ingest import set_store_only
+        from cadence_rag_tpu.ingest.sync import get_syncer
+
+        assert get_index().chunks.count == 0  # worker wrote store only
+        set_store_only(False)  # back to "serving process" semantics
+        assert get_syncer().poll_once()["inserted"] >= 1
+        assert get_index().chunks.count >= 1
 
     def test_embed_backfill_cli(self, tmp_store, monkeypatch):
         ingest_transcript(
@@ -65,8 +76,15 @@ class TestCliScripts:
 
         monkeypatch.setattr(sys, "argv", ["embed_backfill", "--batch-size", "4"])
         main()
+        # CLI default = store-only: vectors land in the store + log ...
         from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.ingest.ingest import set_store_only
+        from cadence_rag_tpu.ingest.sync import get_syncer
 
+        assert not get_index().chunks.h_has_emb[:1].any()
+        # ... and a serving process's syncer scatters them
+        set_store_only(False)
+        get_syncer().poll_once()
         assert get_index().chunks.h_has_emb[:1].all()
 
     def test_tech_backfill_cli_dry_run(self, tmp_store, monkeypatch):
