@@ -113,10 +113,15 @@ class Settings:
     prewarm_growth_enabled: bool = True
     prewarm_fill_fraction: float = 0.75      # trigger at this fill level
     prewarm_min_capacity: int = 65536        # small corpora compile fast
-    # Skip prewarm when the doubled capacity can't fit the chip (growth
-    # holds old+new buffers; the 2M->4M compile OOMs a 16 GB v5e and its
-    # lowering steals the serving core while failing — NOTES_DEV.md).
-    prewarm_hbm_budget_gb: float = 12.0
+    # HBM budget for growth planning (core/prewarm.plan_next_capacity):
+    # growth degrades from a doubling to a fractional step when the
+    # transient old+new footprint would blow this; prewarm skips (and
+    # warns) only when even the minimum step can't fit — the 2M->4M
+    # compile OOMs a 16 GB v5e and its lowering steals the serving core
+    # while failing (NOTES_DEV.md). 14 of 16 GB leaves ~2 GB for score
+    # planes + XLA temporaries; used only when the backend reports no
+    # memory stats (the axon tunnel doesn't).
+    prewarm_hbm_budget_gb: float = 14.0
     embedder_params_path: str = ""           # trained weights for "neural"
     profiler_port: int = 0                   # jax.profiler server (0 = off)
     # Phase-4 rerank lane (BASELINE.md config 5)

@@ -237,6 +237,12 @@ class CorpusIndex:
         self._ivf_rebuilding = False
         # set by DeviceIndexManager: fires after each insert (prewarm hook)
         self._on_insert = None
+        # set by DeviceIndexManager: (corpus, need) -> next capacity.
+        # HBM-aware: a doubling when it fits the chip, a fractional step
+        # when only that does (core/prewarm.plan_next_capacity) — and the
+        # SAME capacity the prewarmer compiled for, so growth lands on a
+        # warm program.
+        self._grow_planner = None
 
     def _alloc_device(self, cap: int) -> None:
         if self.row_sharding is None:
@@ -319,10 +325,13 @@ class CorpusIndex:
         need = self.count + extra
         if need <= self.capacity:
             return
-        cap = self.capacity
-        while cap < need:
-            cap *= 2
-        self._grow_to(cap)
+        if self._grow_planner is not None:
+            cap = int(self._grow_planner(self, need))
+        else:
+            cap = self.capacity
+            while cap < need:
+                cap *= 2
+        self._grow_to(max(cap, need))
 
     # -- ingest -----------------------------------------------------------
     def insert(self, rows: Sequence[DocRow]) -> None:
@@ -1109,6 +1118,20 @@ class CorpusIndex:
         return lanes
 
 
+@dataclasses.dataclass
+class PackedDispatch:
+    """An in-flight fused-program dispatch: device-array futures plus the
+    host-mirror snapshot postprocess needs. ``ready`` carries immediate
+    results for paths that had to block (cold start, multi-process)."""
+
+    chunks_raw: object = None
+    artifacts_raw: object = None
+    chunk_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
+    artifact_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
+    batch: int = 0
+    ready: Optional[Tuple[Dict, Dict]] = None
+
+
 class DeviceIndexManager:
     """Both corpora + the call registry capacity used for filter bitmaps."""
 
@@ -1155,6 +1178,8 @@ class DeviceIndexManager:
         self.prewarmer = GrowthPrewarmer(self)
         self.chunks._on_insert = self._after_insert
         self.artifacts._on_insert = self._after_insert
+        self.chunks._grow_planner = self.prewarmer.growth_cap
+        self.artifacts._grow_planner = self.prewarmer.growth_cap
 
     def _after_insert(self) -> None:
         self.prewarmer.maybe_prewarm()
@@ -1334,9 +1359,38 @@ class DeviceIndexManager:
         artifact_mode: str,
         recall_target: float,
     ) -> Tuple[Dict, Dict]:
-        """The /retrieve hot path: ONE packed H2D transfer + one dispatch
-        for all six lanes over both corpora (ops/pack.py — seven separate
-        transfers through the tunneled link cost 2.5x the compute)."""
+        """The /retrieve hot path, blocking form: dispatch + collect."""
+        return self.collect_packed(self.query_both_packed_async(
+            q_emb, q_lex_feats, q_tech, allowed_calls, date_min, date_max,
+            chunk_ks=chunk_ks, artifact_ks=artifact_ks,
+            chunk_mode=chunk_mode, artifact_mode=artifact_mode,
+            recall_target=recall_target,
+        ))
+
+    def query_both_packed_async(
+        self,
+        q_emb: Optional[np.ndarray],          # (B, dim) f32 or None
+        q_lex_feats: Sequence,                # per-plan (buckets, signs, tfs)
+        q_tech: np.ndarray,
+        allowed_calls: np.ndarray,
+        date_min: np.ndarray,
+        date_max: np.ndarray,
+        *,
+        chunk_ks: Tuple[int, int, int],
+        artifact_ks: Tuple[int, int, int],
+        chunk_mode: str,
+        artifact_mode: str,
+        recall_target: float,
+    ) -> "PackedDispatch":
+        """ONE packed H2D transfer + one ENQUEUE for all six lanes over
+        both corpora, returning a handle WITHOUT blocking on the device —
+        jax arrays are futures, so a caller can enqueue the next batch
+        while this one computes, then ``collect_packed`` when it needs
+        the results. Single-thread async pipelining is how the tunneled
+        chip's ~25 ms dispatch latency amortizes (the device bench
+        reaches ~3.8k QPS exactly this way); overlapping FULL blocking
+        calls from threads measured SLOWER than serial on the 1-core
+        host (see bench.py)."""
         from ..ops.pack import (
             dual_corpus_retrieve_packed,
             pack_queries,
@@ -1354,12 +1408,12 @@ class DeviceIndexManager:
             artifact_q_lex = np.stack([
                 _dense_query_vector(f, self.artifacts) for f in q_lex_feats
             ])
-            return self.query_both(
+            return PackedDispatch(ready=self.query_both(
                 q_emb, chunk_q_lex, artifact_q_lex, q_tech, allowed_calls,
                 date_min, date_max, chunk_ks=chunk_ks,
                 artifact_ks=artifact_ks, chunk_mode=chunk_mode,
                 artifact_mode=artifact_mode, recall_target=recall_target,
-            )
+            ))
 
         # idf uses LIVE counts: delete_ids sheds df mass, so counting
         # tombstoned rows in n_docs would skew BM25 idf until compaction
@@ -1454,13 +1508,28 @@ class DeviceIndexManager:
             artifact_snap = (self.artifacts.h_ids, self.artifacts.count)
         self.prewarmer.note_signature(sig)
         self.prewarmer.maybe_prewarm()
+        return PackedDispatch(
+            chunks_raw=chunks_raw,
+            artifacts_raw=artifacts_raw,
+            chunk_snap=chunk_snap,
+            artifact_snap=artifact_snap,
+            batch=batch,
+        )
+
+    def collect_packed(self, disp: "PackedDispatch") -> Tuple[Dict, Dict]:
+        """Block on a dispatched query (ONE device->host transfer for all
+        lane outputs) and map positions -> doc ids."""
+        if disp.ready is not None:
+            return disp.ready
         chunks_np, artifacts_np = jax.device_get(
-            (chunks_raw, artifacts_raw)
+            (disp.chunks_raw, disp.artifacts_raw)
         )
         return (
-            self.chunks.postprocess_lanes(chunks_np, batch, *chunk_snap),
+            self.chunks.postprocess_lanes(
+                chunks_np, disp.batch, *disp.chunk_snap
+            ),
             self.artifacts.postprocess_lanes(
-                artifacts_np, batch, *artifact_snap
+                artifacts_np, disp.batch, *disp.artifact_snap
             ),
         )
 

@@ -207,8 +207,13 @@ def _format_lanes(out: Dict[str, Any], row: int) -> Dict[str, LaneRows]:
     return lanes
 
 
-def _execute_plans(plans: Sequence[QueryPlan]) -> None:
-    """Group by (modes, dense) and run one device dispatch per group."""
+def _dispatch_plans(plans: Sequence[QueryPlan]) -> List[Tuple]:
+    """Group by (modes, dense) and ENQUEUE one device dispatch per group
+    without blocking — returns (group, dispatch_handle, t0) tuples for
+    ``_collect_plans``. The split lets a pipelined caller enqueue the
+    next micro-batch while this one computes (the tunnel's ~25 ms
+    dispatch amortizes under back-to-back enqueues; blocking per batch
+    forfeits it)."""
     index = get_index()
     runnable = [p for p in plans if not p.empty]
     groups: Dict[Tuple, List[QueryPlan]] = {}
@@ -219,9 +224,9 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
 
     import jax.profiler as _profiler
 
+    pending: List[Tuple] = []
     for (chunk_mode, artifact_mode, dense_on), group in groups.items():
         t0 = time.perf_counter()
-        batch = len(group)
         q_tech = np.stack([p.q_tech for p in group])
         allowed = np.stack([p.resolved.allowed_calls for p in group])
         date_min = np.array([p.resolved.date_min for p in group], dtype=np.int32)
@@ -233,7 +238,7 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
         # Shows as a named region in jax.profiler traces (SURVEY.md §5:
         # "add jax.profiler trace hooks"); no-op when no trace is active.
         with _profiler.TraceAnnotation("retrieve_device_dispatch"):
-            chunks_out, artifacts_out = index.query_both_packed(
+            disp = index.query_both_packed_async(
                 q_emb, [p.q_lex_feats for p in group], q_tech,
                 allowed, date_min, date_max,
                 chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
@@ -244,12 +249,26 @@ def _execute_plans(plans: Sequence[QueryPlan]) -> None:
                     settings.embeddings_hnsw_ef_search
                 ),
             )
+        pending.append((group, disp, t0))
+    return pending
+
+
+def _collect_plans(pending: Sequence[Tuple]) -> None:
+    """Block on each dispatched group and distribute lane rows."""
+    index = get_index()
+    for group, disp, t0 in pending:
+        chunks_out, artifacts_out = index.collect_packed(disp)
         device_ms = (time.perf_counter() - t0) * 1e3
+        batch = len(group)
         for row, plan in enumerate(group):
             plan.chunk_lanes = _format_lanes(chunks_out, row)
             plan.artifact_lanes = _format_lanes(artifacts_out, row)
             plan.timings["device_ms"] = device_ms
             plan.timings["device_batch"] = float(batch)
+
+
+def _execute_plans(plans: Sequence[QueryPlan]) -> None:
+    _collect_plans(_dispatch_plans(plans))
 
 
 # -------------------------------------------------------------- assembly ----
@@ -610,19 +629,68 @@ def _merge_plans(plans: Sequence[QueryPlan]) -> None:
         plan.artifact_merged = am
 
 
-def retrieve_evidence_batch(
-    payloads: Sequence[RetrieveRequest],
-) -> List[Dict[str, Any]]:
-    """Serve many queries with one device dispatch per planner-mode group."""
+def _prepare_plans(payloads: Sequence[RetrieveRequest]) -> List[QueryPlan]:
     plans = [_make_plan(p) for p in payloads]
     _featurize_plans(plans)
     _embed_plans(plans)
     for plan in plans:
         _finish_planning(plan)
-    _execute_plans(plans)
+    return plans
+
+
+def _finish_plans(plans: List[QueryPlan],
+                  pending: Sequence[Tuple]) -> List[Dict[str, Any]]:
+    _collect_plans(pending)
     _merge_plans(plans)
     chunk_rows, artifact_rows = _prefetch_rows(plans)
     return [_assemble(plan, chunk_rows, artifact_rows) for plan in plans]
+
+
+def retrieve_evidence_batch(
+    payloads: Sequence[RetrieveRequest],
+) -> List[Dict[str, Any]]:
+    """Serve many queries with one device dispatch per planner-mode group."""
+    plans = _prepare_plans(payloads)
+    return _finish_plans(plans, _dispatch_plans(plans))
+
+
+def dispatch_evidence_batch(payloads: Sequence[RetrieveRequest]):
+    """Two-phase serving, phase 1: host prep + device ENQUEUE (returns a
+    handle without blocking on the device). The serve-side batcher runs
+    phase 1 of the next micro-batch while phase 2 of the previous one
+    waits on device output — single-thread pipelining."""
+    plans = _prepare_plans(payloads)
+    return plans, _dispatch_plans(plans)
+
+
+def finish_evidence_batch(handle) -> List[Dict[str, Any]]:
+    """Two-phase serving, phase 2: block on the device, fuse, assemble."""
+    plans, pending = handle
+    return _finish_plans(plans, pending)
+
+
+def retrieve_evidence_pipelined(batches, depth: int = 2):
+    """Serve a STREAM of micro-batches with up to ``depth`` in flight on
+    the device from a single thread: while batch i computes, batch i+1's
+    host work (plan/embed/featurize/pack) runs and its program enqueues
+    behind it. One thread + async dispatch is the shape the tunneled
+    device rewards — overlapping full blocking calls from a thread pool
+    measured SLOWER than serial on the 1-core host (bench.py history).
+
+    Yields one List[response] per input batch, in order.
+    """
+    from collections import deque
+
+    window: "deque" = deque()
+    for payloads in batches:
+        plans = _prepare_plans(payloads)
+        window.append((plans, _dispatch_plans(plans)))
+        if len(window) >= max(depth, 1):
+            plans_done, pending = window.popleft()
+            yield _finish_plans(plans_done, pending)
+    while window:
+        plans_done, pending = window.popleft()
+        yield _finish_plans(plans_done, pending)
 
 
 def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:

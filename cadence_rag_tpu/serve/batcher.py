@@ -11,6 +11,7 @@ device-batched execution (SURVEY.md §2.4).
 from __future__ import annotations
 
 import asyncio
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Tuple
 
 from ..config import settings
@@ -18,6 +19,15 @@ from ..logging_utils import get_logger
 from ..schemas import RetrieveRequest
 
 logger = get_logger(__name__)
+
+# ONE engine thread for every batch's host work and device interaction.
+# Overlap between batches comes from the two-phase engine API (dispatch
+# enqueues without blocking; finish blocks on device output), NOT from
+# concurrent threads: full blocking calls overlapped from a pool measured
+# SLOWER than serial on the 1-core host (bench.py history), while a
+# single thread issuing back-to-back enqueues amortizes the tunneled
+# device's ~25 ms dispatch (the device bench reaches ~3.8k QPS that way).
+_ENGINE = ThreadPoolExecutor(max_workers=1, thread_name_prefix="engine")
 
 
 class RetrieveBatcher:
@@ -75,13 +85,22 @@ class RetrieveBatcher:
         payloads = [payload for payload, _ in batch]
         loop = asyncio.get_running_loop()
 
-        def run():
-            from ..engine.retrieve import retrieve_evidence_batch
+        def stage_dispatch():
+            from ..engine.retrieve import dispatch_evidence_batch
 
-            return retrieve_evidence_batch(payloads)
+            return dispatch_evidence_batch(payloads)
 
         try:
-            responses = await loop.run_in_executor(None, run)
+            handle = await loop.run_in_executor(_ENGINE, stage_dispatch)
+            # yielding between the phases lets the NEXT window's dispatch
+            # enqueue on the engine thread while this batch computes
+
+            def stage_finish():
+                from ..engine.retrieve import finish_evidence_batch
+
+                return finish_evidence_batch(handle)
+
+            responses = await loop.run_in_executor(_ENGINE, stage_finish)
         except Exception as exc:  # propagate to every waiter
             for _, future in batch:
                 if not future.done():

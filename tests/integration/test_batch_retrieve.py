@@ -55,6 +55,61 @@ class TestBatchRetrieve:
         ]
         assert batched == serial
 
+    def test_pipelined_matches_batched(self, corpus):
+        """The single-thread pipelined stream (depth 2/3 in flight on
+        device) must produce exactly the per-batch responses of the
+        blocking path, in order."""
+        from cadence_rag_tpu.engine.retrieve import (
+            retrieve_evidence_pipelined,
+        )
+
+        queries = [
+            "ECONNRESET object store",
+            "lenovo BOM bake-off",
+            "azure migration runbook",
+            "SSD tiering latency",
+        ]
+        batches = [
+            [RetrieveRequest(query=q, return_style="ids_only")
+             for q in queries[i:] + queries[:i]]
+            for i in range(4)
+        ]
+        expected = [
+            [r["retrieved_ids"] for r in retrieve_evidence_batch(b)]
+            for b in batches
+        ]
+        for depth in (1, 2, 3):
+            got = [
+                [r["retrieved_ids"] for r in responses]
+                for responses in retrieve_evidence_pipelined(
+                    iter(batches), depth=depth
+                )
+            ]
+            assert got == expected, depth
+
+    def test_two_phase_api_matches_batched(self, corpus):
+        """dispatch_evidence_batch + finish_evidence_batch (the serve
+        batcher's two-phase path) == retrieve_evidence_batch."""
+        from cadence_rag_tpu.engine.retrieve import (
+            dispatch_evidence_batch,
+            finish_evidence_batch,
+        )
+
+        reqs = [RetrieveRequest(query="ECONNRESET object store",
+                                return_style="ids_only"),
+                RetrieveRequest(query="azure migration runbook")]
+        expected = retrieve_evidence_batch(reqs)
+        # interleave: dispatch both batches before finishing either
+        h1 = dispatch_evidence_batch(reqs)
+        h2 = dispatch_evidence_batch(reqs)
+        got1 = finish_evidence_batch(h1)
+        got2 = finish_evidence_batch(h2)
+        for got in (got1, got2):
+            assert [r.get("retrieved_ids") for r in got] == [
+                r.get("retrieved_ids") for r in expected
+            ]
+            assert got[1]["quotes"] == expected[1]["quotes"]
+
     def test_batch_one_device_dispatch(self, corpus):
         reqs = [
             RetrieveRequest(query=q)

@@ -69,14 +69,18 @@ class TestMidDispatchArrival:
 
         calls = []
 
-        def slow_batch(payloads):
+        def fake_dispatch(payloads):
             calls.append(len(payloads))
-            time.sleep(0.3)  # device time; runs in the executor
-            return [{"retrieved_ids": []} for _ in payloads]
+            return payloads
+
+        def slow_finish(handle):
+            time.sleep(0.3)  # device time; runs on the engine thread
+            return [{"retrieved_ids": []} for _ in handle]
 
         import cadence_rag_tpu.engine.retrieve as eng
 
-        monkeypatch.setattr(eng, "retrieve_evidence_batch", slow_batch)
+        monkeypatch.setattr(eng, "dispatch_evidence_batch", fake_dispatch)
+        monkeypatch.setattr(eng, "finish_evidence_batch", slow_finish)
 
         async def scenario():
             batcher = RetrieveBatcher(window_ms=50, max_batch=64)

@@ -100,6 +100,56 @@ class TestGrowthPrewarm:
         index.prewarmer.wait(timeout=120)
         assert index.prewarmer._compiled
 
+    def test_fractional_growth_when_doubling_cannot_fit(self, prewarm_env):
+        """VERDICT r2 item 4: at 1M bf16 rows on a 16 GB chip a doubling
+        can never fit (old+new coexist), but a fractional step does —
+        growth (and its prewarm) must degrade instead of standing down."""
+        import types
+
+        from cadence_rag_tpu.core.prewarm import (
+            _corpus_row_bytes,
+            plan_next_capacity,
+        )
+
+        fake = types.SimpleNamespace(
+            capacity=1_048_576, dim=1024, emb_dtype=np.dtype(np.float16),
+            lex_dim=4096, tech_slots=16, row_sharding=None,
+        )
+        row = _corpus_row_bytes(fake)
+        # free HBM fits ~1.3M rows of NEW buffers but not a 2M doubling
+        free = int(1_350_000 * row / 0.85)
+        cap = plan_next_capacity(fake, fake.capacity + 1, free=free)
+        assert fake.capacity < cap < 2 * fake.capacity
+        assert cap % (fake.capacity // 8) == 0
+        # plenty of room -> classic doubling
+        cap2 = plan_next_capacity(fake, fake.capacity + 1,
+                                  free=int(64e9))
+        assert cap2 == 2 * fake.capacity
+        # nothing fits -> doubling contract kept (caller warns/OOMs)
+        cap3 = plan_next_capacity(fake, fake.capacity + 1, free=1024)
+        assert cap3 == 2 * fake.capacity
+        # sharded corpora never take fractional steps
+        fake.row_sharding = object()
+        assert plan_next_capacity(fake, fake.capacity + 1,
+                                  free=free) == 2 * fake.capacity
+
+    def test_growth_lands_on_planned_capacity(self, prewarm_env,
+                                              monkeypatch):
+        """The capacity growth allocates must be the one the prewarmer
+        planned (and compiled for) — otherwise the first post-growth
+        query recompiles anyway."""
+        index = get_index()
+        index.chunks.insert(_rows(1, 100))
+        # force a fractional plan for the next chunks growth (insert
+        # slabs pad to pow2: 200 rows -> 256-slab -> need 356)
+        index.prewarmer._planned[("chunks", 256)] = 384
+        index.chunks.insert(_rows(101, 200))
+        assert index.chunks.capacity == 384  # planned cap honored
+        # a need beyond the stale plan falls back to a fresh plan
+        index.prewarmer._planned[("chunks", 384)] = 390
+        index.chunks.insert(_rows(301, 100))  # need 428 > 390
+        assert index.chunks.capacity == 768
+
     def test_prewarm_disabled_is_inert(self, prewarm_env, monkeypatch):
         monkeypatch.setattr(prewarm_env, "prewarm_growth_enabled", False)
         index = get_index()
