@@ -98,6 +98,32 @@ def lane_tech_slotted(tech, started, q_by_slot):
 
 
 @jax.jit
+def lane_tech_slotted_unrolled(tech, started, q_by_slot):
+    """Slot-aligned compare with the per-slot capacity C UNROLLED into
+    separate (B,N,S) passes — keeps S as the minor dim so the VPU
+    vectorizes each pass like the current lane does."""
+    match = None
+    for c in range(q_by_slot.shape[2]):
+        q = q_by_slot[:, :, c]                      # (B, S)
+        eq = (q[:, None, :] == tech[None, :, :]) & (q[:, None, :] != 0)
+        hit = jnp.any(eq, axis=2)
+        match = hit if match is None else (match | hit)
+    recency = jax.lax.bitcast_convert_type(started, jnp.float32)
+    keys = jnp.where(match, recency[None, :], -jnp.inf)
+    return jax.lax.approx_max_k(keys, 50)
+
+
+@jax.jit
+def lane_tech_onepass(tech, started, q_one):
+    """Unit cost of a single (B,N,S) compare pass (C=1)."""
+    eq = (q_one[:, None, :] == tech[None, :, :]) & (q_one[:, None, :] != 0)
+    match = jnp.any(eq, axis=2)
+    recency = jax.lax.bitcast_convert_type(started, jnp.float32)
+    keys = jnp.where(match, recency[None, :], -jnp.inf)
+    return jax.lax.approx_max_k(keys, 50)
+
+
+@jax.jit
 def lane_tech_summary(tech_bits, tech, started, q_bits, q_tech):
     """Two-level: 32-bit per-doc summary bitmap prefilter (cheap), exact
     compare still full-width but masked — measures whether XLA can skip
@@ -112,13 +138,23 @@ def lane_tech_summary(tech_bits, tech, started, q_bits, q_tech):
 
 
 def _timed(fn, *args, iters=20, label=""):
-    jax.block_until_ready(fn(*args))  # compile
-    jax.block_until_ready(fn(*args))  # warm
+    """Amortized device time per dispatch, completion forced by a
+    device_get READBACK of the final output. Through the axon tunnel
+    neither block_until_ready nor enqueue back-pressure reliably waits
+    for small-output programs (measured 0.05 ms 'latency' for a 2 GB
+    matmul); the device executes serially, so reading back call N's
+    output bounds calls 1..N."""
+    jax.device_get(fn(*args))  # compile + execute
+    jax.device_get(fn(*args))  # warm
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    ms = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{label:<28} {ms:8.2f} ms/dispatch (amortized x{iters})")
+    for _ in range(iters - 1):
+        fn(*args)
+    out = jax.device_get(fn(*args))
+    del out
+    total = time.perf_counter() - t0
+    ms = total / iters * 1e3
+    print(f"{label:<28} {ms:8.2f} ms/dispatch "
+          f"(readback-amortized x{iters})")
     return ms
 
 
@@ -172,6 +208,15 @@ def main() -> None:
             rng.integers(1, 1 << 30, (b, S, args.c)), jnp.int32)
         _timed(lane_tech_slotted, tech, started, q_slot,
                iters=args.iters, label=f"tech slotted (S={S},C={args.c})")
+        for c in (2, 3):
+            q_u = jnp.asarray(
+                rng.integers(1, 1 << 30, (b, S, c)), jnp.int32)
+            _timed(lane_tech_slotted_unrolled, tech, started, q_u,
+                   iters=args.iters,
+                   label=f"tech slotted unrolled C={c}")
+        q_one = jnp.asarray(rng.integers(1, 1 << 30, (b, S)), jnp.int32)
+        _timed(lane_tech_onepass, tech, started, q_one,
+               iters=args.iters, label="tech one-pass (B,N,S)")
         bits = jnp.asarray(rng.integers(0, 1 << 31, n), jnp.int32)
         qbits = jnp.asarray(rng.integers(0, 1 << 31, b), jnp.int32)
         _timed(lane_tech_summary, bits, tech, started, qbits, q_tech,

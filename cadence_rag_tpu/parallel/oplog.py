@@ -31,10 +31,12 @@ Architecture — leader-driven op replication:
 
 Stand-downs under multihost (all enforced here or in core/index.py):
 growth-prewarm (already stands down when row-sharded), IVF rebuilds,
-compaction, and whole-corpus checkpoint SAVE (device arrays span
-processes; snapshot from a single-process restart instead). Restore IS
-supported — the leader reads the checkpoint and the writes mirror like
-any other ingest.
+and compaction. Checkpoint SAVE and RESTORE are both supported:
+restore mirrors the leader's writes like any other ingest; save is the
+v3 gang format — every process writes the heavy row blocks it owns
+(mirrored 'checkpoint_shards' op), the leader writes scalars/stats and
+flips meta last (core/checkpoint._save_index_multihost; shared
+filesystem required).
 
 Validated end-to-end by tests/integration/test_multihost_serving.py:
 two OS processes (CPU Gloo transport, 4+4 virtual devices), the real
@@ -336,6 +338,17 @@ def _apply(manager, op: str, st: Dict, arrays: Dict) -> None:
 
     if op == "grow":
         manager.corpus(st["corpus"])._grow_to(int(st["cap"]))
+        return
+    if op == "checkpoint_shards":
+        # gang save (checkpoint format v3): write THIS process's
+        # addressable heavy row blocks; the leader polls for the files
+        # before flipping meta (core/checkpoint._save_index_multihost)
+        from ..core.checkpoint import write_local_heavy_shards
+
+        write_local_heavy_shards(
+            manager.corpus(st["corpus"]), st["path"],
+            int(st["generation"]), int(st["count"]),
+        )
         return
     if op == "alloc":
         c = manager.corpus(st["corpus"])

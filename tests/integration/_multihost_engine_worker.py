@@ -68,6 +68,15 @@ def main() -> None:
                             content="kafka incident rollback summary")],
     )
     out["packed"] = ids("kafka rollback")
+    # gang save (checkpoint format v3): follower writes its heavy row
+    # blocks via the mirrored op; leader writes scalars + meta-last
+    from cadence_rag_tpu.core.checkpoint import save_index
+
+    gang_ckpt = sys.argv[5]
+    meta = save_index(gang_ckpt, index)
+    out["saved_format"] = int(meta["format_version"])
+    out["saved_counts"] = [meta["counts"]["chunks"],
+                           meta["counts"]["artifact_chunks"]]
     print("RESULT " + json.dumps(out), flush=True)
     oplog.leader().shutdown()
 

@@ -365,6 +365,14 @@ class TestMultihostServing:
                                 content="kafka incident rollback summary")],
         )
         oracle["packed"] = ids("kafka rollback")
+        oracle["saved_format"] = 3
+        oracle["saved_counts"] = [index.chunks.count,
+                                  index.artifacts.count]
+        # byte-level truth for the v3 gang-save equivalence check below
+        oracle_state = {
+            c.name: c.state_arrays()
+            for c in (index.chunks, index.artifacts)
+        }
 
         coord = _free_port()
         oplog_port = _free_port()
@@ -400,14 +408,15 @@ class TestMultihostServing:
                 shutil.copyfile(src, lenv["STORE_PATH"] + suffix)
         flog = open(tmp_path / "f.log", "w")
         llog = open(tmp_path / "l.log", "w")
+        gang_ckpt = str(tmp_path / "gang_ckpt")
         follower = subprocess.Popen(
             [sys.executable, worker, "1", f"127.0.0.1:{coord}",
-             str(oplog_port), ckpt],
+             str(oplog_port), ckpt, gang_ckpt],
             env=fenv, stdout=flog, stderr=subprocess.STDOUT,
         )
         leader = subprocess.Popen(
             [sys.executable, worker, "0", f"127.0.0.1:{coord}",
-             str(oplog_port), ckpt],
+             str(oplog_port), ckpt, gang_ckpt],
             env=lenv, stdout=llog, stderr=subprocess.STDOUT,
         )
         try:
@@ -427,3 +436,22 @@ class TestMultihostServing:
         assert result_line, leader_out
         gang = json.loads(result_line[0][len("RESULT "):])
         assert gang == oracle
+
+        # the gang's v3 save must restore single-process BYTE-EQUAL to
+        # the oracle's corpus state (VERDICT r2 missing #2 done-check)
+        import numpy as _np
+
+        from cadence_rag_tpu.core.checkpoint import restore_index
+
+        reset_index()
+        meta = restore_index(gang_ckpt)
+        assert meta["format_version"] == 3
+        restored = get_index()
+        for corpus in (restored.chunks, restored.artifacts):
+            got = corpus.state_arrays()
+            want = oracle_state[corpus.name]
+            for key in ("emb", "lex", "tech", "ids", "call", "started",
+                        "has_emb", "doc_freq", "dl_sum"):
+                assert _np.array_equal(
+                    _np.asarray(got[key]), _np.asarray(want[key])
+                ), (corpus.name, key)
