@@ -101,7 +101,9 @@ def bench_device(index, batch, iters, dense_mode):
         rng.integers(0, index.chunks.lex_dim, (batch, F)).astype(np.uint16),
         (rng.standard_normal((batch, F)) * 0.05).astype(np.float16),
     )
-    tech_q = int(settings.tech_query_slots)
+    tech_q = (
+        int(settings.tech_hash_slots) * int(settings.tech_slot_capacity)
+    )
     q_tech = rng.integers(1, 5000, size=(batch, tech_q)).astype(np.int32)
     packed = pack_queries(
         q_emb, sparse, sparse, q_tech,

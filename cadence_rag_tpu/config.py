@@ -90,7 +90,11 @@ class Settings:
     lexical_dim: int = 4096                  # hashed BM25 signature buckets
     lexical_dtype: str = "int8"
     tech_hash_slots: int = 16                # token-hash slots per document
-    tech_query_slots: int = 8                # query-side token-hash width
+    # per-slot query capacity: the tech compare runs C slot-aligned
+    # (B,N,S) passes; query token budget ~ S*C (ops/hashing.
+    # tech_query_structure). C=2 measured 7.1 ms vs 16.7 for the old
+    # (B,N,Q,S) broadcast at batch 128 x 1M (lane_probe).
+    tech_slot_capacity: int = 2
     query_lex_features: int = 256            # sparse query-transfer width
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.

@@ -174,11 +174,14 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
             ) + 1
         except (ValueError, OSError):
             generation = 1
+    from ..ops.hashing import TECH_LAYOUT_VERSION
+
     gen = f"g{generation:04d}"
     meta: Dict = {
         "format_version": MULTIHOST_FORMAT_VERSION,
         "generation": generation,
         "emb_storage_dtype": str(index.chunks.emb_dtype),
+        "tech_layout": TECH_LAYOUT_VERSION,
         "embeddings_dim": int(settings.embeddings_dim),
         "lexical_dim": int(settings.lexical_dim),
         "tech_hash_slots": int(settings.tech_hash_slots),
@@ -302,12 +305,15 @@ def save_index(
             ) + 1
         except (ValueError, OSError):
             generation = 1
+    from ..ops.hashing import TECH_LAYOUT_VERSION
+
     meta: Dict = {
         "format_version": FORMAT_VERSION,
         "generation": generation,
         # informational (per-shard _kind drives decode): lets operators
         # see a storage-dtype switch across a checkpoint boundary
         "emb_storage_dtype": str(index.chunks.emb_dtype),
+        "tech_layout": TECH_LAYOUT_VERSION,
         "embeddings_dim": int(settings.embeddings_dim),
         "lexical_dim": int(settings.lexical_dim),
         "tech_hash_slots": int(settings.tech_hash_slots),
@@ -450,6 +456,17 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
                 f"checkpoint {key}={meta[key]} does not match settings "
                 f"{key}={expected}"
             )
+    from ..ops.hashing import TECH_LAYOUT_VERSION
+
+    ckpt_layout = int(meta.get("tech_layout", 1))
+    if ckpt_layout != TECH_LAYOUT_VERSION:
+        raise ValueError(
+            f"checkpoint tech slot layout v{ckpt_layout} != runtime "
+            f"v{TECH_LAYOUT_VERSION}: restored tech slots would never "
+            "match queries. Rebuild from the store (delete the "
+            "checkpoint and restart) or re-snapshot after "
+            "scripts/tech_tokens_backfill."
+        )
     generation = meta.get("generation")  # None = generation-less v2
     for corpus in (index.chunks, index.artifacts):
         if version == MULTIHOST_FORMAT_VERSION:

@@ -68,7 +68,11 @@ def run_worker(
     has_emb = np.ones(n, bool)
     q_emb = emb[:batch].copy()
     q_lex = (rng.standard_normal((batch, dlex)) * 0.1).astype(np.float32)
-    q_tech = np.full((batch, 2), 99, dtype=np.int32)
+    from ..ops.hashing import tech_query_structure_from_hashes
+
+    q_tech = np.stack(
+        [tech_query_structure_from_hashes([99], s) for _ in range(batch)]
+    )
     allowed = np.ones((batch, 16), dtype=bool)
     dmin = np.zeros(batch, np.int32)
     dmax = np.full(batch, 2**31 - 1, np.int32)

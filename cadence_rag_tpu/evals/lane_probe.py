@@ -217,6 +217,22 @@ def main() -> None:
         q_one = jnp.asarray(rng.integers(1, 1 << 30, (b, S)), jnp.int32)
         _timed(lane_tech_onepass, tech, started, q_one,
                iters=args.iters, label="tech one-pass (B,N,S)")
+        if jax.default_backend() == "tpu":
+            from cadence_rag_tpu.ops.pallas_tech import tech_topk_pallas
+
+            full_mask = jnp.ones((b, n), dtype=jnp.bool_)
+
+            @jax.jit
+            def fn(tech_, started_, q_, mask_):
+                return tech_topk_pallas(tech_, started_, q_, mask_, 50)
+
+            _timed(fn, tech, started, q_tech, full_mask,
+                   iters=args.iters,
+                   label=f"tech PALLAS kernel (Q={args.q})")
+            q16 = jnp.asarray(
+                rng.integers(1, 1 << 30, (b, 16)), jnp.int32)
+            _timed(fn, tech, started, q16, full_mask,
+                   iters=args.iters, label="tech PALLAS kernel (Q=16)")
         bits = jnp.asarray(rng.integers(0, 1 << 31, n), jnp.int32)
         qbits = jnp.asarray(rng.integers(0, 1 << 31, b), jnp.int32)
         _timed(lane_tech_summary, bits, tech, started, qbits, q_tech,

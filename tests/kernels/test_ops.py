@@ -129,12 +129,21 @@ class TestLexicalLane:
 
 class TestTechLane:
     def test_match_and_recency_order(self):
+        from cadence_rag_tpu.ops.hashing import (
+            tech_query_structure_from_hashes as qs,
+            tech_slot_choices,
+        )
+
+        # slot-addressed doc storage: token 7 lives at one of its two
+        # choice slots; the query structure covers both
+        s7 = tech_slot_choices(7, 4)[0]
+        s9 = tech_slot_choices(9, 4)[0]
         doc_tokens = np.zeros((4, 4), dtype=np.int32)
-        doc_tokens[0, 0] = 7
-        doc_tokens[1, 0] = 7
-        doc_tokens[2, 0] = 9
+        doc_tokens[0, s7] = 7
+        doc_tokens[1, s7] = 7
+        doc_tokens[2, s9] = 9
         started = np.array([100, 300, 200, 400], dtype=np.int32)
-        q = np.array([[7]], dtype=np.int32)
+        q = qs([7], 4)[None, :]
         keys, pos = techlane.tech_topk(
             jnp.asarray(doc_tokens),
             jnp.asarray(started),
@@ -147,9 +156,13 @@ class TestTechLane:
         assert np.isneginf(float(keys[0, 2]))
 
     def test_tie_break_prefers_lower_position(self):
+        from cadence_rag_tpu.ops.hashing import (
+            tech_query_structure_from_hashes as qs,
+        )
+
         doc_tokens = np.full((3, 2), 5, dtype=np.int32)
         started = np.array([50, 50, 50], dtype=np.int32)
-        q = np.array([[5]], dtype=np.int32)
+        q = qs([5], 2)[None, :]
         _, pos = techlane.tech_topk(
             jnp.asarray(doc_tokens),
             jnp.asarray(started),
@@ -242,13 +255,18 @@ class TestFusedProgram:
         n, dim, dlex = 64, 32, 256
         emb = _unit_rows(rng, n, dim)
         lex_w = rng.integers(-5, 6, size=(n, dlex)).astype(np.int8)
+        from cadence_rag_tpu.ops.hashing import (
+            tech_query_structure_from_hashes as _qs,
+            tech_slot_choices as _choices,
+        )
+
         tech = np.zeros((n, 4), dtype=np.int32)
-        tech[5, 0] = 42
+        tech[5, _choices(42, 4)[0]] = 42
         call_idx = np.zeros(n, dtype=np.int32)
         started = np.full(n, 1000, dtype=np.int32)
         q_emb = emb[[7]] + 0.0
         q_lex = rng.standard_normal((1, dlex)).astype(np.float32)
-        q_tech = np.array([[42]], dtype=np.int32)
+        q_tech = _qs([42], 4)[None, :]
         allowed = np.ones((1, 8), dtype=bool)
         out = multi_lane_retrieve(
             jnp.asarray(emb), jnp.asarray(lex_w), jnp.asarray(tech),

@@ -36,7 +36,14 @@ class TestPackedParity:
         arts, _ = _corpus(rng, n // 4, dim, dlex, slots, n_calls)
 
         q_emb = chunk_emb[:batch].copy()
-        q_tech = rng.integers(1, 999, (batch, 3)).astype(np.int32)
+        from cadence_rag_tpu.ops.hashing import (
+            tech_query_structure_from_hashes as _qs,
+        )
+
+        q_tech = np.stack([
+            _qs(rng.integers(1, 999, 3).tolist(), slots)
+            for _ in range(batch)
+        ])
         allowed = rng.random((batch, n_calls)) > 0.2
         dmin = np.full(batch, 0, np.int32)
         dmax = np.full(batch, 2**31 - 1, np.int32)
@@ -79,7 +86,8 @@ class TestPackedParity:
         )
         got_chunks, got_arts = dual_corpus_retrieve_packed(
             chunks, arts, jnp.asarray(packed),
-            batch=batch, emb_dim=dim, q_feats=F, tech_q=3, n_calls=n_calls,
+            batch=batch, emb_dim=dim, q_feats=F, tech_q=q_tech.shape[1],
+            n_calls=n_calls,
             chunk_ks=(8, 8, 8), artifact_ks=(4, 4, 4),
             chunk_mode="exact", artifact_mode="exact",
         )
@@ -103,14 +111,15 @@ class TestPackedParity:
         sparse = sparse_lex_rows(feats, doc_freq, n, F)
         packed = pack_queries(
             None, sparse, sparse,
-            np.zeros((batch, 2), np.int32),
+            np.zeros((batch, slots), np.int32),
             np.ones((batch, n_calls), bool),
             np.zeros(batch, np.int32),
             np.full(batch, 2**31 - 1, np.int32),
         )
         got_chunks, got_arts = dual_corpus_retrieve_packed(
             chunks, arts, jnp.asarray(packed),
-            batch=batch, emb_dim=1, q_feats=F, tech_q=2, n_calls=n_calls,
+            batch=batch, emb_dim=1, q_feats=F, tech_q=slots,
+            n_calls=n_calls,
             chunk_ks=(8, 8, 8), artifact_ks=(4, 4, 4),
             dense_enabled=False,
         )

@@ -94,7 +94,11 @@ class TestShardedMultiLane:
         started = rng.integers(1000, 5000, size=n).astype(np.int32)
         q_emb = _unit_rows(rng, batch, dim)
         q_lex = (rng.standard_normal((batch, dlex)) * 0.1).astype(np.float32)
-        q_tech = np.full((batch, 2), 99, dtype=np.int32)
+        from cadence_rag_tpu.ops.hashing import (
+            tech_query_structure_from_hashes as _qs,
+        )
+
+        q_tech = np.stack([_qs([99], s) for _ in range(batch)])
         allowed = np.ones((batch, 16), dtype=bool)
         dmin = np.zeros(batch, np.int32)
         dmax = np.full(batch, 2**31 - 1, np.int32)
