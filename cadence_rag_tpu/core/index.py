@@ -156,12 +156,21 @@ def _tombstone_rows(started, has_emb, pos):
 
 @partial(jax.jit, static_argnames=("out_rows",))
 def _gather_live(emb, lex, tech, call_idx, started, has_emb, live_pos,
-                 *, out_rows: int):
-    """Compaction gather: pack live rows to the front of fresh buffers."""
+                 valid_rows, *, out_rows: int):
+    """Compaction gather: pack live rows to the front. Rows past
+    ``valid_rows`` (the pow2 padding duplicated live row 0) are stamped
+    invalid ON DEVICE so the whole compaction is one mirrorable device
+    program — no host read-back, which is what lets multi-host gangs
+    compact in lockstep (the round-2 stand-down)."""
     take = live_pos[:out_rows]
+    idx = jnp.arange(out_rows, dtype=jnp.int32)
+    started_g = jnp.where(
+        idx < valid_rows, started[take], jnp.int32(INT32_MIN)
+    )
+    has_g = jnp.where(idx < valid_rows, has_emb[take], False)
     return (
         emb[take], lex[take], tech[take],
-        call_idx[take], started[take], has_emb[take],
+        call_idx[take], started_g, has_g,
     )
 
 
@@ -551,12 +560,9 @@ class CorpusIndex:
 
     def maybe_compact(self, threshold_frac: float = 0.25) -> bool:
         """Compact when tombstones exceed a quarter of the rows (bounded
-        wasted HBM + scan work); O(live rows) one-time gather."""
-        if _multiprocess():
-            # compaction gathers through host buffers the leader cannot
-            # read across processes; tombstones accumulate until an
-            # offline (single-process) compact — parallel/oplog.py
-            return False
+        wasted HBM + scan work); O(live rows) one-time gather. Works
+        multi-host: the whole compaction is device programs mirrored
+        over the op-log (the r2 stand-down is gone)."""
         with self.lock:
             if self.tombstones < max(
                 int(self.count * threshold_frac), 64
@@ -569,45 +575,55 @@ class CorpusIndex:
         with self.lock:
             self._compact_locked()
 
+    def apply_compact_device(
+        self, pad_live: np.ndarray, out_rows: int, cap: int
+    ) -> None:
+        """The device side of compaction: gather live rows (padding
+        stamped invalid in-program), reallocate at ``cap``, write the
+        packed rows at the front. Runs identically on the leader and —
+        via the 'compact' op — on followers, so the gang's collectives
+        stay lockstep."""
+        gathered = _gather_live(
+            self.emb, self.lex, self.tech, self.call_idx, self.started,
+            self.has_emb, _stage(pad_live),
+            _stage(np.int32(out_rows)),
+            out_rows=int(pad_live.shape[0]),
+        )
+        self.capacity = cap
+        self._alloc_device(cap)
+        (self.emb, self.lex, self.tech, self.call_idx, self.started,
+         self.has_emb) = _write_all_slabs(
+            self.emb, self.lex, self.tech, self.call_idx, self.started,
+            self.has_emb, *gathered, 0,
+        )
+        self.count = out_rows
+        self.ivf = None
+        self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+
     def _compact_locked(self) -> None:
-        if _multiprocess():
-            raise RuntimeError(
-                "index compaction is single-process only (multi-host "
-                "serving tombstones until an offline compact; "
-                "parallel/oplog.py)"
-            )
         n = self.count
         live = np.flatnonzero(self.h_started[:n] != INT32_MIN).astype(np.int32)
         out_rows = int(live.shape[0])
         pad_live = np.zeros(max(_next_pow2(max(out_rows, 1)), 8), np.int32)
         pad_live[:out_rows] = live
-        gathered = _gather_live(
-            self.emb, self.lex, self.tech, self.call_idx, self.started,
-            self.has_emb, jnp.asarray(pad_live),
-            out_rows=int(pad_live.shape[0]),
-        )
-        # rebuild capacity-padded buffers with live rows at the front
         old_ids = self.h_ids
         old_call = self.h_call
         old_started = self.h_started
         old_has = self.h_has_emb
         cap = max(_next_pow2(max(out_rows, 8)),
                   int(settings.index_initial_capacity))
-        self.capacity = cap
-        self._alloc_device(cap)
-        pad_rows = pad_live.shape[0]
-        self.emb = _write_slab(self.emb, gathered[0], 0)
-        self.lex = _write_slab(self.lex, gathered[1], 0)
-        self.tech = _write_slab(self.tech, gathered[2], 0)
-        self.call_idx = _write_slab(self.call_idx, gathered[3], 0)
-        # padding rows in the gather duplicated live row 0; stamp everything
-        # past out_rows back to invalid
-        started_np = np.array(jax.device_get(gathered[4]))
-        started_np[out_rows:] = INT32_MIN
-        self.started = _write_slab(self.started, jnp.asarray(started_np), 0)
-        has_np = np.array(jax.device_get(gathered[5]))
-        has_np[out_rows:] = False
-        self.has_emb = _write_slab(self.has_emb, jnp.asarray(has_np), 0)
+        if self.row_sharding is not None:
+            rows_axis = self.row_sharding.mesh.shape.get("data", 1)
+            if cap % max(rows_axis, 1):
+                cap = _next_pow2(cap)
+        if _oplog is not None:
+            _oplog.emit(
+                "compact",
+                {"corpus": self.name, "out_rows": int(out_rows),
+                 "cap": int(cap)},
+                {"live": pad_live},
+            )
+        self.apply_compact_device(pad_live, out_rows, cap)
         self.h_ids = np.zeros(cap, dtype=np.int64)
         self.h_call = np.zeros(cap, dtype=np.int32)
         self.h_started = np.full(cap, INT32_MIN, dtype=np.int32)

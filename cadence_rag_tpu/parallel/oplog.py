@@ -30,8 +30,10 @@ Architecture — leader-driven op replication:
   process-local jnp.asarray would poison the global dispatch.
 
 Stand-downs under multihost (all enforced here or in core/index.py):
-growth-prewarm (already stands down when row-sharded), IVF rebuilds,
-and compaction. Checkpoint SAVE and RESTORE are both supported:
+growth-prewarm (already stands down when row-sharded) and IVF rebuilds.
+Compaction mirrors like any other device op (the gather stamps its
+padding invalid in-program, so no host read-back is needed — the
+'compact' op). Checkpoint SAVE and RESTORE are both supported:
 restore mirrors the leader's writes like any other ingest; save is the
 v3 gang format — every process writes the heavy row blocks it owns
 (mirrored 'checkpoint_shards' op), the leader writes scalars/stats and
@@ -338,6 +340,11 @@ def _apply(manager, op: str, st: Dict, arrays: Dict) -> None:
 
     if op == "grow":
         manager.corpus(st["corpus"])._grow_to(int(st["cap"]))
+        return
+    if op == "compact":
+        manager.corpus(st["corpus"]).apply_compact_device(
+            arrays["live"], int(st["out_rows"]), int(st["cap"])
+        )
         return
     if op == "checkpoint_shards":
         # gang save (checkpoint format v3): write THIS process's

@@ -68,6 +68,13 @@ def main() -> None:
                             content="kafka incident rollback summary")],
     )
     out["packed"] = ids("kafka rollback")
+    # compaction mirrors over the op-log (r2 stand-down removed):
+    # tombstone a third of the chunks, force-compact, query again
+    doomed = index.chunks.h_ids[: index.chunks.count][::3].tolist()
+    index.chunks.delete_ids(doomed)
+    index.chunks.compact()
+    out["compacted_count"] = int(index.chunks.count)
+    out["post_compact"] = ids("kafka timeout incident")
     # gang save (checkpoint format v3): follower writes its heavy row
     # blocks via the mirrored op; leader writes scalars + meta-last
     from cadence_rag_tpu.core.checkpoint import save_index

@@ -365,6 +365,11 @@ class TestMultihostServing:
                                 content="kafka incident rollback summary")],
         )
         oracle["packed"] = ids("kafka rollback")
+        doomed = index.chunks.h_ids[: index.chunks.count][::3].tolist()
+        index.chunks.delete_ids(doomed)
+        index.chunks.compact()
+        oracle["compacted_count"] = int(index.chunks.count)
+        oracle["post_compact"] = ids("kafka timeout incident")
         oracle["saved_format"] = 3
         oracle["saved_counts"] = [index.chunks.count,
                                   index.artifacts.count]
