@@ -1136,12 +1136,16 @@ class CorpusIndex:
 
 @dataclasses.dataclass
 class PackedDispatch:
-    """An in-flight fused-program dispatch: device-array futures plus the
-    host-mirror snapshot postprocess needs. ``ready`` carries immediate
-    results for paths that had to block (cold start, multi-process)."""
+    """An in-flight fused-program dispatch: the flat device-output future
+    (ONE array = one D2H transfer; ops/pack.unflatten_lanes splits it)
+    plus the host-mirror snapshot postprocess needs. ``extra_dense``
+    carries an out-of-program dense result (the separate IVF dispatch).
+    ``ready`` carries immediate results for paths that had to block
+    (cold start, multi-process)."""
 
-    chunks_raw: object = None
-    artifacts_raw: object = None
+    flat_raw: object = None
+    sig: object = None                  # QuerySignature: the flat layout key
+    extra_dense: object = None          # optional (scores, pos) device pair
     chunk_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
     artifact_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
     batch: int = 0
@@ -1478,7 +1482,7 @@ class DeviceIndexManager:
                 emb_dtype=str(self.chunks.emb_dtype),
             )
             if _multiprocess():
-                chunks_raw, artifacts_raw = self._dispatch_multiprocess(
+                flat_raw = self._dispatch_multiprocess(
                     sig, chunk_mode, packed
                 )
                 compiled = _MULTIPROCESS_DISPATCHED
@@ -1492,13 +1496,13 @@ class DeviceIndexManager:
             if compiled is _MULTIPROCESS_DISPATCHED:
                 pass
             elif compiled is not None:
-                chunks_raw, artifacts_raw = compiled(
+                flat_raw = compiled(
                     self.chunks.device_arrays(),
                     self.artifacts.device_arrays(),
                     d_packed,
                 )
             else:
-                chunks_raw, artifacts_raw = dual_corpus_retrieve_packed(
+                flat_raw = dual_corpus_retrieve_packed(
                     self.chunks.device_arrays(),
                     self.artifacts.device_arrays(),
                     d_packed,
@@ -1514,9 +1518,6 @@ class DeviceIndexManager:
                     recall_target=float(recall_target),
                     dense_enabled=dense_enabled,
                 )
-            if ivf_dense is not None:
-                chunks_raw = dict(chunks_raw)
-                chunks_raw["dense"] = ivf_dense
             # snapshot the host-mirror state the postprocess needs while
             # still under the lock (a concurrent compact() REPLACES h_ids
             # and renumbers positions)
@@ -1525,21 +1526,33 @@ class DeviceIndexManager:
         self.prewarmer.note_signature(sig)
         self.prewarmer.maybe_prewarm()
         return PackedDispatch(
-            chunks_raw=chunks_raw,
-            artifacts_raw=artifacts_raw,
+            flat_raw=flat_raw,
+            sig=sig,
+            extra_dense=ivf_dense,
             chunk_snap=chunk_snap,
             artifact_snap=artifact_snap,
             batch=batch,
         )
 
     def collect_packed(self, disp: "PackedDispatch") -> Tuple[Dict, Dict]:
-        """Block on a dispatched query (ONE device->host transfer for all
-        lane outputs) and map positions -> doc ids."""
+        """Block on a dispatched query (ONE flat device->host transfer for
+        all lane outputs — every extra device array fetched through the
+        tunnel costs its own ~6 ms RPC) and map positions -> doc ids."""
+        from ..ops.pack import unflatten_lanes
+
         if disp.ready is not None:
             return disp.ready
-        chunks_np, artifacts_np = jax.device_get(
-            (disp.chunks_raw, disp.artifacts_raw)
+        flat_np, extra_np = jax.device_get((disp.flat_raw, disp.extra_dense))
+        sig = disp.sig
+        chunks_np, artifacts_np = unflatten_lanes(
+            flat_np,
+            chunk_ks=sig.chunk_ks, artifact_ks=sig.artifact_ks,
+            chunk_mode=sig.chunk_mode, artifact_mode=sig.artifact_mode,
+            dense_enabled=sig.dense_enabled,
         )
+        if extra_np is not None:
+            chunks_np = dict(chunks_np)
+            chunks_np["dense"] = extra_np
         return (
             self.chunks.postprocess_lanes(
                 chunks_np, disp.batch, *disp.chunk_snap

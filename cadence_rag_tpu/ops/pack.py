@@ -27,11 +27,89 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fused import LaneResult, _lanes_one_corpus
+from .fused import _lanes_one_corpus
 
 # fixed sparse width for query lexical features (word + trigram buckets);
 # queries beyond F features drop the lowest-|value| tail
 DEFAULT_F = 256
+
+# flat-output lane order per corpus (must match the dict insertion order
+# of fused._lanes_one_corpus)
+LANE_ORDER = ("lex", "tech", "dense")
+
+
+def lane_layout(
+    chunk_ks: Tuple[int, int, int],
+    artifact_ks: Tuple[int, int, int],
+    chunk_mode: str,
+    artifact_mode: str,
+    dense_enabled: bool,
+):
+    """[(corpus, lane, k)] in the flat-buffer column order produced by
+    ``_flatten_lanes`` (each lane contributes k score cols + k position
+    cols). The dense lane is present iff it actually ran in-program
+    (dense enabled and the mode isn't "none" — "none" means a separate
+    IVF dispatch served it)."""
+    layout = []
+    for corpus, ks, mode in (
+        ("chunks", chunk_ks, chunk_mode),
+        ("artifacts", artifact_ks, artifact_mode),
+    ):
+        layout.append((corpus, "lex", ks[1]))
+        layout.append((corpus, "tech", ks[2]))
+        if dense_enabled and mode != "none":
+            layout.append((corpus, "dense", ks[0]))
+    return layout
+
+
+def _flatten_lanes(chunks_out, artifacts_out) -> jax.Array:
+    """All lane outputs -> ONE (B, total) int32 array (f32 scores bitcast
+    to i32). Each device array fetched through the tunneled chip pays its
+    own RPC round trip — 12 separate lane arrays cost ~6 ms EACH in
+    ``device_get`` (profiled; ~73 ms of a 130 ms serial batch), so the
+    program concatenates everything into a single transfer."""
+    parts = []
+    for out in (chunks_out, artifacts_out):
+        for name in LANE_ORDER:
+            if name not in out:
+                continue
+            scores, pos = out[name]
+            parts.append(jax.lax.bitcast_convert_type(
+                scores.astype(jnp.float32), jnp.int32
+            ))
+            parts.append(pos.astype(jnp.int32))
+    return jnp.concatenate(parts, axis=1)
+
+
+def unflatten_lanes(
+    flat: np.ndarray,
+    *,
+    chunk_ks: Tuple[int, int, int],
+    artifact_ks: Tuple[int, int, int],
+    chunk_mode: str,
+    artifact_mode: str,
+    dense_enabled: bool,
+) -> Tuple[Dict[str, Tuple[np.ndarray, np.ndarray]],
+           Dict[str, Tuple[np.ndarray, np.ndarray]]]:
+    """Host inverse of ``_flatten_lanes``: zero-copy views back into
+    per-lane {name: (f32 scores, i32 positions)} dicts per corpus."""
+    flat = np.ascontiguousarray(flat)
+    flat_f = flat.view(np.float32)
+    chunks: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    artifacts: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    off = 0
+    for corpus, lane, k in lane_layout(
+        chunk_ks, artifact_ks, chunk_mode, artifact_mode, dense_enabled
+    ):
+        scores = flat_f[:, off:off + k]
+        pos = flat[:, off + k:off + 2 * k]
+        off += 2 * k
+        (chunks if corpus == "chunks" else artifacts)[lane] = (scores, pos)
+    if off != flat.shape[1]:
+        raise ValueError(
+            f"flat lane buffer has {flat.shape[1]} cols, layout expects {off}"
+        )
+    return chunks, artifacts
 
 
 def sparse_lex_rows(
@@ -166,10 +244,12 @@ def dual_corpus_retrieve_packed(
     artifact_mode: str = "exact",
     recall_target: float = 0.95,
     dense_enabled: bool = True,
-) -> Tuple[Dict[str, LaneResult], Dict[str, LaneResult]]:
+) -> jax.Array:
     """The production /retrieve program: unpack + both corpora's six lanes,
-    one H2D buffer, one dispatch (see ops/fused.dual_corpus_retrieve for
-    the lane math; this wrapper only changes the transfer shape)."""
+    one H2D buffer, one dispatch, ONE flat output buffer (see
+    ops/fused.dual_corpus_retrieve for the lane math; this wrapper only
+    changes the transfer shapes — ``unflatten_lanes`` recovers the
+    per-lane dicts host-side)."""
     q = _unpack(
         packed, batch=batch, dim=emb_dim, q_feats=q_feats,
         tech_q=tech_q, n_calls=n_calls,
@@ -197,4 +277,4 @@ def dual_corpus_retrieve_packed(
         dense_mode=artifact_mode, recall_target=recall_target,
         dense_enabled=dense_enabled,
     )
-    return chunks_out, artifacts_out
+    return _flatten_lanes(chunks_out, artifacts_out)

@@ -12,6 +12,7 @@ from cadence_rag_tpu.ops.pack import (
     dual_corpus_retrieve_packed,
     pack_queries,
     sparse_lex_rows,
+    unflatten_lanes,
 )
 
 
@@ -84,12 +85,17 @@ class TestPackedParity:
         packed = pack_queries(
             q_emb, chunk_sparse, art_sparse, q_tech, allowed, dmin, dmax
         )
-        got_chunks, got_arts = dual_corpus_retrieve_packed(
+        flat = dual_corpus_retrieve_packed(
             chunks, arts, jnp.asarray(packed),
             batch=batch, emb_dim=dim, q_feats=F, tech_q=q_tech.shape[1],
             n_calls=n_calls,
             chunk_ks=(8, 8, 8), artifact_ks=(4, 4, 4),
             chunk_mode="exact", artifact_mode="exact",
+        )
+        got_chunks, got_arts = unflatten_lanes(
+            np.asarray(flat),
+            chunk_ks=(8, 8, 8), artifact_ks=(4, 4, 4),
+            chunk_mode="exact", artifact_mode="exact", dense_enabled=True,
         )
         for ref, got in ((ref_chunks, got_chunks), (ref_arts, got_arts)):
             assert set(ref) == set(got)
@@ -116,12 +122,17 @@ class TestPackedParity:
             np.zeros(batch, np.int32),
             np.full(batch, 2**31 - 1, np.int32),
         )
-        got_chunks, got_arts = dual_corpus_retrieve_packed(
+        flat = dual_corpus_retrieve_packed(
             chunks, arts, jnp.asarray(packed),
             batch=batch, emb_dim=1, q_feats=F, tech_q=slots,
             n_calls=n_calls,
             chunk_ks=(8, 8, 8), artifact_ks=(4, 4, 4),
             dense_enabled=False,
+        )
+        got_chunks, got_arts = unflatten_lanes(
+            np.asarray(flat),
+            chunk_ks=(8, 8, 8), artifact_ks=(4, 4, 4),
+            chunk_mode="exact", artifact_mode="exact", dense_enabled=False,
         )
         assert "dense" not in got_chunks
         assert got_chunks["lex"][0].shape == (batch, 8)
