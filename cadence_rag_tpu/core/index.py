@@ -1098,9 +1098,13 @@ class CorpusIndex:
     def postprocess_lanes(
         self, out: Dict[str, Tuple[jax.Array, jax.Array]], batch: int,
         h_ids: Optional[np.ndarray] = None, count: Optional[int] = None,
-    ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
-        """Strip padding/non-matches and map device positions -> doc ids
-        (vectorized per lane; only the ragged row split stays per-row).
+    ) -> Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Map device positions -> doc ids, RECTANGULAR: per lane
+        (ids (B,k) i64, scores (B,k) f32, counts (B,) i32) where each
+        row's first ``counts[b]`` entries are valid (scores arrive sorted
+        desc with -inf sentinels last, so validity is a prefix). Fully
+        vectorized — the previous per-row ragged split cost ~2 ms per
+        128-query batch and forced a per-plan rebuild in the RRF merge.
         Callers running outside the corpus lock pass the (h_ids, count)
         snapshot captured at dispatch time — compaction REPLACES h_ids, so
         the snapshot stays position-consistent with the dispatched
@@ -1109,16 +1113,30 @@ class CorpusIndex:
             h_ids = self.h_ids
         if count is None:
             count = self.count
-        result: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        result: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for lane, (scores, pos) in out.items():
             scores = np.asarray(scores)
             pos = np.asarray(pos)
             keep = np.isfinite(scores) & (pos >= 0) & (pos < count)
             ids_all = h_ids[np.where(keep, pos, 0)]
             scores_f32 = scores.astype(np.float32, copy=False)
-            ids_rows = [ids_all[b][keep[b]] for b in range(batch)]
-            score_rows = [scores_f32[b][keep[b]] for b in range(batch)]
-            result[lane] = (ids_rows, score_rows)  # type: ignore[assignment]
+            counts = keep.sum(axis=1, dtype=np.int32)
+            if keep.shape[1] and not bool(
+                (keep[:, :-1] >= keep[:, 1:]).all()
+            ):
+                # Defensive: scores arrive sorted desc with -inf sentinels
+                # last, so `keep` is a prefix mask by construction. If a
+                # program change ever violates that, compact per row so
+                # the rectangular (block, counts) contract stays valid.
+                ids_fix = np.full_like(ids_all, -1)
+                scores_fix = np.full_like(scores_f32, -np.inf)
+                for b in range(batch):
+                    n = int(counts[b])
+                    ids_fix[b, :n] = ids_all[b][keep[b]]
+                    scores_fix[b, :n] = scores_f32[b][keep[b]]
+                ids_all, scores_f32 = ids_fix, scores_fix
+            result[lane] = (ids_all.astype(np.int64, copy=False),
+                            scores_f32, counts)
         return result
 
     def device_arrays(self) -> Tuple[jax.Array, ...]:
@@ -1126,8 +1144,9 @@ class CorpusIndex:
                 self.has_emb)
 
     def empty_lanes(self, batch: int, dense_enabled: bool):
-        empty = ([np.zeros(0, dtype=np.int64)] * batch,
-                 [np.zeros(0, dtype=np.float32)] * batch)
+        empty = (np.zeros((batch, 0), dtype=np.int64),
+                 np.zeros((batch, 0), dtype=np.float32),
+                 np.zeros(batch, dtype=np.int32))
         lanes = {"lex": empty, "tech": empty}
         if dense_enabled:
             lanes["dense"] = empty

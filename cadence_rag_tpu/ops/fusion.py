@@ -134,25 +134,62 @@ def rrf_merge_batch(
     if not parts_ids:
         return [empty + (names_per_plan[p],) for p in range(n_plans)]
 
-    all_ids = np.concatenate(parts_ids)
-    all_contrib = np.concatenate(parts_contrib)
-    all_bits = np.concatenate(parts_bits)
-    all_plan = np.concatenate(parts_plan)
-    base = int(all_ids.max()) + 1  # doc ids are non-negative
-    key = all_plan * base + all_ids
-    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
-    scores = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(scores, inv, all_contrib)  # accumulation order = lane order
-    masks = np.zeros(uniq.size, dtype=np.uint8)
-    np.bitwise_or.at(masks, inv, all_bits)
-    uniq_plan = uniq // base
-    uniq_doc = uniq - uniq_plan * base
-    # plan-major; within a plan: score desc, first-occurrence tiebreak
-    order = np.lexsort((first, -scores, uniq_plan))
-    plan_sorted = uniq_plan[order]
-    doc_sorted = uniq_doc[order]
-    score_sorted = scores[order]
-    mask_sorted = masks[order]
+    return _merge_flat(
+        np.concatenate(parts_plan), np.concatenate(parts_ids),
+        np.concatenate(parts_contrib), np.concatenate(parts_bits),
+        n_plans, names_per_plan,
+    )
+
+
+def _merge_flat(
+    all_plan: np.ndarray, all_ids: np.ndarray, all_contrib: np.ndarray,
+    all_bits: np.ndarray, n_plans: int, names_per_plan,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[str, ...]]]:
+    """Shared merge core: group flat (plan, doc) entries, accumulate f64
+    scores in input order, OR masks, sort (plan, -score, first), split
+    by plan. Native C++ core when available (<1 ms vs ~8 ms of
+    unique + add.at + lexsort; bitwise-parity tested — native/rrf.cpp)."""
+    from ..native import rrf as native_rrf
+
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
+             np.zeros(0, dtype=np.uint8))
+    native = native_rrf.merge_groups(
+        all_plan.astype(np.int32, copy=False), all_ids, all_contrib,
+        all_bits, n_plans,
+    )
+    if native is not None:
+        plan_sorted, doc_sorted, score_sorted, mask_sorted = native
+        plan_sorted = plan_sorted.astype(np.int64, copy=False)
+    else:
+        base = int(all_ids.max()) + 1  # doc ids are non-negative
+        key = all_plan * base + all_ids
+        uniq, first, inv = np.unique(
+            key, return_index=True, return_inverse=True
+        )
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        # accumulation order = lane order
+        np.add.at(scores, inv, all_contrib)
+        masks = np.zeros(uniq.size, dtype=np.uint8)
+        np.bitwise_or.at(masks, inv, all_bits)
+        uniq_plan = uniq // base
+        uniq_doc = uniq - uniq_plan * base
+        # plan-major; within a plan: score desc, first-occurrence tiebreak
+        order = np.lexsort((first, -scores, uniq_plan))
+        plan_sorted = uniq_plan[order]
+        doc_sorted = uniq_doc[order]
+        score_sorted = scores[order]
+        mask_sorted = masks[order]
+    return _split_plans(plan_sorted, doc_sorted, score_sorted, mask_sorted,
+                        n_plans, names_per_plan)
+
+
+def _split_plans(
+    plan_sorted: np.ndarray, doc_sorted: np.ndarray,
+    score_sorted: np.ndarray, mask_sorted: np.ndarray,
+    n_plans: int, names_per_plan,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[str, ...]]]:
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
+             np.zeros(0, dtype=np.uint8))
     bounds = np.searchsorted(plan_sorted, np.arange(n_plans + 1))
     out = []
     for p in range(n_plans):
@@ -163,6 +200,70 @@ def rrf_merge_batch(
             out.append((doc_sorted[s:e], score_sorted[s:e], mask_sorted[s:e],
                         names_per_plan[p]))
     return out
+
+
+def rrf_merge_rect(
+    lanes: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    k: int = DEFAULT_RRF_K,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[str, ...]]]:
+    """``rrf_merge_batch`` over RECTANGULAR lane blocks — the shape the
+    device actually returns ({lane: (ids (B,k) i64, scores (B,k) f32,
+    counts (B,) — valid prefix length per row)}) — with no per-plan
+    Python loop. Ordering/score parity with the per-plan path is exact:
+    the flat entry order is lane-major here vs plan-major there, but
+    within any (plan, doc) group the relative entry order (lane
+    declaration order, then rank) is identical, so the f64 accumulation
+    sequence and the first-occurrence tiebreak are unchanged (tested
+    bitwise against rrf_merge_batch)."""
+    names = tuple(lanes.keys())
+    n_plans = next(iter(lanes.values()))[0].shape[0] if lanes else 0
+
+    from ..native import rrf as native_rrf
+
+    native = native_rrf.merge_rect_groups(
+        [(ids2d, counts) for ids2d, _s, counts in lanes.values()],
+        n_plans, k,
+    )
+    if native is not None:
+        plan_sorted, doc_sorted, score_sorted, mask_sorted = native
+        return _split_plans(
+            plan_sorted.astype(np.int64, copy=False), doc_sorted,
+            score_sorted, mask_sorted, n_plans, [names] * n_plans,
+        )
+
+    parts_ids: List[np.ndarray] = []
+    parts_contrib: List[np.ndarray] = []
+    parts_bits: List[np.ndarray] = []
+    parts_plan: List[np.ndarray] = []
+    for i, name in enumerate(names):
+        ids2d, _scores, counts = lanes[name]
+        batch, width = ids2d.shape
+        if width == 0:
+            continue
+        valid = np.arange(width)[None, :] < np.asarray(counts)[:, None]
+        flat_ids = np.asarray(ids2d, dtype=np.int64)[valid]
+        if flat_ids.size == 0:
+            continue
+        parts_ids.append(flat_ids)
+        parts_contrib.append(
+            np.broadcast_to(_contrib(k, width), (batch, width))[valid]
+        )
+        parts_bits.append(np.full(flat_ids.size, 1 << i, dtype=np.uint8))
+        parts_plan.append(
+            np.broadcast_to(
+                np.arange(batch, dtype=np.int64)[:, None], (batch, width)
+            )[valid]
+        )
+
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
+             np.zeros(0, dtype=np.uint8))
+    if not parts_ids:
+        return [empty + (names,) for _ in range(n_plans)]
+    return _merge_flat(
+        np.concatenate(parts_plan), np.concatenate(parts_ids),
+        np.concatenate(parts_contrib), np.concatenate(parts_bits),
+        n_plans, [names] * n_plans,
+    )
 
 
 def rrf_scores_device(

@@ -50,7 +50,8 @@ class TestCapacityGrowth:
             np.full(3, 2**31 - 1, np.int32),
             k_dense=3, k_lex=3, k_tech=3,
         )
-        ids, _scores = out["dense"]
+        ids, _scores, counts = out["dense"]
+        assert counts.min() >= 1
         assert [int(ids[i][0]) for i in range(3)] == [1, 43, 100]
 
     def test_growth_in_one_big_insert(self, tmp_store):

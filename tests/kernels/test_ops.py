@@ -237,6 +237,66 @@ class TestFusion:
             for (_, rset, _), m in zip(ref, masks):
                 assert fusion.lane_mask_names(int(m), names) == rset
 
+    def test_rect_rrf_matches_per_plan_batch(self):
+        """rrf_merge_rect (rectangular blocks + counts, the device output
+        shape) must be bitwise identical to rrf_merge_batch on the
+        equivalent ragged per-plan dicts — ordering, f64 scores, masks."""
+        rng = np.random.default_rng(3)
+        B, k = 17, 12
+        lanes_rect = {}
+        for name in ("bm25", "tech_tokens", "dense"):
+            ids = rng.integers(0, 30, size=(B, k)).astype(np.int64)
+            counts = rng.integers(0, k + 1, size=B).astype(np.int32)
+            scores = rng.random((B, k)).astype(np.float32)
+            lanes_rect[name] = (ids, scores, counts)
+        per_plan = []
+        for b in range(B):
+            per_plan.append({
+                name: ids[b, :counts[b]]
+                for name, (ids, _s, counts) in lanes_rect.items()
+            })
+        rect = fusion.rrf_merge_rect(lanes_rect)
+        ragged = fusion.rrf_merge_batch(per_plan)
+        assert len(rect) == len(ragged) == B
+        for (r_ids, r_s, r_m, r_n), (g_ids, g_s, g_m, g_n) in zip(
+            rect, ragged
+        ):
+            np.testing.assert_array_equal(r_ids, g_ids)
+            assert r_s.tolist() == g_s.tolist()  # bitwise f64
+            np.testing.assert_array_equal(r_m, g_m)
+            assert r_n == g_n
+
+    def test_native_rrf_matches_numpy_fallback(self, monkeypatch):
+        """The C++ core (native/rrf.cpp) and the numpy fallback inside
+        rrf_merge_batch must be BITWISE identical — ordering, f64 scores
+        (same accumulation order), masks — on random plans including
+        in-lane duplicate ids and empty lanes."""
+        from cadence_rag_tpu.native import rrf as native_rrf
+
+        if not native_rrf.available():
+            pytest.skip("native rrf core unavailable")
+        rng = np.random.default_rng(11)
+        plans = []
+        for _ in range(60):
+            lanes = {}
+            for name in ["bm25", "tech_tokens", "dense"][
+                : int(rng.integers(1, 4))
+            ]:
+                n = int(rng.integers(0, 60))
+                lanes[name] = rng.integers(0, 40, size=n).astype(np.int64)
+            plans.append(lanes)
+        native_out = fusion.rrf_merge_batch(plans)
+        monkeypatch.setattr(native_rrf, "merge_groups",
+                            lambda *a, **k: None)
+        numpy_out = fusion.rrf_merge_batch(plans)
+        for (n_ids, n_s, n_m, n_names), (p_ids, p_s, p_m, p_names) in zip(
+            native_out, numpy_out
+        ):
+            np.testing.assert_array_equal(n_ids, p_ids)
+            assert n_s.tolist() == p_s.tolist()  # bitwise f64
+            np.testing.assert_array_equal(n_m, p_m)
+            assert n_names == p_names
+
     def test_device_rrf_matches_host(self):
         lane_pos = np.array(
             [[[0, 1, 2]], [[1, 0, -1]]], dtype=np.int32
