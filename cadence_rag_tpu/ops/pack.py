@@ -117,7 +117,11 @@ def sparse_lex_rows(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-plan (buckets, signs, tfs) feature tuples -> padded (B, F)
     uint16 buckets + (B, F) f16 values with each corpus's idf applied
-    (host side; same math as hashing.query_vector_from_features)."""
+    (host side; same math as hashing.query_vector_from_features).
+    Vectorized over the whole batch: one flat gather/log/scatter instead
+    of 128 small-array passes (~4 ms/batch of numpy call overhead on the
+    1-core serving host); only the rare >F overflow row falls back to a
+    per-row tail-drop."""
     from .hashing import LEX_QUANT_SCALE
 
     if doc_freq.shape[0] > 65536:
@@ -128,18 +132,40 @@ def sparse_lex_rows(
     batch = len(feats_list)
     buckets_out = np.zeros((batch, F), dtype=np.uint16)
     values_out = np.zeros((batch, F), dtype=np.float16)
-    for i, (buckets, signs, tfs) in enumerate(feats_list):
-        if buckets.size == 0 or n_docs <= 0:
-            continue
-        df = doc_freq[buckets].astype(np.float32)
-        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        vals = (signs * idf * tfs) / LEX_QUANT_SCALE
-        if buckets.shape[0] > F:
-            keep = np.argsort(-np.abs(vals))[:F]
-            buckets, vals = buckets[keep], vals[keep]
-        k = buckets.shape[0]
-        buckets_out[i, :k] = buckets.astype(np.uint16)
-        values_out[i, :k] = vals.astype(np.float16)
+    if n_docs <= 0 or batch == 0:
+        return buckets_out, values_out
+    sizes = np.fromiter(
+        (f[0].size for f in feats_list), dtype=np.int64, count=batch
+    )
+    if not sizes.any():
+        return buckets_out, values_out
+    flat_b = np.concatenate([f[0] for f in feats_list])
+    flat_s = np.concatenate([f[1] for f in feats_list])
+    flat_t = np.concatenate([f[2] for f in feats_list])
+    df = doc_freq[flat_b].astype(np.float32)
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    flat_v = (flat_s * idf * flat_t) / LEX_QUANT_SCALE
+
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    if not (sizes > F).any():
+        rows = np.repeat(np.arange(batch), sizes)
+        cols = np.arange(int(sizes.sum())) - np.repeat(starts[:-1], sizes)
+        buckets_out[rows, cols] = flat_b.astype(np.uint16)
+        values_out[rows, cols] = flat_v.astype(np.float16)
+    else:
+        # at least one row overflows F: keep the largest-|value| F feats
+        # for those rows (same semantics as the per-row path)
+        for i in np.flatnonzero(sizes > F):
+            s, e = starts[i], starts[i + 1]
+            keep = np.argsort(-np.abs(flat_v[s:e]))[:F]
+            buckets_out[i] = flat_b[s:e][keep].astype(np.uint16)
+            values_out[i] = flat_v[s:e][keep].astype(np.float16)
+        ok = np.flatnonzero(sizes <= F)
+        for i in ok:
+            s = starts[i]
+            k = sizes[i]
+            buckets_out[i, :k] = flat_b[s:s + k].astype(np.uint16)
+            values_out[i, :k] = flat_v[s:s + k].astype(np.float16)
     return buckets_out, values_out
 
 

@@ -58,6 +58,46 @@ class TestTechTokens:
         assert tokens.count("SSD") == 1
         assert tokens.count("Azure") == 1
 
+    def test_gated_fast_path_matches_ungated_oracle(self):
+        """extract_tech_tokens prunes regexes via substring pre-gates;
+        outputs (including ORDER) must equal the plain 33-regex loop on
+        adversarial and fuzzed inputs."""
+        import random
+
+        from cadence_rag_tpu.ingest.chunking import (
+            _extract_tech_tokens_ungated,
+        )
+
+        fixed = [
+            "",
+            "plain sentence with no identifiers at all",
+            "hit ECONNRESET after HTTP 503 from https://api.example.com/v2 "
+            "on 10.0.0.7, see JIRA-1234 and commit deadbeef1 in /var/log/app",
+            "the bill of materials for the lenovo build versus dell",
+            "object storage tiering on AWS vs Azure vs GCP bake-off",
+            "supermicro SMC head-to-head against the incumbent, ORA-00600",
+            "v2.3.1 rollout; E_FAIL; competing bids; amazon web services",
+            "Bakeoff bakeoff BAKE-OFF smc OBJECT store obj",
+            "ecONNreset http503 ora-1234 10.0.0 1.2 vs. versus Vs",
+            "Edge case: E alone, -5, 1.2.3.4.5, //double//slash//",
+            "google cloud platform vs oracle cloud infrastructure",
+            "abcdef1234567890 deadbeef cafebabe0 12345678",
+        ]
+        vocab = ("object store tiering SSD lenovo dell smc AWS azure gcp "
+                 "google oci oracle compete incumbent bake-off versus vs "
+                 "HTTP 503 ECONNRESET ORA-600 v1.2.3 10.0.0.1 JIRA-9 "
+                 "/etc/hosts deadbeef build bom bill of materials word "
+                 "the a and . - /").split()
+        rng = random.Random(0)
+        fuzz = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+            for _ in range(300)
+        ]
+        for text in fixed + fuzz:
+            assert extract_tech_tokens(text) == (
+                _extract_tech_tokens_ungated(text)
+            ), repr(text)
+
 
 class TestChunker:
     def test_max_token_invariant(self):
