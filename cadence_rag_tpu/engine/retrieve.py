@@ -660,6 +660,73 @@ def _assemble(
 
 # ------------------------------------------------------------- public API ----
 
+def _assemble_ids_only_batch(
+    plans: Sequence[QueryPlan],
+) -> Dict[int, Dict[str, Any]]:
+    """Batched ids_only assembly for every eligible plan via the native
+    formatter (native/rrf.ids_only_format): ordering identical to
+    ``_assemble``'s per-plan lexsort (parity-tested), but the ~200
+    "kind:id" strings per query materialize in one C pass instead of
+    per-id Python f-strings (~28 ms per 128-query batch, profiled).
+    Returns {plan_index: response}; ineligible plans (debug payloads,
+    evidence packs, empty queries, rerank on) fall back to ``_assemble``.
+    """
+    if settings.rerank_enabled:
+        return {}
+    eligible = [
+        (i, p)
+        for i, p in enumerate(plans)
+        if not p.empty
+        and p.payload.return_style == "ids_only"
+        and not p.payload.debug
+        and p.chunk_merged is not None
+        and p.artifact_merged is not None
+    ]
+    if not eligible:
+        return {}
+    from ..native import rrf as native_rrf
+
+    if not native_rrf.available():
+        return {}
+
+    def _flat(which: int):
+        parts = [p for _, plan in eligible
+                 for p in (plan.artifact_merged if which == 0
+                           else plan.chunk_merged,)]
+        sizes = np.array([part[0].size for part in parts], dtype=np.int64)
+        plan_idx = np.repeat(
+            np.arange(len(eligible), dtype=np.int32), sizes
+        )
+        if int(sizes.sum()) == 0:
+            return plan_idx, np.zeros(0, np.int64), np.zeros(0, np.float64)
+        ids = np.concatenate([part[0] for part in parts])
+        scores = np.concatenate([part[1] for part in parts])
+        return plan_idx, ids, scores
+
+    a_plan, a_doc, a_score = _flat(0)
+    c_plan, c_doc, c_score = _flat(1)
+    result = native_rrf.ids_only_format(
+        a_plan, a_doc, a_score, c_plan, c_doc, c_score, len(eligible)
+    )
+    if result is None:
+        return {}
+    counts, strings = result
+    out: Dict[int, Dict[str, Any]] = {}
+    offset = 0
+    for j, (i, plan) in enumerate(eligible):
+        end = offset + int(counts[j])
+        out[i] = {
+            "query_id": plan.query_id,
+            "retrieved_ids": strings[offset:end],
+        }
+        offset = end
+        logger.info(
+            "retrieve.complete query_id=%s mode=ids_only ids=%s dense=%s",
+            plan.query_id, int(counts[j]), plan.dense_enabled,
+        )
+    return out
+
+
 def _prepare_plans(payloads: Sequence[RetrieveRequest]) -> List[QueryPlan]:
     plans = [_make_plan(p) for p in payloads]
     _featurize_plans(plans)
@@ -673,7 +740,11 @@ def _finish_plans(plans: List[QueryPlan],
                   pending: Sequence[Tuple]) -> List[Dict[str, Any]]:
     _collect_plans(pending)  # also RRF-fuses each group (rect merge)
     chunk_rows, artifact_rows = _prefetch_rows(plans)
-    return [_assemble(plan, chunk_rows, artifact_rows) for plan in plans]
+    fast = _assemble_ids_only_batch(plans)
+    return [
+        fast.get(i) or _assemble(plan, chunk_rows, artifact_rows)
+        for i, plan in enumerate(plans)
+    ]
 
 
 def retrieve_evidence_batch(

@@ -96,6 +96,65 @@ extern "C" int64_t rrf_merge_rect_groups(
   return m;
 }
 
+// Batched ids_only response assembly: the reference's final ids_only
+// ordering (reference: app/retrieve.py:552-573) is sort by (-score,
+// kind, id) with artifacts (kind 0) before chunks (kind 1) on ties,
+// rendered as "artifact_chunk:<id>" / "chunk:<id>" strings. Building
+// ~200 Python f-strings per query cost ~28 ms per 128-query batch on
+// the 1-core serving host (profiled); this formats every plan's ids
+// into ONE '\n'-joined char buffer that Python splits in a single C
+// pass. Inputs are the two corpora's fused groups, plan-major
+// ascending (the merge cores above emit exactly that). Returns bytes
+// written, or -1 if out_cap would overflow (caller sizes generously
+// and falls back).
+extern "C" int64_t rrf_ids_only_format(
+    const int32_t* a_plan, const int64_t* a_doc, const double* a_score,
+    int64_t a_n, const int32_t* c_plan, const int64_t* c_doc,
+    const double* c_score, int64_t c_n, int32_t n_plans,
+    int32_t* out_counts, char* out_buf, int64_t out_cap) {
+  struct Item {
+    double score;
+    int64_t id;
+    uint8_t kind;  // 0 = artifact_chunk, 1 = chunk
+  };
+  static const char* kPrefix[2] = {"artifact_chunk:", "chunk:"};
+  static const int kPrefixLen[2] = {15, 6};
+  std::vector<Item> items;
+  int64_t ai = 0, ci = 0, written = 0;
+  for (int32_t p = 0; p < n_plans; ++p) {
+    items.clear();
+    for (; ai < a_n && a_plan[ai] == p; ++ai)
+      items.push_back({a_score[ai], a_doc[ai], 0});
+    for (; ci < c_n && c_plan[ci] == p; ++ci)
+      items.push_back({c_score[ci], c_doc[ci], 1});
+    std::sort(items.begin(), items.end(), [](const Item& x, const Item& y) {
+      if (x.score != y.score) return x.score > y.score;
+      if (x.kind != y.kind) return x.kind < y.kind;
+      return x.id < y.id;
+    });
+    out_counts[p] = static_cast<int32_t>(items.size());
+    for (const Item& it : items) {
+      char digits[24];
+      int nd = 0;
+      uint64_t v = static_cast<uint64_t>(it.id);
+      do {
+        digits[nd++] = static_cast<char>('0' + v % 10);
+        v /= 10;
+      } while (v);
+      const int need = kPrefixLen[it.kind] + nd + 1;
+      if (written + need > out_cap) return -1;
+      std::copy(kPrefix[it.kind], kPrefix[it.kind] + kPrefixLen[it.kind],
+                out_buf + written);
+      written += kPrefixLen[it.kind];
+      while (nd) out_buf[written++] = digits[--nd];
+      out_buf[written++] = '\n';
+    }
+  }
+  // inputs exhausted iff they were plan-major in [0, n_plans)
+  if (ai != a_n || ci != c_n) return -1;
+  return written;
+}
+
 extern "C" int64_t rrf_merge_groups(
     const int32_t* plan, const int64_t* doc, const double* contrib,
     const uint8_t* bits, int64_t n, int32_t n_plans,

@@ -194,6 +194,36 @@ class TestIdsOnlyAndDebug:
         assert first, "expected hits"
         assert all(":" in rid for rid in first)
 
+    def test_ids_only_fast_path_matches_per_plan_assembly(
+        self, corpus, monkeypatch
+    ):
+        """The batched native ids_only assembler must return EXACTLY the
+        per-plan ``_assemble`` output (same ids, same order) on a mixed
+        batch including an empty query and a filtered query."""
+        from cadence_rag_tpu.engine import retrieve as retrieve_mod
+        from cadence_rag_tpu.native import rrf as native_rrf
+
+        if not native_rrf.available():
+            pytest.skip("native rrf core unavailable")
+        reqs = [
+            RetrieveRequest(query="object store tiering SSD",
+                            return_style="ids_only"),
+            RetrieveRequest(query="", return_style="ids_only"),
+            RetrieveRequest(
+                query="pipeline review acme", return_style="ids_only",
+                filters=RetrieveFilters(call_ids=[corpus["b"]]),
+            ),
+            RetrieveRequest(query="ECONNRESET rollback",
+                            return_style="ids_only"),
+        ]
+        fast = retrieve_mod.retrieve_evidence_batch(reqs)
+        assert any(r["retrieved_ids"] for r in fast)
+        monkeypatch.setattr(native_rrf, "ids_only_format",
+                            lambda *a, **k: None)
+        slow = retrieve_mod.retrieve_evidence_batch(reqs)
+        for f, s in zip(fast, slow):
+            assert f["retrieved_ids"] == s["retrieved_ids"]
+
     def test_debug_lanes_present(self, corpus):
         resp = retrieve_evidence(
             RetrieveRequest(query="ECONNRESET errors", debug=True)

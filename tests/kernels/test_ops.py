@@ -297,6 +297,71 @@ class TestFusion:
             np.testing.assert_array_equal(n_m, p_m)
             assert n_names == p_names
 
+    def test_native_ids_only_format_matches_lexsort(self):
+        """The batched C++ ids_only formatter must reproduce the engine's
+        per-plan ordering contract (np.lexsort((ids, kinds, -scores)) —
+        score desc, artifacts before chunks on ties, id asc; reference:
+        app/retrieve.py:552-573) including exact-score ties and empty
+        plans."""
+        from cadence_rag_tpu.native import rrf as native_rrf
+
+        if not native_rrf.available():
+            pytest.skip("native rrf core unavailable")
+        rng = np.random.default_rng(23)
+        # scores drawn from a tiny set of exact f64 values forces heavy
+        # cross-kind / cross-id ties
+        tie_pool = np.array([1 / 61, 1 / 61 + 1 / 62, 1 / 63, 2 / 61])
+        n_plans = 19
+        a_parts, c_parts = [], []
+        expected: list = []
+        for p in range(n_plans):
+            na = int(rng.integers(0, 9))
+            nc = int(rng.integers(0, 13))
+            a_ids = rng.choice(40, size=na, replace=False).astype(np.int64)
+            c_ids = rng.choice(40, size=nc, replace=False).astype(np.int64)
+            a_sc = rng.choice(tie_pool, size=na)
+            c_sc = rng.choice(tie_pool, size=nc)
+            a_parts.append((np.full(na, p, np.int32), a_ids, a_sc))
+            c_parts.append((np.full(nc, p, np.int32), c_ids, c_sc))
+            ids_all = np.concatenate([a_ids, c_ids])
+            scores_all = np.concatenate([a_sc, c_sc])
+            kinds_all = np.concatenate([
+                np.zeros(na, dtype=np.int8), np.ones(nc, dtype=np.int8)
+            ])
+            order = np.lexsort((ids_all, kinds_all, -scores_all))
+            kind_name = ("artifact_chunk", "chunk")
+            expected.append([
+                f"{kind_name[k]}:{d}"
+                for k, d in zip(kinds_all[order], ids_all[order])
+            ])
+        cat = lambda i, parts: np.concatenate([t[i] for t in parts])  # noqa: E731
+        counts, strings = native_rrf.ids_only_format(
+            cat(0, a_parts), cat(1, a_parts), cat(2, a_parts),
+            cat(0, c_parts), cat(1, c_parts), cat(2, c_parts), n_plans,
+        )
+        offset = 0
+        for p in range(n_plans):
+            got = strings[offset:offset + int(counts[p])]
+            offset += int(counts[p])
+            assert got == expected[p], f"plan {p}"
+        assert offset == len(strings)
+
+    def test_native_ids_only_format_rejects_unsorted_plans(self):
+        """Non-plan-major input must return None (fallback), not garbage."""
+        from cadence_rag_tpu.native import rrf as native_rrf
+
+        if not native_rrf.available():
+            pytest.skip("native rrf core unavailable")
+        plan = np.array([1, 0], dtype=np.int32)
+        doc = np.array([5, 6], dtype=np.int64)
+        score = np.array([0.5, 0.4])
+        empty_p = np.zeros(0, np.int32)
+        empty_d = np.zeros(0, np.int64)
+        empty_s = np.zeros(0, np.float64)
+        assert native_rrf.ids_only_format(
+            plan, doc, score, empty_p, empty_d, empty_s, 2
+        ) is None
+
     def test_device_rrf_matches_host(self):
         lane_pos = np.array(
             [[[0, 1, 2]], [[1, 0, -1]]], dtype=np.int32
