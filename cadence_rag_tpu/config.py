@@ -89,6 +89,12 @@ class Settings:
     index_embedding_dtype: str = "bfloat16"
     lexical_dim: int = 4096                  # hashed BM25 signature buckets
     lexical_dtype: str = "int8"
+    # Vocab-head size used by scripts/build_lex_vocab.py: the top-df
+    # features learned from the corpus get dedicated collision-free
+    # buckets [0, head) (ops/hashing.apply_vocab; measured top-10 overlap
+    # vs collision-free BM25 at D=4096: 0.87 -> ~0.96). Build-time knob —
+    # the ACTIVE head rides with the store's lex_vocab table.
+    lex_vocab_head: int = 2048
     tech_hash_slots: int = 16                # token-hash slots per document
     # per-slot query capacity: the tech compare runs C slot-aligned
     # (B,N,S) passes; query token budget ~ S*C (ops/hashing.

@@ -55,6 +55,12 @@ SCALAR_KEYS = ("ids", "call", "started", "has_emb")
 SHARD_EMB_BYTES = 256 * 1024 * 1024
 
 
+def _active_vocab():
+    from ..ingest import featurize
+
+    return featurize.active_vocab()
+
+
 def _encode_emb(emb: np.ndarray) -> Dict[str, np.ndarray]:
     if emb.dtype == np.float32:
         return {"emb": emb, "_kind": np.array(["f32"])}
@@ -189,6 +195,14 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
         "counts": {},
         "heavy_files": {},
     }
+    vocab, vocab_version = _active_vocab()
+    meta["lex_vocab_version"] = vocab_version
+    meta["lex_vocab_head"] = int(vocab.size) if vocab is not None else 0
+    if vocab is not None:
+        np.savez(
+            out / f"lex_vocab.{gen}.npz",
+            hashes=vocab, version=np.array([vocab_version]),
+        )
     log = index_mod._oplog
     expected: list = []
     for corpus in (index.chunks, index.artifacts):
@@ -321,6 +335,9 @@ def save_index(
         "counts": {},
         "shards": {},
     }
+    vocab, vocab_version = _active_vocab()
+    meta["lex_vocab_version"] = vocab_version
+    meta["lex_vocab_head"] = int(vocab.size) if vocab is not None else 0
     snapshots = {}
     for corpus in (index.chunks, index.artifacts):
         arrays = corpus.state_arrays()  # locked device->host copy
@@ -336,6 +353,11 @@ def save_index(
         import os
 
         gen = f"g{generation:04d}"
+        if vocab is not None:
+            np.savez(
+                out / f"lex_vocab.{gen}.npz",
+                hashes=vocab, version=np.array([vocab_version]),
+            )
         for name, (arrays, n, rows_per_shard, n_shards) in snapshots.items():
             np.savez(
                 out / f"{name}.{gen}.stats.npz",
@@ -467,6 +489,22 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
             "checkpoint and restart) or re-snapshot after "
             "scripts/tech_tokens_backfill."
         )
+    # The vocab head RIDES WITH the signature rows it produced: activate
+    # the checkpoint's vocab (or clear any active one for a pre-vocab
+    # checkpoint) so query featurization matches the restored layout.
+    # serve startup cross-checks this version against the store's active
+    # vocab and refuses a divergence (serve/api.py).
+    from ..ingest import featurize as _featurize
+
+    ckpt_vocab_version = int(meta.get("lex_vocab_version", 0))
+    if ckpt_vocab_version > 0:
+        gen_tag = f"g{int(meta['generation']):04d}"
+        with np.load(src / f"lex_vocab.{gen_tag}.npz") as data:
+            _featurize.set_active_vocab(
+                data["hashes"].astype(np.uint64), ckpt_vocab_version
+            )
+    else:
+        _featurize.set_active_vocab(None, 0)
     generation = meta.get("generation")  # None = generation-less v2
     for corpus in (index.chunks, index.artifacts):
         if version == MULTIHOST_FORMAT_VERSION:

@@ -493,6 +493,44 @@ class CorpusIndex:
         )
         return int(n)
 
+    def set_lex(self, doc_ids: Sequence[int], lex_rows: np.ndarray) -> int:
+        """Replace lexical signatures for existing rows (vocab-head
+        re-featurize, scripts/build_lex_vocab.py). Pure row scatter —
+        corpus df stats are rebuilt by the caller via replace_doc_freq
+        once every row is re-featurized (a full-layout change invalidates
+        incremental df deltas)."""
+        with self.lock:
+            return self._set_lex_locked(doc_ids, lex_rows)
+
+    def _set_lex_locked(self, doc_ids: Sequence[int], lex_rows: np.ndarray) -> int:
+        id_to_pos = self.position_of(doc_ids)
+        mask = id_to_pos >= 0
+        if not mask.any():
+            return 0
+        pos = id_to_pos[mask]
+        vals = np.asarray(lex_rows, dtype=np.int8)[mask]
+        n = pos.shape[0]
+        padded = _next_pow2(n)
+        pad_pos = np.full(padded, pos[0], dtype=np.int32)
+        pad_pos[:n] = pos
+        pad_vals = np.zeros((padded, self.lex_dim), dtype=np.int8)
+        pad_vals[:n] = vals
+        pad_vals[n:] = vals[0] if n else 0
+        if _oplog is not None:
+            _oplog.emit("scatter_lex", {"corpus": self.name},
+                        {"pos": pad_pos, "vals": pad_vals})
+        self.lex = _scatter_rows(
+            self.lex, _stage(pad_pos), _stage(pad_vals)
+        )
+        return int(n)
+
+    def replace_doc_freq(self, doc_freq: np.ndarray) -> None:
+        """Swap the bucket-granularity df table after a full lexical
+        re-featurize (doc lengths are layout-independent, so dl_sum/avgdl
+        stand)."""
+        with self.lock:
+            self.doc_freq = np.asarray(doc_freq, dtype=np.int64).copy()
+
     def position_of(self, doc_ids: Sequence[int]) -> np.ndarray:
         lookup = self._id_to_pos
         return np.array([lookup.get(int(d), -1) for d in doc_ids], dtype=np.int32)
@@ -1615,3 +1653,8 @@ def reset_index() -> None:
     global _index
     with _index_lock:
         _index = None
+    # the active lexical vocab belongs to the (store, index) pair; a fresh
+    # index must not inherit a previous corpus's head layout
+    from ..ingest import featurize
+
+    featurize.set_active_vocab(None, 0)

@@ -104,8 +104,22 @@ def _exact_feature_bm25_rank(
     return out
 
 
+def _top_df_vocab(docs: List[str], head: int) -> np.ndarray:
+    """Top-``head`` feature hashes by document frequency (the same
+    selection core/vocab.build_vocab_from_store learns from a store)."""
+    df: Dict[int, int] = {}
+    for d in docs:
+        for h in hashing.lexical_features(d):
+            df[h] = df.get(h, 0) + 1
+    keys = np.fromiter(df.keys(), dtype=np.uint64, count=len(df))
+    cnts = np.fromiter(df.values(), dtype=np.int64, count=len(df))
+    order = np.lexsort((keys, -cnts))[: min(head, keys.size)]
+    return np.sort(keys[order])
+
+
 def _hashed_rank(
-    docs: List[str], queries: List[str], k: int, dim: int
+    docs: List[str], queries: List[str], k: int, dim: int,
+    vocab: np.ndarray | None = None,
 ) -> List[List[int]]:
     dls = []
     sigs = np.zeros((len(docs), dim), dtype=np.int8)
@@ -114,13 +128,18 @@ def _hashed_rank(
     feats = [hashing.lexical_features(d) for d in docs]
     avgdl = float(np.mean([sum(f.values()) for f in feats]))
     for i, doc in enumerate(docs):
-        sig, touched, dl = hashing.doc_signature(doc, dim, avgdl)
+        raw_h, raw_t = hashing.raw_feature_arrays(doc)
+        sig, touched, dl = hashing.doc_signature_from_raw(
+            raw_h, raw_t, dim, avgdl, vocab
+        )
         sigs[i] = sig
         df[touched] += 1
         dls.append(dl)
     out = []
     for q in queries:
-        qv = hashing.query_vector(q, dim, df, len(docs))
+        raw_h, raw_t = hashing.raw_feature_arrays(q)
+        b, s, t = hashing.query_feature_arrays_from_raw(raw_h, raw_t, dim, vocab)
+        qv = hashing.query_vector_from_features(b, s, t, dim, df, len(docs))
         scores = sigs.astype(np.float32) @ qv
         out.append(list(np.argsort(-scores, kind="stable")[:k]))
     return out
@@ -129,6 +148,7 @@ def _hashed_rank(
 def measure_fidelity(
     n_docs: int = 2000, n_queries: int = 64, k: int = 10,
     dims: List[int] = (1024, 2048, 4096, 16384), seed: int = 0,
+    head: int = 0,
 ) -> Dict:
     rng = np.random.default_rng(seed)
     docs = _synth_corpus(n_docs, rng)
@@ -140,22 +160,29 @@ def measure_fidelity(
     exact_words = _exact_bm25_rank(docs, queries, k)
     exact_feats = _exact_feature_bm25_rank(docs, queries, k)
     result = {"docs": n_docs, "queries": n_queries, "k": k, "overlap_at_k": {}}
+    variants = [("", None)]
+    if head:
+        variants.append((f"+head{head}", _top_df_vocab(docs, head)))
     for dim in dims:
-        hashed = _hashed_rank(docs, queries, k, dim)
+        for suffix, vocab in variants:
+            if vocab is not None and vocab.size >= dim:
+                continue
+            hashed = _hashed_rank(docs, queries, k, dim, vocab)
 
-        def mean_overlap(ref):
-            return float(np.mean([
-                len(set(ref[i]) & set(hashed[i])) / k
-                for i in range(n_queries)
-            ]))
+            def mean_overlap(ref):
+                return float(np.mean([
+                    len(set(ref[i]) & set(hashed[i])) / k
+                    for i in range(n_queries)
+                ]))
 
-        result["overlap_at_k"][str(dim)] = {
-            "vs_word_bm25": round(mean_overlap(exact_words), 4),
-            "vs_feature_bm25": round(mean_overlap(exact_feats), 4),
-            "top1_vs_feature": round(float(np.mean([
-                exact_feats[i][0] == hashed[i][0] for i in range(n_queries)
-            ])), 4),
-        }
+            result["overlap_at_k"][f"{dim}{suffix}"] = {
+                "vs_word_bm25": round(mean_overlap(exact_words), 4),
+                "vs_feature_bm25": round(mean_overlap(exact_feats), 4),
+                "top1_vs_feature": round(float(np.mean([
+                    exact_feats[i][0] == hashed[i][0]
+                    for i in range(n_queries)
+                ])), 4),
+            }
     return result
 
 
@@ -166,9 +193,13 @@ def main() -> None:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--dims", nargs="+", type=int,
                         default=[1024, 2048, 4096, 16384])
+    parser.add_argument("--head", type=int, default=0,
+                        help="also measure with a top-df vocab head of "
+                             "this size (core/vocab.py)")
     args = parser.parse_args()
     print(json.dumps(
-        measure_fidelity(args.docs, args.queries, args.k, args.dims),
+        measure_fidelity(args.docs, args.queries, args.k, args.dims,
+                         head=args.head),
         indent=2,
     ))
 

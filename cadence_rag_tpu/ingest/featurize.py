@@ -25,21 +25,84 @@ def _native():
         return None
 
 
+# Active lexical vocab head (ops/hashing.apply_vocab): the T most
+# document-frequent features get dedicated collision-free buckets [0, T).
+# Learned per store by `python -m cadence_rag_tpu.scripts.build_lex_vocab`
+# (core/vocab.py) and activated at startup/restore; None = plain
+# single-hash layout (the default, bit-compatible with old checkpoints).
+# Every featurizer in the process must agree with the layout the device
+# signatures were built with, hence one module-level registry.
+_ACTIVE_VOCAB: Optional[np.ndarray] = None
+_ACTIVE_VOCAB_VERSION: int = 0
+
+
+def set_active_vocab(vocab: Optional[np.ndarray], version: int) -> None:
+    global _ACTIVE_VOCAB, _ACTIVE_VOCAB_VERSION
+    if vocab is not None:
+        vocab = np.asarray(vocab, dtype=np.uint64)
+        if vocab.size > 1 and not np.all(vocab[1:] > vocab[:-1]):
+            vocab = np.unique(vocab)
+        if vocab.size >= int(settings.lexical_dim):
+            raise ValueError(
+                f"lex vocab head {vocab.size} must be smaller than "
+                f"lexical_dim {settings.lexical_dim}"
+            )
+    _ACTIVE_VOCAB = vocab if (vocab is not None and vocab.size) else None
+    _ACTIVE_VOCAB_VERSION = int(version) if _ACTIVE_VOCAB is not None else 0
+
+
+def active_vocab() -> Tuple[Optional[np.ndarray], int]:
+    return _ACTIVE_VOCAB, _ACTIVE_VOCAB_VERSION
+
+
 def lexical_signature(
     text: str, avgdl: float
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """-> (int8 signature[lexical_dim], touched buckets, doc length)."""
     dim = int(settings.lexical_dim)
     native = _native()
+    if _ACTIVE_VOCAB is not None:
+        # native raw features + the vectorized numpy vocab placement:
+        # both host paths share ops/hashing.doc_signature_from_raw, so
+        # native/Python parity holds by construction
+        raw = (native.raw_features(text) if native is not None
+               else hashing.raw_feature_arrays(text))
+        return hashing.doc_signature_from_raw(
+            raw[0], raw[1], dim, avgdl, _ACTIVE_VOCAB
+        )
     if native is not None:
         return native.doc_signature(text, dim, avgdl)
     return hashing.doc_signature(text, dim, avgdl)
 
 
+def lexical_signatures_batch(texts: Sequence[str], avgdl: float):
+    """Batch doc signatures in ONE native raw-features crossing (vocab
+    re-featurize, scripts/build_lex_vocab.py). Honors the active vocab;
+    bit-identical to per-text lexical_signature."""
+    dim = int(settings.lexical_dim)
+    raws = raw_lexical_features_batch(texts)
+    return [
+        hashing.doc_signature_from_raw(h, t, dim, avgdl, _ACTIVE_VOCAB)
+        for h, t in raws
+    ]
+
+
+def raw_lexical_features_batch(texts: Sequence[str]):
+    """Per-text (uint64 hashes, f32 tfs) raw features, native when built."""
+    native = _native()
+    if native is not None:
+        return native.raw_features_batch(list(texts))
+    return [hashing.raw_feature_arrays(t) for t in texts]
+
+
 def query_lexical_vector(
     text: str, doc_freq: np.ndarray, n_docs: int
 ) -> np.ndarray:
-    return hashing.query_vector(text, int(settings.lexical_dim), doc_freq, n_docs)
+    feats = query_lexical_features(text)
+    return hashing.query_vector_from_features(
+        feats[0], feats[1], feats[2], int(settings.lexical_dim),
+        doc_freq, n_docs,
+    )
 
 
 def query_lexical_features(text: str):
@@ -48,6 +111,12 @@ def query_lexical_features(text: str):
     on the 1-core serving host) drops to microseconds in C++."""
     dim = int(settings.lexical_dim)
     native = _native()
+    if _ACTIVE_VOCAB is not None:
+        raw = (native.raw_features(text) if native is not None
+               else hashing.raw_feature_arrays(text))
+        return hashing.query_feature_arrays_from_raw(
+            raw[0], raw[1], dim, _ACTIVE_VOCAB
+        )
     if native is not None:
         return native.query_features(text, dim)
     return hashing.query_feature_arrays(text, dim)
@@ -59,6 +128,15 @@ def query_lexical_features_batch(texts):
     hashing when the native featurizer is unavailable."""
     dim = int(settings.lexical_dim)
     native = _native()
+    if _ACTIVE_VOCAB is not None:
+        if native is not None:
+            raws = native.raw_features_batch(texts)
+        else:
+            raws = [hashing.raw_feature_arrays(t) for t in texts]
+        return [
+            hashing.query_feature_arrays_from_raw(h, t, dim, _ACTIVE_VOCAB)
+            for h, t in raws
+        ]
     if native is not None:
         return native.query_features_batch(texts, dim)
     return [hashing.query_feature_arrays(text, dim) for text in texts]

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 import re
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -76,6 +76,102 @@ def bucket_and_sign(h: int, dim: int) -> Tuple[int, int]:
     bucket = h % dim
     sign = 1 if (h >> 33) & 1 else -1
     return bucket, sign
+
+
+# ------------------------------------------------------ vocab-head layout ----
+#
+# Hashed signatures lose top-k fidelity to bucket collisions — measured
+# top-10 overlap vs collision-free feature-BM25 is ~0.87 at D=4096
+# (evals/lexical_fidelity.py). Most of that loss is collisions *between
+# frequent features*, which carry the bulk of the score mass. The vocab
+# head removes them: the T most document-frequent features (learned from
+# the corpus, core/vocab.py) get DEDICATED buckets [0, T) — collision-free
+# by construction, so their bucket-granularity df is exact per-feature df —
+# and everything else hashes into the remaining [T, dim) tail. Measured:
+# overlap 0.87 -> 0.96 at D=4096 with T=2048 on the fidelity harness.
+#
+# The head mapping is a sorted uint64 hash array; bucket(h) = its rank
+# (searchsorted index). Signs are +1 in the head (no collisions to
+# decorrelate) and the usual decoupled hash bit in the tail.
+
+def apply_vocab(
+    hashes: np.ndarray, dim: int, vocab: Optional[np.ndarray]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized feature-hash -> (bucket int64, sign f32) placement under
+    an optional vocab head. ``vocab`` is a SORTED uint64 array (or None
+    for the plain single-hash layout)."""
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    if vocab is None or vocab.size == 0:
+        buckets = (hashes % np.uint64(dim)).astype(np.int64)
+        signs = np.where(
+            (hashes >> np.uint64(33)) & np.uint64(1), 1.0, -1.0
+        ).astype(np.float32)
+        return buckets, signs
+    head = int(vocab.size)
+    tail = dim - head
+    if tail < 1:
+        raise ValueError(f"vocab head {head} leaves no tail buckets of {dim}")
+    idx = np.searchsorted(vocab, hashes)
+    idx_c = np.minimum(idx, head - 1)
+    in_head = vocab[idx_c] == hashes
+    buckets = np.where(
+        in_head,
+        idx_c.astype(np.int64),
+        np.int64(head) + (hashes % np.uint64(tail)).astype(np.int64),
+    )
+    signs = np.where(
+        in_head,
+        np.float32(1.0),
+        np.where((hashes >> np.uint64(33)) & np.uint64(1), 1.0, -1.0),
+    ).astype(np.float32)
+    return buckets, signs
+
+
+def raw_feature_arrays(text: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(fnv1a64 hashes uint64, tfs f32) in first-occurrence order — the
+    pure-Python mirror of native/lexhash.raw_features."""
+    counts = lexical_features(text)
+    if not counts:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.float32))
+    hashes = np.fromiter(counts.keys(), dtype=np.uint64, count=len(counts))
+    tfs = np.fromiter(counts.values(), dtype=np.float32, count=len(counts))
+    return hashes, tfs
+
+
+def doc_signature_from_raw(
+    hashes: np.ndarray, tfs: np.ndarray, dim: int, avgdl: float,
+    vocab: Optional[np.ndarray],
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """doc_signature over pre-extracted raw features (native or Python),
+    with optional vocab-head placement. The weighting/quantization math is
+    identical to doc_signature; both host featurizers produce raw features
+    in first-occurrence order, so the accumulation is deterministic."""
+    dl = int(tfs.sum())
+    norm = 1.0 - b + b * (dl / max(avgdl, 1.0))
+    acc = np.zeros(dim, dtype=np.float32)
+    if hashes.size:
+        buckets, signs = apply_vocab(hashes, dim, vocab)
+        tfs = tfs.astype(np.float64)
+        w = (signs.astype(np.float64)
+             * (tfs * (k1 + 1.0)) / (tfs + k1 * norm)).astype(np.float32)
+        np.add.at(acc, buckets, w)
+    quant = np.clip(np.rint(acc * LEX_QUANT_SCALE), -127, 127).astype(np.int8)
+    touched = np.flatnonzero(acc).astype(np.int32)
+    return quant, touched, dl
+
+
+def query_feature_arrays_from_raw(
+    hashes: np.ndarray, tfs: np.ndarray, dim: int,
+    vocab: Optional[np.ndarray],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(buckets, signs, clipped tfs) from raw features under an optional
+    vocab head — mirrors query_feature_arrays."""
+    if hashes.size == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty.astype(np.float32), empty.astype(np.float32)
+    buckets, signs = apply_vocab(hashes, dim, vocab)
+    return buckets, signs, np.minimum(tfs.astype(np.float32), 3.0)
 
 
 def doc_signature(

@@ -387,6 +387,8 @@ def _apply(manager, op: str, st: Dict, arrays: Dict) -> None:
         )
     elif op == "scatter_tech":
         corpus.tech = _scatter_rows(corpus.tech, arrays["pos"], arrays["vals"])
+    elif op == "scatter_lex":
+        corpus.lex = _scatter_rows(corpus.lex, arrays["pos"], arrays["vals"])
     elif op == "query_packed":
         packed_query(
             manager.chunks.device_arrays(),

@@ -41,6 +41,12 @@ def main() -> None:
 
         set_store_only(True)
     worker_id = f"worker-{uuid.uuid4().hex[:8]}"
+    # featurize new documents under the store's active lexical vocab (the
+    # serving process and stored lex_sig blobs already follow it)
+    from ..core.vocab import activate_from_store
+    from ..store.db import get_store
+
+    activate_from_store(get_store())
 
     if args.once:
         status = work_once(worker_id)

@@ -456,12 +456,35 @@ def startup() -> None:
     # and logged dedupe on doc_id)
     syncer.init_watermark()
     if index.chunks.count == 0 and index.artifacts.count == 0:
+        # point featurizers at the store's active lexical vocab BEFORE any
+        # query/ingest featurization (stored lex_sig blobs were written
+        # under it, so the rebuilt device rows match by construction)
+        from ..core.vocab import activate_from_store
+
+        activate_from_store(store)
         counts = rebuild_index_from_store()
         logger.info("api.startup index_rebuilt chunks=%s artifacts=%s", *counts)
     else:
         # pre-populated index (checkpoint restore): diff against the
         # store so writes that happened while this process was down —
         # or rows deleted since the snapshot — are applied
+        from ..core.vocab import load_vocab
+        from ..ingest import featurize
+
+        _vocab, active_version = featurize.active_vocab()
+        stored = load_vocab(store)
+        store_version = stored[1] if stored is not None else 0
+        if store_version != active_version:
+            # restored signature rows and the store's featurization layout
+            # diverged (a vocab was built after — or the checkpoint
+            # predates — this store's lex_vocab): serving would score
+            # mismatched layouts silently
+            raise RuntimeError(
+                f"restored index carries lex vocab v{active_version} but "
+                f"the store's active vocab is v{store_version}; "
+                "re-snapshot after scripts/build_lex_vocab, or delete the "
+                "stale checkpoint and let startup rebuild from the store"
+            )
         counts = syncer.reconcile()
         logger.info("api.startup index_reconciled %s", counts)
     if float(settings.store_sync_interval_s) > 0:

@@ -24,7 +24,7 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 from ..config import settings
 
-SCHEMA_VERSION = 6
+SCHEMA_VERSION = 7
 
 # Ordered DDL migrations (the reference evolves its schema through 8 alembic
 # revisions; we group the same end-state into 4 logical revisions).
@@ -254,6 +254,20 @@ MIGRATIONS: List[Tuple[int, str]] = [
             VALUES ('artifact_chunks', 'delete', OLD.artifact_chunk_id,
                     OLD.lex_sig, OLD.lex_dl);
     END;
+    """),
+    # Lexical vocab head (ops/hashing.apply_vocab): the learned top-df
+    # feature hashes that hold dedicated collision-free signature buckets.
+    # One active vocab per store (highest version); `dim` is recorded so a
+    # vocab built for a different LEXICAL_DIM is refused at activation
+    # (core/vocab.py). Built + applied by scripts/build_lex_vocab.py.
+    (7, """
+    CREATE TABLE lex_vocab (
+        version INTEGER PRIMARY KEY,
+        head INTEGER NOT NULL,
+        dim INTEGER NOT NULL,
+        created_at TEXT NOT NULL,
+        hashes BLOB NOT NULL
+    );
     """),
 ]
 
