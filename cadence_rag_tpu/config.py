@@ -96,11 +96,16 @@ class Settings:
     # the ACTIVE head rides with the store's lex_vocab table.
     lex_vocab_head: int = 2048
     tech_hash_slots: int = 16                # token-hash slots per document
-    # per-slot query capacity: the tech compare runs C slot-aligned
-    # (B,N,S) passes; query token budget ~ S*C (ops/hashing.
-    # tech_query_structure). C=2 measured 7.1 ms vs 16.7 for the old
-    # (B,N,Q,S) broadcast at batch 128 x 1M (lane_probe).
-    tech_slot_capacity: int = 2
+    # STARTING per-slot query capacity: the tech compare runs C
+    # slot-aligned (B,N,S) passes, and C escalates per query (doubling to
+    # a ceiling of max(8, 4*start)) whenever tokens would drop — so this
+    # sets the cost of the COMMON case, not the token budget. C=1 covers
+    # every 1-token query and most 2-3-token ones (a drop needs two
+    # tokens colliding on a slot choice, ~1/S each way); measured per
+    # pass ~3.5 ms at batch 128 x 1M (lane_probe: one pass 4.15 ms, C=2
+    # 7.1, old (B,N,Q,S) broadcast 16.7). Identifier-heavy queries widen
+    # their own batch only (batches pad to the widest member).
+    tech_slot_capacity: int = 1
     query_lex_features: int = 256            # sparse query-transfer width
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.

@@ -174,8 +174,8 @@ def query_tech_structure(
     """(structure (S*C,) int32, dropped_count); C escalates (one doubling)
     for identifier-heavy queries — batches pad narrower structures with
     zero blocks, which never match."""
+    cap = int(settings.tech_slot_capacity)
     return hashing.tech_query_structure(
-        tokens, int(settings.tech_hash_slots),
-        int(settings.tech_slot_capacity),
-        max_capacity=4 * int(settings.tech_slot_capacity),
+        tokens, int(settings.tech_hash_slots), cap,
+        max_capacity=max(8, 4 * cap),
     )
