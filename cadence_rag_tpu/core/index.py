@@ -716,12 +716,6 @@ class CorpusIndex:
                 "IVF build is single-process only; multi-host serving "
                 "uses the exact/ann dense modes (parallel/oplog.py)"
             )
-        if self.emb_dtype == jnp.int8:
-            raise RuntimeError(
-                "IVF requires float embedding storage (k-means centroids "
-                "degenerate under int8 quantization); use exact/ann dense "
-                "modes with INDEX_EMBEDDING_DTYPE=int8"
-            )
         with self.lock:
             if self.count == 0:
                 raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
@@ -731,6 +725,12 @@ class CorpusIndex:
             emb_snapshot = jnp.copy(
                 jax.lax.slice_in_dim(self.emb, 0, n, axis=0)
             )
+        if self.emb_dtype == jnp.int8:
+            # k-means must run in float space (casting float centroids
+            # back to int8 degenerates them); the probed-scan ranking is
+            # scale-invariant, so clustering the dequantized rows keeps
+            # the query path (int8 rows widened in-register) consistent
+            emb_snapshot = emb_snapshot.astype(jnp.float32) / 127.0
 
         clusters = n_clusters or int(settings.ivf_clusters) or max(
             16, int(np.sqrt(n))

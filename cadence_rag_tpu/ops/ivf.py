@@ -114,6 +114,10 @@ def ivf_topk(
         safe = jnp.where(valid, cand, 0)
         rows = emb[safe]                             # (L, dim) gather
         scores = rows.astype(jnp.float32) @ q.astype(jnp.float32)
+        if emb.dtype == jnp.int8:
+            # int8 rows store round(x*127): rescale so reported scores
+            # share the exact/ann lanes' cosine scale (ranking-neutral)
+            scores = scores * (1.0 / 127.0)
         keep = valid & row_mask[safe]
         scores = jnp.where(keep, scores, NEG_INF)
         top_scores, top_i = jax.lax.top_k(scores, k_eff)

@@ -110,3 +110,17 @@ class TestInt8Index:
         emb_after = np.asarray(index.chunks.emb[: index.chunks.count])
         np.testing.assert_array_equal(emb_before, emb_after)
         assert ids() == before
+
+    def test_ivf_build_under_int8(self, int8_store):
+        """build_ivf no longer refuses int8 storage: k-means runs on the
+        dequantized snapshot and the probed dense mode serves."""
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        state = index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        assert state.built_count == index.chunks.count
+        assert index.chunks.ivf_usable()
+        # centroids live in float space with sane magnitudes
+        cents = np.asarray(state.centroids)
+        assert cents.dtype == np.float32
+        assert 0.5 < np.linalg.norm(cents, axis=1).max() < 2.0

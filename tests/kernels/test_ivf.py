@@ -140,3 +140,41 @@ class TestIvfQuery:
             k=5, nprobe=16,
         )
         assert np.asarray(scores2).shape == (1, 5)
+
+
+class TestIvfInt8:
+    def test_int8_storage_recall_and_scale(self):
+        """IVF under INDEX_EMBEDDING_DTYPE=int8: k-means clusters the
+        DEQUANTIZED rows (core/index.build_ivf); the probed scan gathers
+        raw int8 rows and rescales scores by 1/127 so they share the
+        exact/ann lanes' cosine scale."""
+        rng = np.random.default_rng(5)
+        docs = _clustered_corpus(rng, 16, 128, 32)
+        q8 = np.clip(np.rint(docs * 127.0), -127, 127).astype(np.int8)
+        deq = q8.astype(np.float32) / 127.0
+        n = docs.shape[0]
+        centroids, assign = kmeans(
+            jnp.asarray(deq), jax.random.PRNGKey(5), n_clusters=16, iters=12
+        )
+        buckets, overflow = build_buckets(np.asarray(assign), 16,
+                                          bucket_cap=256)
+        if len(overflow) == 0:
+            overflow = np.full(8, -1, dtype=np.int32)
+        qs = docs[rng.choice(n, size=8, replace=False)]
+        mask = np.ones((8, n), dtype=bool)
+        k = 10
+        _, ref_idx = reference_topk_numpy(qs, docs, mask, k)
+        scores, pos = ivf_topk(
+            jnp.asarray(qs), jnp.asarray(q8), centroids,
+            jnp.asarray(buckets), jnp.asarray(overflow), jnp.asarray(mask),
+            k=k, nprobe=4,
+        )
+        pos = np.asarray(pos)
+        recall = np.mean([
+            len(set(map(int, pos[b])) & set(map(int, ref_idx[b]))) / k
+            for b in range(8)
+        ])
+        assert recall >= 0.9, recall
+        # scores are in cosine scale (unit-ish), not the raw int8 scale
+        assert float(np.asarray(scores)[:, 0].max()) < 2.0
+        assert float(np.asarray(scores)[:, 0].min()) > 0.5
