@@ -61,6 +61,12 @@ def _active_vocab():
     return featurize.active_vocab()
 
 
+def _vocab_digest(vocab) -> str:
+    from .vocab import vocab_digest
+
+    return vocab_digest(vocab)
+
+
 def _encode_emb(emb: np.ndarray) -> Dict[str, np.ndarray]:
     if emb.dtype == np.float32:
         return {"emb": emb, "_kind": np.array(["f32"])}
@@ -198,6 +204,7 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
     vocab, vocab_version = _active_vocab()
     meta["lex_vocab_version"] = vocab_version
     meta["lex_vocab_head"] = int(vocab.size) if vocab is not None else 0
+    meta["lex_vocab_sha"] = _vocab_digest(vocab)
     if vocab is not None:
         np.savez(
             out / f"lex_vocab.{gen}.npz",
@@ -338,6 +345,7 @@ def save_index(
     vocab, vocab_version = _active_vocab()
     meta["lex_vocab_version"] = vocab_version
     meta["lex_vocab_head"] = int(vocab.size) if vocab is not None else 0
+    meta["lex_vocab_sha"] = _vocab_digest(vocab)
     snapshots = {}
     for corpus in (index.chunks, index.artifacts):
         arrays = corpus.state_arrays()  # locked device->host copy
@@ -500,9 +508,15 @@ def restore_index(path: str, index: Optional[DeviceIndexManager] = None) -> Dict
     if ckpt_vocab_version > 0:
         gen_tag = f"g{int(meta['generation']):04d}"
         with np.load(src / f"lex_vocab.{gen_tag}.npz") as data:
-            _featurize.set_active_vocab(
-                data["hashes"].astype(np.uint64), ckpt_vocab_version
+            hashes = data["hashes"].astype(np.uint64)
+        expected_sha = meta.get("lex_vocab_sha")
+        if expected_sha and _vocab_digest(hashes) != expected_sha:
+            raise RuntimeError(
+                f"checkpoint lex_vocab.{gen_tag}.npz does not match "
+                "meta.json's lex_vocab_sha (mixed checkpoint generations "
+                "in one directory?); re-snapshot"
             )
+        _featurize.set_active_vocab(hashes, ckpt_vocab_version)
     else:
         _featurize.set_active_vocab(None, 0)
     generation = meta.get("generation")  # None = generation-less v2

@@ -493,17 +493,26 @@ class CorpusIndex:
         )
         return int(n)
 
-    def set_lex(self, doc_ids: Sequence[int], lex_rows: np.ndarray) -> int:
+    def set_lex(
+        self, doc_ids: Sequence[int], lex_rows: np.ndarray,
+        positions: Optional[np.ndarray] = None,
+    ) -> int:
         """Replace lexical signatures for existing rows (vocab-head
         re-featurize, scripts/build_lex_vocab.py). Pure row scatter —
         corpus df stats are rebuilt by the caller via replace_doc_freq
         once every row is re-featurized (a full-layout change invalidates
-        incremental df deltas)."""
+        incremental df deltas). ``positions`` skips the id lookup when
+        the caller already resolved it (−1 = not live)."""
         with self.lock:
-            return self._set_lex_locked(doc_ids, lex_rows)
+            return self._set_lex_locked(doc_ids, lex_rows, positions)
 
-    def _set_lex_locked(self, doc_ids: Sequence[int], lex_rows: np.ndarray) -> int:
-        id_to_pos = self.position_of(doc_ids)
+    def _set_lex_locked(
+        self, doc_ids: Sequence[int], lex_rows: np.ndarray,
+        positions: Optional[np.ndarray] = None,
+    ) -> int:
+        id_to_pos = (
+            positions if positions is not None else self.position_of(doc_ids)
+        )
         mask = id_to_pos >= 0
         if not mask.any():
             return 0

@@ -41,35 +41,72 @@ CORPUS_COLUMNS = (
 )
 
 
-def save_vocab(store, hashes: np.ndarray, dim: int) -> int:
-    """Persist a new vocab version; returns the version number."""
+def vocab_digest(hashes: Optional[np.ndarray]) -> str:
+    """Content digest of a vocab head — version counters alone cannot
+    distinguish two stores that each built their own v1."""
+    if hashes is None or hashes.size == 0:
+        return ""
+    import hashlib
+
+    return hashlib.sha256(
+        np.ascontiguousarray(np.asarray(hashes, dtype=np.uint64)).tobytes()
+    ).hexdigest()[:32]
+
+
+def save_vocab(store, hashes: np.ndarray, dim: int, *,
+               applied: bool = False) -> int:
+    """Persist a new vocab version (unapplied by default — see
+    mark_applied); returns the version number."""
     hashes = np.unique(np.asarray(hashes, dtype=np.uint64))
     with store.tx() as conn:
         cur = conn.execute(
-            "INSERT INTO lex_vocab (head, dim, created_at, hashes) "
-            "VALUES (?,?,?,?)",
+            "INSERT INTO lex_vocab (head, dim, created_at, applied, hashes) "
+            "VALUES (?,?,?,?,?)",
             (
                 int(hashes.size),
                 int(dim),
                 _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                1 if applied else 0,
                 hashes.tobytes(),
             ),
         )
         return int(cur.lastrowid)
 
 
+def mark_applied(store, version: int) -> None:
+    with store.tx() as conn:
+        conn.execute(
+            "UPDATE lex_vocab SET applied=1 WHERE version=?", (int(version),)
+        )
+
+
 def load_vocab(store) -> Optional[Tuple[np.ndarray, int, int]]:
     """-> (sorted uint64 hashes, version, dim) of the active (highest
-    version) vocab, or None."""
+    APPLIED version) vocab, or None. Raises if an interrupted
+    build_lex_vocab left a newer unapplied row: the store's lex_sig
+    blobs may be a mix of two layouts (undetectable per row), so the
+    only safe paths are re-running the apply or deleting the row."""
     with store.read() as conn:
         row = conn.execute(
-            "SELECT version, dim, hashes FROM lex_vocab "
+            "SELECT version, dim, hashes FROM lex_vocab WHERE applied=1 "
             "ORDER BY version DESC LIMIT 1"
         ).fetchone()
+        pending = conn.execute(
+            "SELECT MAX(version) AS v FROM lex_vocab WHERE applied=0"
+        ).fetchone()
+    applied_version = int(row["version"]) if row is not None else 0
+    if pending and pending["v"] and int(pending["v"]) > applied_version:
+        raise RuntimeError(
+            f"lex vocab v{pending['v']} exists but its re-featurize never "
+            "completed (interrupted build_lex_vocab): stored lex_sig blobs "
+            "may mix two layouts. Re-run scripts/build_lex_vocab to "
+            "rebuild+reapply, or DELETE FROM lex_vocab WHERE applied=0 to "
+            "keep the previous layout — then re-featurize via the script."
+        )
     if row is None:
         return None
     hashes = np.frombuffer(row["hashes"], dtype=np.uint64).copy()
-    return hashes, int(row["version"]), int(row["dim"])
+    return hashes, applied_version, int(row["dim"])
 
 
 def activate_from_store(store) -> int:
@@ -90,6 +127,23 @@ def activate_from_store(store) -> int:
     featurize.set_active_vocab(hashes, version)
     logger.info("lex_vocab.activated version=%s head=%s", version, hashes.size)
     return version
+
+
+def refresh_if_changed(store) -> Optional[int]:
+    """Cheap per-cycle re-check for long-lived writer processes
+    (scripts/ingest_worker.py): if the store's applied vocab version
+    moved since activation (an offline build_lex_vocab ran), re-activate
+    so newly ingested docs are featurized under the current layout.
+    Returns the new version when a switch happened, else None."""
+    with store.read() as conn:
+        row = conn.execute(
+            "SELECT MAX(version) AS v FROM lex_vocab WHERE applied=1"
+        ).fetchone()
+    current = int(row["v"]) if row and row["v"] else 0
+    _, active = featurize.active_vocab()
+    if current == active:
+        return None
+    return activate_from_store(store)
 
 
 def _merge_counts(
@@ -127,6 +181,31 @@ def build_vocab_from_store(
     keys = np.zeros(0, dtype=np.uint64)
     cnts = np.zeros(0, dtype=np.int64)
     prune_floor = 1
+    # Batches buffer until ~1M pending hashes, then merge once into the
+    # sorted accumulator — merging per 2048-doc batch re-sorted the full
+    # multi-million-key counter hundreds of times over a large store.
+    pend_k: List[np.ndarray] = []
+    pend_c: List[np.ndarray] = []
+    pend_total = 0
+
+    def _flush():
+        nonlocal keys, cnts, pend_total, prune_floor
+        if not pend_k:
+            return
+        keys, cnts = _merge_counts(
+            keys, cnts, np.concatenate(pend_k), np.concatenate(pend_c)
+        )
+        pend_k.clear()
+        pend_c.clear()
+        pend_total = 0
+        if keys.size > max_counter:
+            keep = cnts > prune_floor
+            # escalate the floor until the counter actually shrinks
+            while keep.sum() > max_counter // 2:
+                prune_floor += 1
+                keep = cnts > prune_floor
+            keys, cnts = keys[keep], cnts[keep]
+
     for table, id_col, text_col in CORPUS_COLUMNS:
         after = -1
         scanned = 0
@@ -148,18 +227,16 @@ def build_vocab_from_store(
             )
             if batch_hashes.size:
                 uniq, cnt = np.unique(batch_hashes, return_counts=True)
-                keys, cnts = _merge_counts(keys, cnts, uniq, cnt)
-            if keys.size > max_counter:
-                keep = cnts > prune_floor
-                # escalate the floor until the counter actually shrinks
-                while keep.sum() > max_counter // 2:
-                    prune_floor += 1
-                    keep = cnts > prune_floor
-                keys, cnts = keys[keep], cnts[keep]
+                pend_k.append(uniq)
+                pend_c.append(cnt)
+                pend_total += uniq.size
+                if pend_total >= 1_000_000:
+                    _flush()
             after = int(rows[-1]["id"])
             scanned += len(rows)
             if limit_docs and scanned >= limit_docs:
                 break
+    _flush()
     if keys.size == 0:
         return np.zeros(0, dtype=np.uint64)
     take = min(head, keys.size)
@@ -212,7 +289,10 @@ def apply_vocab_to_store(
             live = pos >= 0
             if live.any():
                 sig_rows = np.stack([s for s, _t, _dl in sigs])
-                corpus.set_lex(np.asarray(ids)[live], sig_rows[live])
+                corpus.set_lex(
+                    np.asarray(ids)[live], sig_rows[live],
+                    positions=pos[live],
+                )
                 touched: List[np.ndarray] = [
                     t for (s, t, _dl), ok in zip(sigs, live) if ok
                 ]
@@ -235,8 +315,14 @@ def build_and_apply(
     store, index, *, head: Optional[int] = None, batch: int = 2048,
     limit_docs: int = 0,
 ) -> Dict:
-    """The full operator flow: learn the vocab, persist it, activate it,
-    re-featurize the corpus. Returns a summary dict."""
+    """The full operator flow: learn the vocab, persist it (unapplied),
+    activate it, re-featurize the corpus, then mark it applied — so a
+    crash mid-apply is DETECTED at the next activation (load_vocab
+    refuses the dangling unapplied row) instead of silently serving
+    mixed-layout signatures. Re-running this script is always the fix:
+    it clears unapplied rows and re-featurizes everything."""
+    with store.tx() as conn:
+        conn.execute("DELETE FROM lex_vocab WHERE applied=0")
     head = int(head or settings.lex_vocab_head)
     hashes = build_vocab_from_store(
         store, head, batch=batch, limit_docs=limit_docs
@@ -246,4 +332,5 @@ def build_and_apply(
     version = save_vocab(store, hashes, int(settings.lexical_dim))
     featurize.set_active_vocab(hashes, version)
     stats = apply_vocab_to_store(store, index, batch=max(batch // 2, 256))
+    mark_applied(store, version)
     return {"version": version, "head": int(hashes.size), "corpora": stats}

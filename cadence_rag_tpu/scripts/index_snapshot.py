@@ -27,6 +27,14 @@ def main() -> None:
     args = parser.parse_args()
     configure_logging(settings.log_level)
     if args.action == "save":
+        # activate the store's lexical vocab BEFORE any rebuild/save: the
+        # stored lex_sig blobs carry its layout, and save_index records
+        # the active vocab in checkpoint meta (a save without it would
+        # stamp lex_vocab_version=0 over head-layout rows)
+        from ..core.vocab import activate_from_store
+        from ..store.db import get_store
+
+        activate_from_store(get_store())
         index = get_index()
         if index.chunks.count == 0 and index.artifacts.count == 0:
             from ..ingest.ingest import rebuild_index_from_store

@@ -53,8 +53,16 @@ def main() -> None:
         logger.info("worker.once status=%s", status)
         return
     logger.info("worker.start id=%s", worker_id)
+    from ..core.vocab import refresh_if_changed
+
     while True:
         try:
+            # a long-lived worker must track offline build_lex_vocab runs:
+            # new docs featurized under a stale head layout would never be
+            # re-featurized (the apply pass has already moved past them)
+            switched = refresh_if_changed(get_store())
+            if switched is not None:
+                logger.info("worker.lex_vocab_switched version=%s", switched)
             status = work_once(worker_id)
         except Exception:
             logger.exception("worker.job_failed")

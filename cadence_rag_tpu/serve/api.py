@@ -468,22 +468,28 @@ def startup() -> None:
         # pre-populated index (checkpoint restore): diff against the
         # store so writes that happened while this process was down —
         # or rows deleted since the snapshot — are applied
-        from ..core.vocab import load_vocab
+        from ..core.vocab import load_vocab, vocab_digest
         from ..ingest import featurize
 
-        _vocab, active_version = featurize.active_vocab()
+        active_vocab, active_version = featurize.active_vocab()
         stored = load_vocab(store)
         store_version = stored[1] if stored is not None else 0
-        if store_version != active_version:
+        store_sha = vocab_digest(stored[0]) if stored is not None else ""
+        # digests, not just version counters: two stores can each mint
+        # their own v1 with different head hashes (e.g. a store restored
+        # from a pre-vocab backup and rebuilt)
+        if (store_version != active_version
+                or store_sha != vocab_digest(active_vocab)):
             # restored signature rows and the store's featurization layout
             # diverged (a vocab was built after — or the checkpoint
             # predates — this store's lex_vocab): serving would score
             # mismatched layouts silently
             raise RuntimeError(
                 f"restored index carries lex vocab v{active_version} but "
-                f"the store's active vocab is v{store_version}; "
-                "re-snapshot after scripts/build_lex_vocab, or delete the "
-                "stale checkpoint and let startup rebuild from the store"
+                f"the store's active vocab is v{store_version} (content "
+                "compared by digest); re-snapshot after "
+                "scripts/build_lex_vocab, or delete the stale checkpoint "
+                "and let startup rebuild from the store"
             )
         counts = syncer.reconcile()
         logger.info("api.startup index_reconciled %s", counts)

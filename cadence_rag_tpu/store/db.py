@@ -260,12 +260,16 @@ MIGRATIONS: List[Tuple[int, str]] = [
     # One active vocab per store (highest version); `dim` is recorded so a
     # vocab built for a different LEXICAL_DIM is refused at activation
     # (core/vocab.py). Built + applied by scripts/build_lex_vocab.py.
+    # `applied` flips to 1 only after the full-store re-featurize
+    # completes; a crash mid-apply leaves an unapplied row that
+    # activation refuses (mixed-layout blobs are undetectable per-row).
     (7, """
     CREATE TABLE lex_vocab (
         version INTEGER PRIMARY KEY,
         head INTEGER NOT NULL,
         dim INTEGER NOT NULL,
         created_at TEXT NOT NULL,
+        applied INTEGER NOT NULL DEFAULT 0,
         hashes BLOB NOT NULL
     );
     """),

@@ -180,10 +180,44 @@ class TestBuildApply:
     def test_dim_mismatch_refused(self, corpus_store):
         store = get_store()
         vocab_mod.save_vocab(
-            store, np.arange(16, dtype=np.uint64), dim=2048
+            store, np.arange(16, dtype=np.uint64), dim=2048, applied=True
         )  # wrong dim on purpose
         with pytest.raises(RuntimeError, match="LEXICAL_DIM"):
             vocab_mod.activate_from_store(store)
+
+    def test_interrupted_apply_is_refused(self, corpus_store):
+        """A crash between save_vocab and mark_applied leaves lex_sig
+        blobs possibly mixing two layouts; activation must fail fast
+        instead of silently serving them."""
+        store = get_store()
+        vocab_mod.save_vocab(
+            store, np.arange(16, dtype=np.uint64) + 1,
+            dim=int(settings.lexical_dim),
+        )  # applied=0: simulates the crash window
+        with pytest.raises(RuntimeError, match="never completed"):
+            vocab_mod.activate_from_store(store)
+        # re-running the operator flow clears the dangling row and heals
+        index = get_index()
+        summary = vocab_mod.build_and_apply(store, index, head=64)
+        assert summary["version"] >= 1
+        assert vocab_mod.activate_from_store(store) == summary["version"]
+
+    def test_refresh_if_changed_tracks_rebuilds(self, corpus_store):
+        """Long-lived writer processes re-check the store's applied vocab
+        each cycle (scripts/ingest_worker.py)."""
+        store = get_store()
+        index = get_index()
+        assert vocab_mod.refresh_if_changed(store) is None  # no vocab yet
+        summary = vocab_mod.build_and_apply(store, index, head=64)
+        featurize.set_active_vocab(None, 0)  # simulate a stale process
+        assert vocab_mod.refresh_if_changed(store) == summary["version"]
+        assert vocab_mod.refresh_if_changed(store) is None  # now current
+
+    def test_vocab_digest_distinguishes_content(self):
+        a = vocab_mod.vocab_digest(np.arange(8, dtype=np.uint64))
+        b = vocab_mod.vocab_digest(np.arange(8, dtype=np.uint64) + 1)
+        assert a and b and a != b
+        assert vocab_mod.vocab_digest(None) == ""
 
     def test_fidelity_improves_with_head(self):
         from cadence_rag_tpu.evals.lexical_fidelity import measure_fidelity
