@@ -39,6 +39,7 @@ def run_gate(
     store_dir: Optional[str] = None,
     provider: str = "stub",
     embedder_params_path: Optional[str] = None,
+    build_vocab: bool = False,
 ) -> Dict:
     from ..core.index import reset_index
     from ..store.db import reset_store
@@ -70,6 +71,14 @@ def run_gate(
 
         ingest_fixtures()
         run_embedding_backfill(batch_size=16, source="real_gate")
+        if build_vocab:
+            # gate the learned vocab head end-to-end: build + re-featurize
+            # (scripts/build_lex_vocab flow), then run the same queries
+            from ..core.index import get_index
+            from ..core.vocab import build_and_apply
+            from ..store.db import get_store
+
+            build_and_apply(get_store(), get_index(), head=256)
         gold = resolve_gold()
         for query_id, ids in gold.items():
             if not ids:

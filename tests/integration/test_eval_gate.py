@@ -54,3 +54,16 @@ class TestRealGate:
         # quality well above the floors, not scraping by
         assert outcome["metrics"]["mrr"] >= 0.8
         assert outcome["metrics"]["recall@20"] >= 0.9
+
+    def test_end_to_end_gate_passes_with_vocab_head(self, tmp_path):
+        """Retrieval quality holds with the learned lexical vocab head
+        active (core/vocab.py): the gate ingests, builds+applies the
+        head, then runs the same gold queries through the batched path."""
+        outcome = run_gate(
+            store_dir=str(tmp_path / "gate_vocab"), build_vocab=True
+        )
+        assert not outcome["failures"], (
+            outcome["failures"], outcome["metrics"]
+        )
+        assert outcome["metrics"]["mrr"] >= 0.8
+        assert outcome["metrics"]["recall@20"] >= 0.9
