@@ -341,9 +341,31 @@ def retrieve_batch_endpoint(req: Request):
 
 
 def index_stats_endpoint(_req: Request):
+    import numpy as np
+
+    from ..ingest import featurize
+
     index = get_index()
-    def corpus_stats(corpus):
+    vocab, vocab_version = featurize.active_vocab()
+
+    def vocab_drift(corpus):
+        """Head-vs-tail df drift: tail buckets hotter than the head's
+        median mean frequent NEW features are hashing into the collision
+        tail — the signal to re-run scripts/build_lex_vocab."""
+        head = int(vocab.size)
+        head_df = corpus.doc_freq[:head]
+        tail_df = corpus.doc_freq[head:]
+        nz = head_df[head_df > 0]
+        if nz.size == 0 or tail_df.size == 0:
+            return {"hot_tail_buckets": 0, "head_median_df": 0}
+        median = float(np.median(nz))
         return {
+            "hot_tail_buckets": int((tail_df > median).sum()),
+            "head_median_df": median,
+        }
+
+    def corpus_stats(corpus):
+        out = {
             "count": corpus.count,
             "capacity": corpus.capacity,
             "embedded": int(corpus.h_has_emb[: corpus.count].sum()),
@@ -354,6 +376,13 @@ def index_stats_endpoint(_req: Request):
             "tombstones": corpus.tombstones,
             "ivf_built": corpus.ivf is not None,
         }
+        if vocab is not None:
+            out["lex_vocab"] = {
+                "version": vocab_version,
+                "head": int(vocab.size),
+                **vocab_drift(corpus),
+            }
+        return out
     from ..ingest.sync import get_syncer
 
     syncer = get_syncer()

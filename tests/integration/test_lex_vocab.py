@@ -261,3 +261,20 @@ class TestCheckpointInterlock:
         )  # simulate stale process state
         restore_index(str(tmp_path / "snap"))
         assert featurize.active_vocab() == (None, 0)
+
+
+class TestDriftSignal:
+    def test_index_stats_reports_vocab_and_drift(self, corpus_store):
+        from cadence_rag_tpu.serve.api import index_stats_endpoint
+
+        store = get_store()
+        index = get_index()
+        _status, before = index_stats_endpoint(None)
+        assert "lex_vocab" not in before["chunks"]  # no vocab yet
+
+        vocab_mod.build_and_apply(store, index, head=64)
+        _status, after = index_stats_endpoint(None)
+        lv = after["chunks"]["lex_vocab"]
+        assert lv["version"] == 1 and lv["head"] == 64
+        assert lv["hot_tail_buckets"] >= 0
+        assert lv["head_median_df"] > 0
