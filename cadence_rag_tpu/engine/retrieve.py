@@ -23,6 +23,7 @@ the TPU build to add kernel timing to the notes block).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 import uuid
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -333,6 +334,73 @@ def _debug_lane(lane: LaneRows, id_field: str) -> List[Dict[str, Any]]:
     ]
 
 
+@functools.lru_cache(maxsize=64)
+def _static_notes_cached(
+    dense_enabled: bool, chunk_mode: Optional[str],
+    artifact_mode: Optional[str], dense_model_id: Optional[str],
+    dense_error: Optional[str], reranked_from: Optional[int],
+    ef_search: int,
+) -> Dict[str, Any]:
+    """The batch-invariant part of notes.retrieval, memoized by the few
+    fields that vary (mode/flags): rebuilding the ~25-key nested snapshot
+    per query cost several ms per 128-query evidence-pack batch on the
+    1-core host. Callers shallow-copy and add the per-query keys; nested
+    values are treated as immutable (responses are serialized, never
+    mutated)."""
+    return {
+        "planner": (
+            "lexical_only"
+            if not dense_enabled
+            else (
+                # label reflects the non-exact scan path actually
+                # serving the dense lane (ivf > ann > exact)
+                "ivf"
+                if chunk_mode == "ivf" or artifact_mode == "ivf"
+                else (
+                    "ann"
+                    if chunk_mode == "ann" or artifact_mode == "ann"
+                    else "exact"
+                )
+            )
+        ),
+        "dense_topk": (
+            max(DENSE_CHUNK_TOPK, DENSE_ARTIFACT_TOPK)
+            if dense_enabled else 0
+        ),
+        "lex_topk": CHUNK_BM25_TOPK,
+        "artifact_chunk_lex_topk": ARTIFACT_BM25_TOPK,
+        "reranked_from": reranked_from,
+        "bm25_chunk_topk": CHUNK_BM25_TOPK,
+        "bm25_artifact_chunk_topk": ARTIFACT_BM25_TOPK,
+        "tech_token_topk": TECH_TOPK,
+        "lanes": {
+            "bm25": True,
+            "tech_tokens": True,
+            "dense": dense_enabled,
+        },
+        "dense_model_id": dense_model_id,
+        "dense_error": dense_error,
+        "dense_modes": {
+            "chunks": chunk_mode,
+            "artifact_chunks": artifact_mode,
+        },
+        "hnsw_ef_search": ef_search if dense_enabled else None,
+        "ann_recall_target": (
+            recall_target_for_ef_search(ef_search)
+            if dense_enabled else None
+        ),
+    }
+
+
+def _static_notes(dense_enabled, chunk_mode, artifact_mode,
+                  dense_model_id, dense_error, reranked_from):
+    return _static_notes_cached(
+        dense_enabled, chunk_mode, artifact_mode, dense_model_id,
+        dense_error, reranked_from,
+        int(settings.embeddings_hnsw_ef_search),
+    )
+
+
 def _fetch_rows(table: str, id_col: str, columns: str,
                 ids: Sequence[int]) -> Dict[int, Dict[str, Any]]:
     ids = list({int(i) for i in ids})
@@ -581,73 +649,26 @@ def _assemble(
         evidence_count += 1
     plan.timings["pack_ms"] = (time.perf_counter() - t0) * 1e3
 
+    retrieval_notes = dict(_static_notes(
+        plan.dense_enabled, plan.chunk_mode, plan.artifact_mode,
+        plan.dense_model_id, plan.dense_error, reranked_from,
+    ))
+    retrieval_notes["tech_tokens"] = plan.tech_tokens
+    # >0 = identifiers that found no slot in the query structure and
+    # cannot match (never silent: also logged)
+    retrieval_notes["tech_tokens_dropped"] = plan.tech_dropped
+    retrieval_notes["dense_candidate_rows"] = {
+        "chunks": plan.chunk_candidates,
+        "artifact_chunks": plan.artifact_candidates,
+    }
+    retrieval_notes["timings_ms"] = plan.timings
     response = {
         "query_id": plan.query_id,
         "intent": payload.intent,
         "budget": budget.model_dump(),
         "artifacts": artifacts_out,
         "quotes": quotes_out,
-        "notes": {
-            "retrieval": {
-                "planner": (
-                    "lexical_only"
-                    if not plan.dense_enabled
-                    else (
-                        # label reflects the non-exact scan path actually
-                        # serving the dense lane (ivf > ann > exact)
-                        "ivf"
-                        if plan.chunk_mode == "ivf"
-                        or plan.artifact_mode == "ivf"
-                        else (
-                            "ann"
-                            if plan.chunk_mode == "ann"
-                            or plan.artifact_mode == "ann"
-                            else "exact"
-                        )
-                    )
-                ),
-                "dense_topk": (
-                    max(DENSE_CHUNK_TOPK, DENSE_ARTIFACT_TOPK)
-                    if plan.dense_enabled else 0
-                ),
-                "lex_topk": CHUNK_BM25_TOPK,
-                "artifact_chunk_lex_topk": ARTIFACT_BM25_TOPK,
-                "reranked_from": reranked_from,
-                "bm25_chunk_topk": CHUNK_BM25_TOPK,
-                "bm25_artifact_chunk_topk": ARTIFACT_BM25_TOPK,
-                "tech_token_topk": TECH_TOPK,
-                "tech_tokens": plan.tech_tokens,
-                # >0 = identifiers that found no slot in the query
-                # structure and cannot match (never silent: also logged)
-                "tech_tokens_dropped": plan.tech_dropped,
-                "lanes": {
-                    "bm25": True,
-                    "tech_tokens": True,
-                    "dense": plan.dense_enabled,
-                },
-                "dense_model_id": plan.dense_model_id,
-                "dense_error": plan.dense_error,
-                "dense_modes": {
-                    "chunks": plan.chunk_mode,
-                    "artifact_chunks": plan.artifact_mode,
-                },
-                "dense_candidate_rows": {
-                    "chunks": plan.chunk_candidates,
-                    "artifact_chunks": plan.artifact_candidates,
-                },
-                "hnsw_ef_search": (
-                    settings.embeddings_hnsw_ef_search
-                    if plan.dense_enabled else None
-                ),
-                "ann_recall_target": (
-                    recall_target_for_ef_search(
-                        settings.embeddings_hnsw_ef_search
-                    )
-                    if plan.dense_enabled else None
-                ),
-                "timings_ms": plan.timings,
-            }
-        },
+        "notes": {"retrieval": retrieval_notes},
     }
     if debug_payload is not None:
         response["debug"] = debug_payload
