@@ -24,8 +24,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
-import uuid
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -96,8 +96,19 @@ class QueryPlan:
     timings: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
+def _fast_uuid4() -> str:
+    """RFC-4122 v4 string without the uuid.UUID object machinery
+    (~25 us -> ~2 us; 128 query ids per batch made it measurable on the
+    1-core host). Same wire format as the reference's uuid4 query_id."""
+    b = bytearray(os.urandom(16))
+    b[6] = (b[6] & 0x0F) | 0x40
+    b[8] = (b[8] & 0x3F) | 0x80
+    h = b.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
 def _make_plan(payload: RetrieveRequest) -> QueryPlan:
-    query_id = str(uuid.uuid4())
+    query_id = _fast_uuid4()
     query = payload.query.strip()
     plan = QueryPlan(
         payload=payload,
