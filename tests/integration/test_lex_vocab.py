@@ -278,3 +278,36 @@ class TestDriftSignal:
         assert lv["version"] == 1 and lv["head"] == 64
         assert lv["hot_tail_buckets"] >= 0
         assert lv["head_median_df"] > 0
+
+
+class TestOplogReplay:
+    def test_scatter_lex_apply_matches_leader(self, corpus_store):
+        """Follower-side replay of the vocab re-featurize op: _apply's
+        scatter_lex branch must land the same rows the leader's set_lex
+        wrote (parallel/oplog.py)."""
+        import numpy as np
+
+        from cadence_rag_tpu.parallel import oplog
+
+        index = get_index()
+        corpus = index.chunks
+        n = corpus.count
+        before = np.asarray(corpus.lex)[:n].copy()
+        ids = corpus.h_ids[:2].tolist()
+        new_rows = np.arange(
+            2 * corpus.lex_dim, dtype=np.int8
+        ).reshape(2, corpus.lex_dim)
+        corpus.set_lex(ids, new_rows)
+        leader_state = np.asarray(corpus.lex)[:n].copy()
+        assert not np.array_equal(leader_state, before)
+
+        # reset rows, then replay the equivalent op through _apply
+        corpus.set_lex(ids, before[:2])
+        pos = corpus.position_of(ids)
+        oplog._apply(
+            index, "scatter_lex", {"corpus": "chunks"},
+            {"pos": pos.astype(np.int32), "vals": new_rows},
+        )
+        np.testing.assert_array_equal(
+            np.asarray(corpus.lex)[:n], leader_state
+        )
