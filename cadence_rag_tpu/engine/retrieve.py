@@ -124,20 +124,33 @@ def _make_plan(payload: RetrieveRequest) -> QueryPlan:
         plan.empty = True
         return plan
     plan.tech_tokens = extract_tech_tokens(query)
-    plan.q_tech, plan.tech_dropped = featurize.query_tech_structure(
-        plan.tech_tokens
-    )
-    if plan.tech_dropped:
-        logger.warning(
-            "retrieve.tech_tokens_dropped query_id=%s dropped=%s of=%s",
-            query_id, plan.tech_dropped, len(plan.tech_tokens),
-        )
-    # q_lex_feats is filled by _featurize_plans (one native call per batch)
+    # q_tech is filled by _tech_plans, q_lex_feats by _featurize_plans
+    # (one native call per batch each)
     plan.dense_enabled = embeddings_enabled()
     plan.resolved = resolve_filters(
         get_store(), payload.filters, get_index().call_capacity
     )
     return plan
+
+
+def _tech_plans(plans: Sequence[QueryPlan]) -> None:
+    """Tech slot structures for the whole batch in one native crossing
+    (native/lexhash.tech_structures_batch; ~4-5 ms of per-query Python
+    placement loops per 128-query batch on the 1-core host)."""
+    pending = [p for p in plans if not p.empty]
+    if not pending:
+        return
+    results = featurize.query_tech_structures_batch(
+        [p.tech_tokens for p in pending]
+    )
+    for plan, (structure, dropped) in zip(pending, results):
+        plan.q_tech = structure
+        plan.tech_dropped = dropped
+        if dropped:
+            logger.warning(
+                "retrieve.tech_tokens_dropped query_id=%s dropped=%s of=%s",
+                plan.query_id, dropped, len(plan.tech_tokens),
+            )
 
 
 def _featurize_plans(plans: Sequence[QueryPlan]) -> None:
@@ -761,6 +774,7 @@ def _assemble_ids_only_batch(
 
 def _prepare_plans(payloads: Sequence[RetrieveRequest]) -> List[QueryPlan]:
     plans = [_make_plan(p) for p in payloads]
+    _tech_plans(plans)
     _featurize_plans(plans)
     _embed_plans(plans)
     for plan in plans:

@@ -179,3 +179,24 @@ def query_tech_structure(
         tokens, int(settings.tech_hash_slots), cap,
         max_capacity=max(8, 4 * cap),
     )
+
+
+def query_tech_structures_batch(token_lists: Sequence[Sequence[str]]):
+    """Per-query tech slot structures for a whole batch — one native
+    crossing when built (native/lexhash.tech_structures_batch), identical
+    per query to :func:`query_tech_structure` (parity-tested)."""
+    slots = int(settings.tech_hash_slots)
+    cap = int(settings.tech_slot_capacity)
+    max_cap = max(8, 4 * cap)
+    native = _native()
+    if native is not None:
+        try:
+            return native.tech_structures_batch(
+                token_lists, slots, cap, max_cap
+            )
+        except (RuntimeError, AttributeError):
+            pass
+    return [
+        hashing.tech_query_structure(t, slots, cap, max_capacity=max_cap)
+        for t in token_lists
+    ]

@@ -225,7 +225,80 @@ int64_t lex_raw_features_batch(const uint8_t* data, const int64_t* ends,
   return total;
 }
 
+// Tech-lane query slot structures for a whole batch (mirror of
+// ops/hashing.tech_query_structure over PRE-NORMALIZED keys: the Python
+// wrapper strips/lowers/drops-empties so Unicode lowering semantics stay
+// Python's). Keys arrive concatenated with cumulative end offsets;
+// key_counts[q] keys belong to query q. Each query's structure starts at
+// out + q*slots*max_cap (caller-zeroed), written at its own escalated
+// capacity (recorded in out_caps); zero blocks never match on device.
+// Dedupe is by token hash — equivalent to Python's by-key dedupe because
+// an equal-hash entry re-places the identical value (v == h) and can
+// never drop.
+int64_t lex_tech_structures_batch(
+    const uint8_t* data, const int64_t* ends, const int32_t* key_counts,
+    int64_t n_queries, int32_t slots, int32_t cap0, int32_t max_cap,
+    int32_t* out, int32_t* out_caps, int32_t* out_dropped) {
+  if (n_queries < 0 || slots <= 0 || cap0 <= 0 || max_cap < cap0) return -1;
+  const int64_t stride = static_cast<int64_t>(slots) * max_cap;
+  int64_t key_idx = 0;
+  int64_t start = 0;
+  std::vector<uint64_t> seen;
+  std::vector<int32_t> hs, s1s, s2s;
+  for (int64_t q = 0; q < n_queries; ++q) {
+    seen.clear(); hs.clear(); s1s.clear(); s2s.clear();
+    const int32_t n_keys = key_counts[q];
+    for (int32_t k = 0; k < n_keys; ++k, ++key_idx) {
+      const int64_t end = ends[key_idx];
+      if (end < start) return -1;
+      uint64_t h64 = fnv1a(reinterpret_cast<const uint8_t*>("t:"), 2,
+                           kFnvOffset);
+      h64 = fnv1a(data + start, static_cast<size_t>(end - start), h64);
+      start = end;
+      const int32_t h = static_cast<int32_t>(h64 % 0x7FFFFFFEULL) + 1;
+      bool dup = false;
+      for (uint64_t s : seen) {
+        if (s == static_cast<uint64_t>(h)) { dup = true; break; }
+      }
+      if (dup) continue;
+      seen.push_back(static_cast<uint64_t>(h));
+      hs.push_back(h);
+      s1s.push_back(h % slots);
+      s2s.push_back((h >> 8) % slots);
+    }
+    int32_t cap = cap0;
+    int32_t* row = out + q * stride;
+    for (;;) {
+      std::memset(row, 0, sizeof(int32_t) * slots * cap);
+      int32_t dropped = 0;
+      for (size_t e = 0; e < hs.size(); ++e) {
+        const int32_t h = hs[e];
+        bool fully = true;
+        const int32_t cols[2] = {s1s[e], s2s[e]};
+        const int n_cols = (cols[0] == cols[1]) ? 1 : 2;
+        for (int ci = 0; ci < n_cols; ++ci) {
+          bool ok = false;
+          for (int32_t c = 0; c < cap; ++c) {
+            int32_t* cell = row + static_cast<int64_t>(c) * slots + cols[ci];
+            if (*cell == 0 || *cell == h) { *cell = h; ok = true; break; }
+          }
+          fully = fully && ok;
+        }
+        if (!fully) ++dropped;
+      }
+      if (dropped == 0 || cap * 2 > max_cap) {
+        out_caps[q] = cap;
+        out_dropped[q] = dropped;
+        break;
+      }
+      std::memset(row, 0, sizeof(int32_t) * slots * cap);
+      cap *= 2;
+    }
+  }
+  return key_idx;
+}
+
 // Simple self-description for version checks.
-int32_t lexhash_abi_version() { return 4; }
+int32_t lexhash_abi_version() { return 5; }
 
 }  // extern "C"

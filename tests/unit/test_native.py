@@ -90,3 +90,31 @@ class TestBatchFeaturize:
         assert lexhash.raw_features_batch([]) == []
         triple = lexhash.query_features_batch([""], 4096)[0]
         assert triple[0].size == 0
+
+
+@pytest.mark.skipif(not lexhash.available(), reason="no native toolchain")
+class TestTechStructuresBatch:
+    TOKEN_CASES = [
+        [],
+        ["svc-gateway.prod"],
+        ["svc-gateway.prod", "API-V2.3.1", "econnreset"],
+        ["dup", "DUP", "  dup  ", ""],  # normalize + dedupe + empty-drop
+        [f"tok-{i}.x" for i in range(20)],  # forces capacity escalation
+        ["naïve-café.模型", "plain_token"],  # unicode lowering in Python
+        ["a"] * 50,
+        [f"collide-{i}" for i in range(40)] + ["svc-gateway.prod"],
+    ]
+
+    @pytest.mark.parametrize("slots,cap0,max_cap", [
+        (16, 1, 8), (16, 2, 8), (8, 1, 4),
+    ])
+    def test_parity_with_python(self, slots, cap0, max_cap):
+        native_out = lexhash.tech_structures_batch(
+            self.TOKEN_CASES, slots, cap0, max_cap
+        )
+        for tokens, (n_struct, n_drop) in zip(self.TOKEN_CASES, native_out):
+            py_struct, py_drop = hashing.tech_query_structure(
+                tokens, slots, cap0, max_capacity=max_cap
+            )
+            np.testing.assert_array_equal(n_struct, py_struct, err_msg=str(tokens)[:80])
+            assert n_drop == py_drop, tokens
