@@ -314,9 +314,11 @@ def ingest_transcript(
         chunks = build_chunks(records, options)
         doc_rows: List[DocRow] = []
         avgdl = _featurize_avgdl("chunks", 400.0)
-        for chunk in chunks:
+        sigs = featurize.lexical_signatures_batch(
+            [chunk.text for chunk in chunks], avgdl
+        )
+        for chunk, (sig, touched, dl) in zip(chunks, sigs):
             tokens = extract_tech_tokens(chunk.text)
-            sig, touched, dl = featurize.lexical_signature(chunk.text, avgdl)
             cur = conn.execute(
                 "INSERT INTO chunks (call_id, call_started_at, speaker, "
                 "start_ts_ms, end_ts_ms, token_count, text, tech_tokens, "
@@ -389,10 +391,11 @@ def ingest_analysis(
             )
             artifact_id = cur.lastrowid
             avgdl = _featurize_avgdl("artifact_chunks", 60.0)
-            for chunk in build_artifact_chunks(artifact.kind, content):
-                sig, touched, dl = featurize.lexical_signature(
-                    chunk.content, avgdl
-                )
+            art_chunks = build_artifact_chunks(artifact.kind, content)
+            art_sigs = featurize.lexical_signatures_batch(
+                [chunk.content for chunk in art_chunks], avgdl
+            )
+            for chunk, (sig, touched, dl) in zip(art_chunks, art_sigs):
                 cur = conn.execute(
                     "INSERT INTO artifact_chunks (artifact_id, call_id, "
                     "call_started_at, kind, ordinal, content, token_count, "
