@@ -1562,6 +1562,18 @@ class DeviceIndexManager:
             if compiled is _MULTIPROCESS_DISPATCHED:
                 pass
             elif compiled is not None:
+                if self.chunks.row_sharding is not None:
+                    # AOT executables take inputs at their compiled
+                    # shardings verbatim (no jit auto-resharding): the
+                    # packed buffer was lowered replicated over the mesh
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    d_packed = jax.device_put(
+                        d_packed,
+                        NamedSharding(
+                            self.chunks.row_sharding.mesh, PartitionSpec()
+                        ),
+                    )
                 flat_raw = compiled(
                     self.chunks.device_arrays(),
                     self.artifacts.device_arrays(),

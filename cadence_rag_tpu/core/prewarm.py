@@ -24,9 +24,11 @@ warm executable for its exact signature before falling back to the jitted
 call; post-growth queries therefore run the prewarmed binary immediately
 (tested: the post-growth dispatch adds no jit cache entry).
 
-Single-device only: under MESH_SHAPE the AOT input-sharding contract is
-stricter and multi-chip deployments provision capacity upfront; prewarm
-quietly stands down when the index is mesh-sharded.
+Mesh-aware: under a single-process MESH_SHAPE the avals carry the live
+arrays' GSPMD shardings (corpus rows sharded over the data axis, packed
+query buffer replicated) so the AOT executable accepts the sharded
+inputs verbatim. Only multi-PROCESS gangs stand down — their lockstep
+dispatch replays through the op-log and never consults the AOT table.
 
 No reference counterpart (Postgres has no compile step); this is the
 TPU-native analogue of index warm-up. SURVEY.md §5 failure-detection calls
@@ -219,12 +221,19 @@ class GrowthPrewarmer:
         need = 0.0
         for corpus, cap in ((self._manager.chunks, chunk_cap),
                             (self._manager.artifacts, art_cap)):
+            # row-sharded corpora split their bytes across the mesh's
+            # data axis; the budget guards PER-DEVICE bytes
+            shards = (
+                corpus.row_sharding.mesh.shape.get("data", 1)
+                if corpus.row_sharding is not None else 1
+            )
             grow = max(cap - corpus.capacity, 0)
             if free is None:
-                need += (corpus.capacity + cap) * _corpus_row_bytes(corpus)
+                need += ((corpus.capacity + cap)
+                         * _corpus_row_bytes(corpus)) / shards
             else:
-                need += cap * _corpus_row_bytes(corpus)
-            need += 3 * batch * grow * 4
+                need += (cap * _corpus_row_bytes(corpus)) / shards
+            need += 3 * batch * grow * 4 / shards
         if free is None:
             return need <= float(settings.prewarm_hbm_budget_gb) * (1 << 30)
         return need <= free * 0.85
@@ -236,7 +245,14 @@ class GrowthPrewarmer:
         if not settings.prewarm_growth_enabled:
             return False
         if self._manager.chunks.row_sharding is not None:
-            return False  # mesh-sharded: see module docstring
+            import jax
+
+            if jax.process_count() > 1:
+                # multi-process lockstep dispatch replays through the
+                # op-log and never consults the AOT table (core/index.
+                # _dispatch_multiprocess) — prewarming would burn the
+                # host core for an executable that is never used
+                return False
         chunk_cap, art_cap = self._target_caps()
         if (chunk_cap == self._manager.chunks.capacity
                 and art_cap == self._manager.artifacts.capacity):
@@ -277,12 +293,29 @@ class GrowthPrewarmer:
             thread.join(timeout)
 
     # -- compile -----------------------------------------------------------
-    @staticmethod
-    def _corpus_specs(cap: int, sig: QuerySignature):
+    def _corpus_specs(self, cap: int, sig: QuerySignature):
+        """Abstract avals for one corpus's device arrays. Under a
+        single-process mesh the avals carry the live arrays' shardings so
+        the AOT executable accepts the GSPMD-sharded inputs the dispatch
+        passes (plain avals would compile a single-device program that
+        rejects them)."""
         import jax
         import jax.numpy as jnp
 
-        spec = jax.ShapeDtypeStruct
+        sharding_2d = self._manager.chunks.row_sharding
+        if sharding_2d is None:
+            def spec(shape, dtype):
+                return jax.ShapeDtypeStruct(shape, dtype)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding_1d = NamedSharding(
+                sharding_2d.mesh, PartitionSpec(sharding_2d.spec[0])
+            )
+
+            def spec(shape, dtype):
+                sh = sharding_2d if len(shape) == 2 else sharding_1d
+                return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
         return (
             spec((cap, sig.dim), jnp.dtype(sig.emb_dtype)),
             spec((cap, sig.lex_dim), jnp.int8),
@@ -290,6 +323,20 @@ class GrowthPrewarmer:
             spec((cap,), jnp.int32),
             spec((cap,), jnp.int32),
             spec((cap,), jnp.bool_),
+        )
+
+    def _packed_spec(self, sig: QuerySignature):
+        import jax
+        import jax.numpy as jnp
+
+        sharding_2d = self._manager.chunks.row_sharding
+        if sharding_2d is None:
+            return jax.ShapeDtypeStruct((sig.packed_bytes,), jnp.uint8)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.ShapeDtypeStruct(
+            (sig.packed_bytes,), jnp.uint8,
+            sharding=NamedSharding(sharding_2d.mesh, PartitionSpec()),
         )
 
     def _compile_all(self, sigs, chunk_cap: int, art_cap: int) -> None:
@@ -303,7 +350,7 @@ class GrowthPrewarmer:
                 lowered = dual_corpus_retrieve_packed.lower(
                     self._corpus_specs(chunk_cap, sig),
                     self._corpus_specs(art_cap, sig),
-                    jax.ShapeDtypeStruct((sig.packed_bytes,), jnp.uint8),
+                    self._packed_spec(sig),
                     batch=sig.batch, emb_dim=sig.emb_dim,
                     q_feats=sig.q_feats, tech_q=sig.tech_q,
                     n_calls=sig.n_calls,

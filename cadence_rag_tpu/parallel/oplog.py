@@ -30,7 +30,8 @@ Architecture — leader-driven op replication:
   process-local jnp.asarray would poison the global dispatch.
 
 Stand-downs under multihost (all enforced here or in core/index.py):
-growth-prewarm (already stands down when row-sharded) and IVF rebuilds.
+growth-prewarm (multi-process only — single-process meshes prewarm with
+sharded avals, core/prewarm.py) and IVF rebuilds.
 Compaction mirrors like any other device op (the gather stamps its
 padding invalid in-program, so no host read-back is needed — the
 'compact' op). Checkpoint SAVE and RESTORE are both supported:

@@ -170,3 +170,49 @@ class TestGrowthPrewarm:
         index.prewarmer.note_signature(sig)
         index.prewarmer.note_signature(sig)
         assert len(index.prewarmer._sigs) == 1
+
+
+class TestMeshPrewarm:
+    def test_sharded_prewarm_and_post_growth_dispatch(
+        self, tmp_store, monkeypatch
+    ):
+        """Single-process mesh (8 virtual devices): the prewarmer lowers
+        with the live arrays' GSPMD shardings and the post-growth query
+        runs the AOT executable with results identical to a fresh jit
+        compile — the round-2 'stands down when mesh-sharded' limitation
+        is gone for single-process meshes."""
+        from cadence_rag_tpu.core.index import reset_index
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+
+        monkeypatch.setattr(tmp_store, "mesh_shape", "data:8")
+        monkeypatch.setattr(tmp_store, "prewarm_growth_enabled", True)
+        monkeypatch.setattr(tmp_store, "prewarm_min_capacity", 256)
+        monkeypatch.setattr(tmp_store, "prewarm_fill_fraction", 0.75)
+        reset_index()
+        index = get_index()
+        assert index.chunks.row_sharding is not None
+
+        index.chunks.insert(_rows(1, 100))
+        index.artifacts.insert(_rows(1, 16))
+        reqs = [RetrieveRequest(query="object store gateway retry",
+                                return_style="ids_only")
+                for _ in range(4)]
+        retrieve_evidence_batch(reqs)  # compile current capacity, note sig
+
+        index.chunks.insert(_rows(101, 100))  # cross 75% fill
+        index.prewarmer.wait(timeout=180)
+        assert len(index.prewarmer._compiled) >= 1
+        size_after_prewarm = dual_corpus_retrieve_packed._cache_size()
+
+        index.chunks.insert(_rows(201, 100))  # force growth
+        assert index.chunks.capacity == 512
+        warm = retrieve_evidence_batch(reqs)
+        # no fresh jit compile: the sharded AOT executable served it
+        assert dual_corpus_retrieve_packed._cache_size() == size_after_prewarm
+
+        index.prewarmer._compiled.clear()
+        cold = retrieve_evidence_batch(reqs)
+        assert dual_corpus_retrieve_packed._cache_size() > size_after_prewarm
+        for a, b in zip(warm, cold):
+            assert a["retrieved_ids"] == b["retrieved_ids"]
+        reset_index()
