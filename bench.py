@@ -15,8 +15,10 @@ Two measurements over the SAME live index (one compiled program):
 - full stack: ``retrieve_evidence_batch`` end-to-end (tech-token regexes,
   stub embed, lexical featurization, filter resolution, planner, device
   dispatch, device_get, postprocess, RRF; evidence packs add the SQLite
-  prefetch) — what a real request pays. Reported for ids_only (serial and
-  2-thread overlapped) and evidence_pack styles.
+  prefetch) — what a real request pays. Reported for ids_only with
+  all-unique queries (serial and single-thread pipelined overlap), for a
+  duplicate-heavy hot-query workload (request coalescing executes 4 plans
+  per 128 requests), and for evidence_pack style.
 
 Prints ONE JSON line:
   {"metric": "...", "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
@@ -145,26 +147,44 @@ def bench_device(index, batch, iters, dense_mode):
     return batch * iters / total, p50_batch_ms
 
 
-def _bench_requests(batch, style):
+def _bench_requests(batch, style, unique=True):
+    """``unique=True`` (the primary full-stack workload) gives every
+    request its own query text so per-request host costs (regex
+    extraction, embed, featurization, assembly) are all paid — request
+    coalescing (engine/retrieve._coalesce_payloads) never fires.
+    ``unique=False`` is the hot-query workload: 4 distinct queries
+    repeated across the batch, the duplicate-heavy shape coalescing
+    exists for (reported separately as *_hot). Earlier rounds'
+    fullstack numbers (BENCH_r01/r02) used the 4-query workload BEFORE
+    coalescing existed — per-request work was still paid per request,
+    so they compare to today's `unique=True` numbers."""
     from cadence_rag_tpu.schemas import RetrieveRequest
 
-    queries = [
-        "ECONNRESET rollback on the object store gateway",
-        "tiering latency cluster retry budget",
-        "lenovo bake-off azure rollout",
-        "v2.3.1 gateway retry",
+    templates = [
+        "ECONNRESET rollback on the object store gateway build {}",
+        "tiering latency cluster retry budget shard {}",
+        "lenovo bake-off azure rollout phase {}",
+        "v2.3.{} gateway retry",
     ]
+    if not unique:
+        queries = [t.format(7) for t in templates]
+        return [
+            RetrieveRequest(query=queries[i % 4], return_style=style)
+            for i in range(batch)
+        ]
     return [
-        RetrieveRequest(query=queries[i % len(queries)], return_style=style)
+        RetrieveRequest(
+            query=templates[i % 4].format(i // 4), return_style=style
+        )
         for i in range(batch)
     ]
 
 
-def bench_fullstack(batch, iters, style):
+def bench_fullstack(batch, iters, style, unique=True):
     """retrieve_evidence_batch end-to-end over the live index, serial."""
     from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
 
-    reqs = _bench_requests(batch, style)
+    reqs = _bench_requests(batch, style, unique=unique)
     retrieve_evidence_batch(reqs)  # warm (program already compiled)
     retrieve_evidence_batch(reqs)
     latencies = []
@@ -242,6 +262,9 @@ def main() -> None:
     try:
         qps, p50_batch_ms = bench_device(index, batch, iters, dense_mode)
         fs_ids = bench_fullstack(batch, iters, "ids_only")
+        # hot-query workload: 4 distinct queries repeated across the
+        # batch — request coalescing executes 4 plans per 128 requests
+        fs_hot = bench_fullstack(batch, iters, "ids_only", unique=False)
         # single-thread pipelined overlap (depth 2 and 3; best wins —
         # run-to-run variance on the shared 1-core host is real, so the
         # better measurement is the capacity number)
@@ -283,6 +306,7 @@ def main() -> None:
             ),
             "fullstack_ids_qps_overlapped": round(fs_overlap["qps"], 2),
             "fullstack_overlap_mode": f"pipelined_depth{fs_overlap['depth']}",
+            "fullstack_ids_qps_hot": round(fs_hot["qps"], 2),
             "baseline_qps_host_exact_scan": round(baseline_qps, 2),
             "baseline_per_query_ms": round(baseline_ms, 2),
             "device": str(jax.devices()[0]),

@@ -114,6 +114,13 @@ class Settings:
     ivf_clusters: int = 0                    # 0 = auto sqrt(N)
     ivf_nprobe: int = 0                      # 0 = auto 8% of clusters (>=4)
     retrieve_batch_window_ms: int = 0        # server-side query batching
+    # Coalesce IDENTICAL requests within a micro-batch (same query,
+    # filters, budget, style, debug): plan/embed/dispatch/assemble once,
+    # fan the response out per request with fresh query_ids. Every stage
+    # is a deterministic function of the request, so duplicates — hot
+    # queries, thundering herds, retries landing in one batch window —
+    # pay for one execution (engine/retrieve._coalesce_payloads).
+    retrieve_coalesce_enabled: bool = True
     # Live store->index sync: the serving process tails the store's
     # trigger-maintained mutation log so writes by OTHER processes
     # (worker daemon, backfill CLIs) become retrievable without a

@@ -703,6 +703,74 @@ def _assemble(
     return response
 
 
+# --------------------------------------------------------- coalescing ----
+
+def _coalesce_payloads(
+    payloads: Sequence[RetrieveRequest],
+) -> Tuple[Sequence[RetrieveRequest], Optional[List[int]]]:
+    """Deduplicate identical requests within one micro-batch.
+
+    Every stage of the pipeline — tech-token extraction, featurization,
+    embedding, filter resolution, the device lanes, RRF, assembly — is a
+    deterministic function of the request payload, so two requests whose
+    payloads serialize identically produce identical responses modulo
+    query_id. A burst of the same hot query inside one batch window (the
+    thundering-herd shape request-coalescing exists for) therefore plans,
+    embeds, dispatches and assembles ONCE.
+
+    Returns (unique_payloads, assignment) where assignment[i] is the
+    index into unique_payloads serving original request i, or
+    (payloads, None) when nothing coalesces (the common all-unique batch
+    pays one json-dump per request, ~10 us each).
+    """
+    if not settings.retrieve_coalesce_enabled or len(payloads) < 2:
+        return payloads, None
+    seen: Dict[str, int] = {}
+    assign: List[int] = []
+    unique: List[RetrieveRequest] = []
+    for payload in payloads:
+        key = payload.model_dump_json()
+        slot = seen.get(key)
+        if slot is None:
+            slot = len(unique)
+            seen[key] = slot
+            unique.append(payload)
+        assign.append(slot)
+    if len(unique) == len(payloads):
+        return payloads, None
+    return unique, assign
+
+
+def _fanout_coalesced(
+    responses: List[Dict[str, Any]], assign: Optional[List[int]]
+) -> List[Dict[str, Any]]:
+    """Expand unique-request responses back to one per original request.
+
+    The first request mapped to a unique slot gets the computed response
+    verbatim; duplicates get a shallow copy with a fresh query_id (the
+    only per-request field — responses are serialized, never mutated, so
+    sharing the nested lists/dicts is safe, same convention as
+    ``_static_notes``)."""
+    if assign is None:
+        return responses
+    used: set = set()
+    out: List[Dict[str, Any]] = []
+    for slot in assign:
+        response = responses[slot]
+        if slot in used:
+            duplicate = dict(response)
+            duplicate["query_id"] = _fast_uuid4()
+            logger.info(
+                "retrieve.coalesced query_id=%s primary_query_id=%s",
+                duplicate["query_id"], response["query_id"],
+            )
+            response = duplicate
+        else:
+            used.add(slot)
+        out.append(response)
+    return out
+
+
 # ------------------------------------------------------------- public API ----
 
 def _assemble_ids_only_batch(
@@ -797,23 +865,24 @@ def retrieve_evidence_batch(
     payloads: Sequence[RetrieveRequest],
 ) -> List[Dict[str, Any]]:
     """Serve many queries with one device dispatch per planner-mode group."""
-    plans = _prepare_plans(payloads)
-    return _finish_plans(plans, _dispatch_plans(plans))
+    return finish_evidence_batch(dispatch_evidence_batch(payloads))
 
 
 def dispatch_evidence_batch(payloads: Sequence[RetrieveRequest]):
     """Two-phase serving, phase 1: host prep + device ENQUEUE (returns a
     handle without blocking on the device). The serve-side batcher runs
     phase 1 of the next micro-batch while phase 2 of the previous one
-    waits on device output — single-thread pipelining."""
-    plans = _prepare_plans(payloads)
-    return plans, _dispatch_plans(plans)
+    waits on device output — single-thread pipelining. Identical
+    requests within the batch coalesce into one executed plan."""
+    unique, assign = _coalesce_payloads(payloads)
+    plans = _prepare_plans(unique)
+    return plans, _dispatch_plans(plans), assign
 
 
 def finish_evidence_batch(handle) -> List[Dict[str, Any]]:
     """Two-phase serving, phase 2: block on the device, fuse, assemble."""
-    plans, pending = handle
-    return _finish_plans(plans, pending)
+    plans, pending, assign = handle
+    return _fanout_coalesced(_finish_plans(plans, pending), assign)
 
 
 def retrieve_evidence_pipelined(batches, depth: int = 2):
@@ -830,14 +899,11 @@ def retrieve_evidence_pipelined(batches, depth: int = 2):
 
     window: "deque" = deque()
     for payloads in batches:
-        plans = _prepare_plans(payloads)
-        window.append((plans, _dispatch_plans(plans)))
+        window.append(dispatch_evidence_batch(payloads))
         if len(window) >= max(depth, 1):
-            plans_done, pending = window.popleft()
-            yield _finish_plans(plans_done, pending)
+            yield finish_evidence_batch(window.popleft())
     while window:
-        plans_done, pending = window.popleft()
-        yield _finish_plans(plans_done, pending)
+        yield finish_evidence_batch(window.popleft())
 
 
 def retrieve_evidence(payload: RetrieveRequest) -> Dict[str, Any]:

@@ -147,6 +147,89 @@ class TestBatchRetrieve:
         assert batch[0]["retrieved_ids"] == []
         assert batch[1]["retrieved_ids"]
 
+    def test_duplicate_requests_coalesce(self, corpus):
+        """Identical payloads in one batch execute ONE plan: the device
+        batch shrinks to the unique-request count, every caller still
+        gets a response, duplicates share results but not query_ids."""
+        from cadence_rag_tpu.engine.retrieve import (
+            dispatch_evidence_batch,
+            finish_evidence_batch,
+        )
+
+        hot = RetrieveRequest(query="ECONNRESET object store",
+                              return_style="ids_only")
+        cold = RetrieveRequest(query="azure migration runbook",
+                               return_style="ids_only")
+        reqs = [hot, cold, hot.model_copy(deep=True), hot, cold]
+        handle = dispatch_evidence_batch(reqs)
+        plans = handle[0]
+        assert len(plans) == 2  # two unique payloads planned
+        responses = finish_evidence_batch(handle)
+        assert len(responses) == 5
+        assert (responses[0]["retrieved_ids"] == responses[2]["retrieved_ids"]
+                == responses[3]["retrieved_ids"])
+        assert responses[1]["retrieved_ids"] == responses[4]["retrieved_ids"]
+        assert responses[0]["retrieved_ids"] != responses[1]["retrieved_ids"]
+        assert len({r["query_id"] for r in responses}) == 5
+
+    def test_coalesced_matches_uncoalesced(self, corpus, monkeypatch):
+        reqs = [
+            RetrieveRequest(query="SSD tiering latency"),
+            RetrieveRequest(query="lenovo BOM bake-off"),
+            RetrieveRequest(query="SSD tiering latency"),
+        ]
+        from cadence_rag_tpu.config import settings
+
+        monkeypatch.setattr(settings, "retrieve_coalesce_enabled", False)
+        plain = retrieve_evidence_batch(
+            [r.model_copy(deep=True) for r in reqs]
+        )
+        monkeypatch.setattr(settings, "retrieve_coalesce_enabled", True)
+        coalesced = retrieve_evidence_batch(reqs)
+        for a, b in zip(plain, coalesced):
+            assert a["quotes"] == b["quotes"]
+            assert a["artifacts"] == b["artifacts"]
+            assert (a["notes"]["retrieval"]["tech_tokens"]
+                    == b["notes"]["retrieval"]["tech_tokens"])
+
+    def test_same_query_different_filters_not_coalesced(self, corpus):
+        from cadence_rag_tpu.engine.retrieve import dispatch_evidence_batch
+
+        reqs = [
+            RetrieveRequest(
+                query="ECONNRESET object store",
+                filters=RetrieveFilters(call_ids=[corpus[0]]),
+                return_style="ids_only",
+            ),
+            RetrieveRequest(query="ECONNRESET object store",
+                            return_style="ids_only"),
+        ]
+        plans = dispatch_evidence_batch(reqs)[0]
+        assert len(plans) == 2
+        scoped, unscoped = retrieve_evidence_batch(reqs)
+        assert scoped["retrieved_ids"]
+        # the scoped result must differ (only corpus[0]'s chunks allowed)
+        assert scoped["retrieved_ids"] != unscoped["retrieved_ids"]
+
+    def test_coalesced_pipelined_stream(self, corpus):
+        """Duplicate-heavy micro-batches through the pipelined path fan
+        out correctly in order."""
+        from cadence_rag_tpu.engine.retrieve import (
+            retrieve_evidence_pipelined,
+        )
+
+        batch = [RetrieveRequest(query="ECONNRESET object store",
+                                 return_style="ids_only")] * 4
+        outs = list(retrieve_evidence_pipelined(
+            iter([batch, batch]), depth=2
+        ))
+        assert [len(o) for o in outs] == [4, 4]
+        ids = outs[0][0]["retrieved_ids"]
+        assert ids
+        for responses in outs:
+            for r in responses:
+                assert r["retrieved_ids"] == ids
+
     def test_poisoned_provider_trips_circuit_breaker(self, corpus,
                                                      monkeypatch):
         """A provider failing EVERY call must not cost B serial retries:

@@ -27,8 +27,8 @@ class TestBatcher:
         async def scenario():
             batcher = RetrieveBatcher(window_ms=50)
             reqs = [
-                RetrieveRequest(query="ECONNRESET object store")
-                for _ in range(4)
+                RetrieveRequest(query=f"ECONNRESET object store {i}")
+                for i in range(4)
             ]
             return await asyncio.gather(*(batcher.submit(r) for r in reqs))
 
@@ -40,6 +40,27 @@ class TestBatcher:
         }
         assert batch_sizes == {4.0}, batch_sizes
         assert all(r["quotes"] for r in responses)
+
+    def test_identical_concurrent_requests_coalesce(self, corpus):
+        """A thundering herd of the SAME query through the batcher
+        executes once: all callers answered, one-row device batch."""
+        async def scenario():
+            batcher = RetrieveBatcher(window_ms=50)
+            reqs = [
+                RetrieveRequest(query="ECONNRESET object store")
+                for _ in range(4)
+            ]
+            return await asyncio.gather(*(batcher.submit(r) for r in reqs))
+
+        responses = asyncio.run(scenario())
+        assert len(responses) == 4
+        batch_sizes = {
+            r["notes"]["retrieval"]["timings_ms"].get("device_batch")
+            for r in responses
+        }
+        assert batch_sizes == {1.0}, batch_sizes
+        assert all(r["quotes"] for r in responses)
+        assert len({r["query_id"] for r in responses}) == 4
 
     def test_max_batch_flushes_early(self, corpus):
         async def scenario():
