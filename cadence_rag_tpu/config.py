@@ -95,6 +95,25 @@ class Settings:
     # vs collision-free BM25 at D=4096: 0.87 -> ~0.96). Build-time knob —
     # the ACTIVE head rides with the store's lex_vocab table.
     lex_vocab_head: int = 2048
+    # Drift-triggered automatic vocab rebuild (core/vocab.
+    # auto_rebuild_if_needed, checked from the serving process's store
+    # syncer loop). Opt-in: the rebuild re-featurizes the whole corpus
+    # in-process (writes stall behind the vocab gate for its duration;
+    # reads serve with transiently mixed lexical layout) and assumes
+    # THIS process is the coherent owner of the layout — multi-process
+    # gangs stand down, and concurrently-written worker rows are
+    # repaired via lex_vocab_version provenance at rehydration.
+    lex_vocab_auto_rebuild: bool = False
+    # trigger: this many tail buckets hotter than the head's median df
+    # (frequent NEW features are hashing into the collision tail)
+    lex_vocab_drift_buckets: int = 64
+    # ... AND the corpus grew by this factor since the active build
+    lex_vocab_rebuild_min_growth: float = 1.5
+    # with no vocab yet, bootstrap one once live docs reach this count
+    # (0 = never bootstrap automatically)
+    lex_vocab_bootstrap_docs: int = 0
+    lex_vocab_rebuild_check_s: float = 300.0
+    lex_vocab_rebuild_cooldown_s: float = 3600.0
     tech_hash_slots: int = 16                # token-hash slots per document
     # STARTING per-slot query capacity: the tech compare runs C
     # slot-aligned (B,N,S) passes, and C escalates per query (doubling to
@@ -145,6 +164,11 @@ class Settings:
     # memory stats (the axon tunnel doesn't).
     prewarm_hbm_budget_gb: float = 14.0
     embedder_params_path: str = ""           # trained weights for "neural"
+    # Cross-request embedding LRU (embed/provider.py): hot queries that
+    # repeat ACROSS batch windows skip the provider (coalescing already
+    # dedupes within a window). 0 = off (reference behavior); entries
+    # keyed by provider/model/dim/weights so config changes invalidate.
+    embed_cache_size: int = 0
     profiler_port: int = 0                   # jax.profiler server (0 = off)
     # Phase-4 rerank lane (BASELINE.md config 5)
     rerank_enabled: bool = False

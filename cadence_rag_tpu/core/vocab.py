@@ -54,20 +54,22 @@ def vocab_digest(hashes: Optional[np.ndarray]) -> str:
 
 
 def save_vocab(store, hashes: np.ndarray, dim: int, *,
-               applied: bool = False) -> int:
+               applied: bool = False, built_docs: int = 0) -> int:
     """Persist a new vocab version (unapplied by default — see
-    mark_applied); returns the version number."""
+    mark_applied); returns the version number. ``built_docs`` records the
+    corpus size at build time (the growth input to auto-rebuild)."""
     hashes = np.unique(np.asarray(hashes, dtype=np.uint64))
     with store.tx() as conn:
         cur = conn.execute(
-            "INSERT INTO lex_vocab (head, dim, created_at, applied, hashes) "
-            "VALUES (?,?,?,?,?)",
+            "INSERT INTO lex_vocab (head, dim, created_at, applied, hashes, "
+            "built_docs) VALUES (?,?,?,?,?,?)",
             (
                 int(hashes.size),
                 int(dim),
                 _dt.datetime.now(_dt.timezone.utc).isoformat(),
                 1 if applied else 0,
                 hashes.tobytes(),
+                int(built_docs),
             ),
         )
         return int(cur.lastrowid)
@@ -276,12 +278,13 @@ def apply_vocab_to_store(
             sigs = featurize.lexical_signatures_batch(
                 [r["txt"] for r in rows], avgdl
             )
+            version = featurize.active_vocab()[1]
             with store.tx() as conn:
                 conn.executemany(
-                    f"UPDATE {table} SET lex_sig=?, lex_dl=? "
-                    f"WHERE {id_col}=?",
+                    f"UPDATE {table} SET lex_sig=?, lex_dl=?, "
+                    f"lex_vocab_version=? WHERE {id_col}=?",
                     [
-                        (sig.tobytes(), int(dl), doc_id)
+                        (sig.tobytes(), int(dl), version, doc_id)
                         for (sig, _t, dl), doc_id in zip(sigs, ids)
                     ],
                 )
@@ -311,6 +314,16 @@ def apply_vocab_to_store(
     return stats
 
 
+def _stored_doc_count(store) -> int:
+    total = 0
+    with store.read() as conn:
+        for table, _id, _txt in CORPUS_COLUMNS:
+            total += int(
+                conn.execute(f"SELECT COUNT(*) FROM {table}").fetchone()[0]
+            )
+    return total
+
+
 def build_and_apply(
     store, index, *, head: Optional[int] = None, batch: int = 2048,
     limit_docs: int = 0,
@@ -320,7 +333,13 @@ def build_and_apply(
     crash mid-apply is DETECTED at the next activation (load_vocab
     refuses the dangling unapplied row) instead of silently serving
     mixed-layout signatures. Re-running this script is always the fix:
-    it clears unapplied rows and re-featurizes everything."""
+    it clears unapplied rows and re-featurizes everything.
+
+    The activate+re-featurize window holds the vocab WRITE gate
+    (featurize.vocab_gate): concurrent ingest/delete in this process
+    blocks until the new layout is fully landed (queries keep serving —
+    lexical scores are transiently mixed-layout while rows migrate);
+    the learning scan runs gate-free (read-only)."""
     with store.tx() as conn:
         conn.execute("DELETE FROM lex_vocab WHERE applied=0")
     head = int(head or settings.lex_vocab_head)
@@ -329,8 +348,120 @@ def build_and_apply(
     )
     if hashes.size == 0:
         return {"version": 0, "head": 0, "note": "no stored documents"}
-    version = save_vocab(store, hashes, int(settings.lexical_dim))
-    featurize.set_active_vocab(hashes, version)
-    stats = apply_vocab_to_store(store, index, batch=max(batch // 2, 256))
-    mark_applied(store, version)
+    with featurize.vocab_gate.write():
+        version = save_vocab(
+            store, hashes, int(settings.lexical_dim),
+            built_docs=_stored_doc_count(store),
+        )
+        featurize.set_active_vocab(hashes, version)
+        stats = apply_vocab_to_store(store, index, batch=max(batch // 2, 256))
+        mark_applied(store, version)
     return {"version": version, "head": int(hashes.size), "corpora": stats}
+
+
+# ------------------------------------------------------- auto-rebuild ----
+
+def drift_stats(corpus, vocab: Optional[np.ndarray]) -> Dict[str, float]:
+    """Head-vs-tail df drift: tail buckets hotter than the head's median
+    mean frequent NEW features are hashing into the collision tail — the
+    signal that the learned head no longer covers where the score mass
+    lives (also surfaced per corpus in GET /index/stats)."""
+    if vocab is None or vocab.size == 0:
+        return {"hot_tail_buckets": 0, "head_median_df": 0.0}
+    head = int(vocab.size)
+    head_df = corpus.doc_freq[:head]
+    tail_df = corpus.doc_freq[head:]
+    nz = head_df[head_df > 0]
+    if nz.size == 0 or tail_df.size == 0:
+        return {"hot_tail_buckets": 0, "head_median_df": 0.0}
+    median = float(np.median(nz))
+    return {
+        "hot_tail_buckets": int((tail_df > median).sum()),
+        "head_median_df": median,
+    }
+
+
+_last_rebuild_check = 0.0
+
+
+def auto_rebuild_if_needed(store, index, *, force_check: bool = False,
+                           now: Optional[float] = None) -> Optional[Dict]:
+    """Drift-triggered online vocab rebuild (LEX_VOCAB_AUTO_REBUILD).
+
+    Called from the serving process's store-syncer loop (ingest/sync.py)
+    — the one long-lived thread every serving process already runs.
+    Fires when ALL hold:
+
+    - a vocab exists, its drift signal (``drift_stats``) exceeds
+      LEX_VOCAB_DRIFT_BUCKETS on the chunks corpus, AND live docs grew
+      >= LEX_VOCAB_REBUILD_MIN_GROWTH x the active build's built_docs;
+      or NO vocab exists and live docs >= LEX_VOCAB_BOOTSTRAP_DOCS > 0;
+    - the last applied build is older than LEX_VOCAB_REBUILD_COOLDOWN_S;
+    - the process is a single-process mesh (multi-process gangs stand
+      down like prewarm/IVF — parallel/oplog.py).
+
+    Returns the build summary when a rebuild ran, else None.
+    """
+    import time as _time
+
+    global _last_rebuild_check
+    if not settings.lex_vocab_auto_rebuild:
+        return None
+    now = _time.time() if now is None else now
+    if not force_check and (
+        now - _last_rebuild_check < float(settings.lex_vocab_rebuild_check_s)
+    ):
+        return None
+    _last_rebuild_check = now
+    if int(settings.dist_num_processes or 0) > 1:
+        logger.warning(
+            "lex_vocab.auto_rebuild_standdown multi-process gang — run "
+            "scripts/build_lex_vocab offline across the fleet instead"
+        )
+        return None
+
+    vocab, active = featurize.active_vocab()
+    live_docs = int(index.chunks.live_count) + int(index.artifacts.live_count)
+    if vocab is None:
+        boot = int(settings.lex_vocab_bootstrap_docs)
+        if boot <= 0 or live_docs < boot:
+            return None
+        reason = f"bootstrap live_docs={live_docs}>={boot}"
+    else:
+        drift = drift_stats(index.chunks, vocab)
+        if drift["hot_tail_buckets"] < int(settings.lex_vocab_drift_buckets):
+            return None
+        with store.read() as conn:
+            row = conn.execute(
+                "SELECT built_docs, created_at FROM lex_vocab "
+                "WHERE version=?", (active,),
+            ).fetchone()
+        built_docs = int(row["built_docs"]) if row else 0
+        if built_docs and live_docs < built_docs * float(
+            settings.lex_vocab_rebuild_min_growth
+        ):
+            return None
+        if row:
+            try:
+                built_at = _dt.datetime.fromisoformat(
+                    row["created_at"]
+                ).timestamp()
+            except ValueError:
+                built_at = 0.0
+            if now - built_at < float(settings.lex_vocab_rebuild_cooldown_s):
+                return None
+        reason = (
+            f"drift hot_tail_buckets={drift['hot_tail_buckets']} "
+            f"live_docs={live_docs} built_docs={built_docs}"
+        )
+
+    logger.warning("lex_vocab.auto_rebuild_start %s", reason)
+    t0 = _time.time()
+    # clamp: the head must leave a hashed tail (operator CLI refuses
+    # instead, but an unattended trigger should do the sane thing)
+    head = min(int(settings.lex_vocab_head), int(settings.lexical_dim) // 2)
+    summary = build_and_apply(store, index, head=head)
+    summary["trigger"] = reason
+    summary["seconds"] = round(_time.time() - t0, 3)
+    logger.warning("lex_vocab.auto_rebuild_done %s", summary)
+    return summary

@@ -9,6 +9,8 @@ app/retrieve.py:425-431) carries over unchanged.
 from __future__ import annotations
 
 import dataclasses
+import threading
+from collections import OrderedDict
 from typing import List, Optional, Protocol, Sequence, Union
 
 import numpy as np
@@ -94,10 +96,29 @@ def get_provider() -> EmbeddingProvider:
     raise EmbeddingError("no embedding provider configured")
 
 
-def embed_texts(texts: Sequence[str]) -> EmbeddingResult:
-    if not embeddings_enabled():
-        raise EmbeddingError("no embedding provider configured")
-    cleaned = _clean_texts(texts)
+# Cross-request embedding LRU (EMBED_CACHE_SIZE, opt-in): embeddings are
+# a deterministic function of (provider, model, dim, text), so a hot
+# query repeating ACROSS batch windows — request coalescing
+# (engine/retrieve) already dedupes within one window — need not re-pay
+# the provider. Keyed to invalidate on any provider/model/dim/weights
+# change; vectors are stored post-validation and never mutated.
+_CACHE: "OrderedDict[tuple, tuple[np.ndarray, str]]" = OrderedDict()
+_CACHE_LOCK = threading.Lock()
+
+
+def _cache_key(text: str) -> tuple:
+    return (
+        provider_kind(), settings.embeddings_model_id,
+        int(settings.embeddings_dim), settings.embedder_params_path, text,
+    )
+
+
+def reset_embed_cache() -> None:
+    with _CACHE_LOCK:
+        _CACHE.clear()
+
+
+def _embed_validated(cleaned: List[str]) -> EmbeddingResult:
     result = get_provider().embed(cleaned)
     if len(result.vectors) != len(cleaned):
         raise EmbeddingError(
@@ -105,6 +126,43 @@ def embed_texts(texts: Sequence[str]) -> EmbeddingResult:
             f"expected {len(cleaned)}"
         )
     return EmbeddingResult(_check_dims(result.vectors), result.model)
+
+
+def embed_texts(texts: Sequence[str]) -> EmbeddingResult:
+    if not embeddings_enabled():
+        raise EmbeddingError("no embedding provider configured")
+    cleaned = _clean_texts(texts)
+    cap = int(settings.embed_cache_size)
+    if cap <= 0:
+        return _embed_validated(cleaned)
+
+    keys = [_cache_key(t) for t in cleaned]
+    hits: dict = {}
+    with _CACHE_LOCK:
+        for key in keys:
+            entry = _CACHE.get(key)
+            if entry is not None:
+                _CACHE.move_to_end(key)
+                hits[key] = entry
+    miss_idx = [i for i, k in enumerate(keys) if k not in hits]
+    model = next(iter(hits.values()))[1] if hits else settings.embeddings_model_id
+    if miss_idx:
+        fresh = _embed_validated([cleaned[i] for i in miss_idx])
+        model = fresh.model
+        with _CACHE_LOCK:
+            for j, i in enumerate(miss_idx):
+                _CACHE[keys[i]] = (fresh.vectors[j], fresh.model)
+                _CACHE.move_to_end(keys[i])
+            while len(_CACHE) > cap:
+                _CACHE.popitem(last=False)
+        fresh_by_idx = dict(zip(miss_idx, fresh.vectors))
+    else:
+        fresh_by_idx = {}
+    out = np.stack([
+        fresh_by_idx[i] if i in fresh_by_idx else hits[keys[i]][0]
+        for i in range(len(cleaned))
+    ])
+    return EmbeddingResult(out, model)
 
 
 def embed_texts_batched(

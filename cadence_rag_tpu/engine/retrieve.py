@@ -80,6 +80,7 @@ class QueryPlan:
     q_tech: Optional[np.ndarray] = None
     q_lex_feats: Optional[tuple] = None
     resolved: Optional[ResolvedFilters] = None
+    lex_vocab_gen: int = 0
     dense_enabled: bool = False
     dense_error: Optional[str] = None
     dense_model_id: Optional[str] = None
@@ -160,11 +161,13 @@ def _featurize_plans(plans: Sequence[QueryPlan]) -> None:
     pending = [p for p in plans if not p.empty]
     if not pending:
         return
+    gen = featurize.active_vocab()[1]
     feats = featurize.query_lexical_features_batch(
         [p.query for p in pending]
     )
     for plan, triple in zip(pending, feats):
         plan.q_lex_feats = triple
+        plan.lex_vocab_gen = gen
 
 
 def _embed_plans(plans: Sequence[QueryPlan]) -> None:
@@ -266,6 +269,18 @@ def _dispatch_plans(plans: Sequence[QueryPlan]) -> List[Tuple]:
     forfeits it)."""
     index = get_index()
     runnable = [p for p in plans if not p.empty]
+    # An online vocab rebuild (core/vocab.auto_rebuild_if_needed) may have
+    # swapped the lexical layout between this batch's featurization and
+    # its dispatch: re-featurize stale queries so they score the layout
+    # the device rows now hold (one int compare per plan when nothing
+    # changed).
+    gen = featurize.active_vocab()[1]
+    stale = [p for p in runnable if p.lex_vocab_gen != gen]
+    if stale:
+        _featurize_plans(stale)
+        logger.info(
+            "retrieve.requeried_lex_layout plans=%s gen=%s", len(stale), gen
+        )
     groups: Dict[Tuple, List[QueryPlan]] = {}
     for plan in runnable:
         key = (plan.chunk_mode or "exact", plan.artifact_mode or "exact",

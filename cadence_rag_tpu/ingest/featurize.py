@@ -14,6 +14,15 @@ import numpy as np
 
 from ..config import settings
 from ..ops import hashing
+from ..utils.locks import RWLock
+
+# Vocab-layout gate: ingest/delete paths hold the READ side across
+# featurize -> store write -> device insert; an online vocab rebuild
+# (core/vocab.build_and_apply) holds the WRITE side for the activate +
+# re-featurize window, so no document can land half in the old layout
+# and half unscanned by the re-featurize pass. Uncontended read
+# acquisition is two condvar ops (~1 us) per ingest call.
+vocab_gate = RWLock()
 
 
 def _native():

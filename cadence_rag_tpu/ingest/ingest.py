@@ -20,6 +20,7 @@ rebuild_index_from_store() at startup.
 
 from __future__ import annotations
 
+import functools
 import json
 import uuid
 from typing import List, Optional, Sequence, Tuple
@@ -67,6 +68,19 @@ def set_store_only(on: bool) -> None:
 
 def store_only() -> bool:
     return _STORE_ONLY
+
+
+def _vocab_read_gated(fn):
+    """Hold the vocab-layout read gate across featurize -> store write ->
+    device insert (see featurize.vocab_gate). Gated functions must NOT
+    call each other — the writer-preferring RWLock would deadlock on a
+    nested read acquisition while a rebuild waits."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with featurize.vocab_gate.read():
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _featurize_avgdl(corpus_name: str, default: float) -> float:
@@ -264,6 +278,7 @@ def persist_lexical_meta(store: Store, corpus: CorpusIndex) -> None:
 
 # ------------------------------------------------------------ transcript ----
 
+@_vocab_read_gated
 def ingest_transcript(
     call_ref: Optional[CallRef],
     utterances_in: Sequence[UtteranceIn],
@@ -317,15 +332,18 @@ def ingest_transcript(
         sigs = featurize.lexical_signatures_batch(
             [chunk.text for chunk in chunks], avgdl
         )
+        vocab_version = featurize.active_vocab()[1]
         for chunk, (sig, touched, dl) in zip(chunks, sigs):
             tokens = extract_tech_tokens(chunk.text)
             cur = conn.execute(
                 "INSERT INTO chunks (call_id, call_started_at, speaker, "
                 "start_ts_ms, end_ts_ms, token_count, text, tech_tokens, "
-                "lex_sig, lex_dl) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                "lex_sig, lex_dl, lex_vocab_version) "
+                "VALUES (?,?,?,?,?,?,?,?,?,?,?)",
                 (call_id, to_iso(started_at), chunk.speaker,
                  chunk.start_ts_ms, chunk.end_ts_ms, chunk.token_count,
-                 chunk.text, json.dumps(tokens), sig.tobytes(), dl),
+                 chunk.text, json.dumps(tokens), sig.tobytes(), dl,
+                 vocab_version),
             )
             chunk_id = cur.lastrowid
             conn.executemany(
@@ -368,6 +386,7 @@ def ingest_transcript(
 
 # -------------------------------------------------------------- analysis ----
 
+@_vocab_read_gated
 def ingest_analysis(
     call_ref: CallRef, artifacts: Sequence[AnalysisArtifactIn]
 ) -> Tuple[str, int]:
@@ -395,18 +414,20 @@ def ingest_analysis(
             art_sigs = featurize.lexical_signatures_batch(
                 [chunk.content for chunk in art_chunks], avgdl
             )
+            vocab_version = featurize.active_vocab()[1]
             for chunk, (sig, touched, dl) in zip(art_chunks, art_sigs):
                 cur = conn.execute(
                     "INSERT INTO artifact_chunks (artifact_id, call_id, "
                     "call_started_at, kind, ordinal, content, token_count, "
                     "start_char, end_char, tech_tokens, metadata, lex_sig, "
-                    "lex_dl) VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                    "lex_dl, lex_vocab_version) "
+                    "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?)",
                     (artifact_id, call_id, to_iso(started_at), artifact.kind,
                      chunk.ordinal, chunk.content, chunk.token_count,
                      chunk.start_char, chunk.end_char,
                      json.dumps(chunk.tech_tokens),
                      json.dumps(artifact.metadata or {}),
-                     sig.tobytes(), dl),
+                     sig.tobytes(), dl, vocab_version),
                 )
                 doc_rows.append(
                     DocRow(
@@ -439,11 +460,13 @@ def ingest_analysis(
 
 # ---------------------------------------------------------------- delete ----
 
+@_vocab_read_gated
 def delete_call(call_id: str) -> dict:
     """Delete a call and everything derived from it — durable rows AND the
     device index (tombstones now, compaction when they accumulate). The
     reference has no delete path (VERDICT round-1 item 10); a production
-    index needs one."""
+    index needs one. Vocab-gated: a delete racing an online vocab rebuild
+    would shed OLD-layout df mass from the NEW df table."""
     store = get_store()
     index = None if _STORE_ONLY else get_index()
     with store.read() as conn:
@@ -528,12 +551,17 @@ INDEXED_TABLES = (
     ("chunks", "chunk_id"),
     ("artifact_chunks", "artifact_chunk_id"),
 )
+TEXT_COLUMNS = {"chunks": "text", "artifact_chunks": "content"}
 
 # Columns a DocRow needs back out of the store (featurized state is
-# persisted at ingest, so no re-featurization on reload/sync).
+# persisted at ingest, so no re-featurization on reload/sync — EXCEPT
+# rows whose lex_vocab_version lags the active layout, which
+# rehydrate_doc_rows repairs from doc_text). Callers format with
+# text_col=TEXT_COLUMNS[table].
 DOC_ROW_SELECT = (
     "SELECT t.{id_col} AS doc_id, t.call_started_at, t.lex_sig, "
-    "t.lex_dl, t.tech_tokens, t.embedding, c.call_seq "
+    "t.lex_dl, t.lex_vocab_version, t.{text_col} AS doc_text, "
+    "t.tech_tokens, t.embedding, c.call_seq "
     "FROM {table} t JOIN calls c ON c.call_id = t.call_id "
 )
 
@@ -567,6 +595,76 @@ def doc_row_from_store_row(row) -> DocRow:
     )
 
 
+def rehydrate_doc_rows(store: Store, table: str, rows) -> List[DocRow]:
+    """DocRows from persisted store rows, REPAIRING any row whose
+    signature was featurized under a stale vocab layout.
+
+    A writer that raced an online vocab rebuild (core/vocab.py
+    auto-rebuild; the window is one in-flight worker job) leaves an
+    old-layout lex_sig stamped with the old lex_vocab_version. Such rows
+    are re-featurized from text under the active layout and the
+    corrected blob written back — but ONLY when this process's active
+    vocab matches the store's applied vocab; a process whose own layout
+    lags the store (it missed an external rebuild — forbidden by the
+    offline contract, core/vocab.py) must not "repair" rows backward, so
+    it logs an error directing a restart instead."""
+    _, active = featurize.active_vocab()
+    stale = [
+        r for r in rows
+        if int(r["lex_vocab_version"] or 0) != active
+        and r["doc_text"] is not None
+    ]
+    repaired: dict = {}
+    if stale:
+        with store.read() as conn:
+            row = conn.execute(
+                "SELECT MAX(version) AS v FROM lex_vocab WHERE applied=1"
+            ).fetchone()
+        store_active = int(row["v"]) if row and row["v"] else 0
+        if store_active != active:
+            logger.error(
+                "lex_vocab.layout_lag table=%s active=%s store=%s — this "
+                "process's vocab layout is behind the store's; restart it "
+                "to re-activate (rows left as stored)",
+                table, active, store_active,
+            )
+        else:
+            id_col = dict(INDEXED_TABLES)[table]
+            avgdl = _featurize_avgdl(
+                table, 400.0 if table == "chunks" else 60.0
+            )
+            sigs = featurize.lexical_signatures_batch(
+                [r["doc_text"] for r in stale], avgdl
+            )
+            with store.tx() as conn:
+                conn.executemany(
+                    f"UPDATE {table} SET lex_sig=?, lex_dl=?, "
+                    f"lex_vocab_version=? WHERE {id_col}=?",
+                    [
+                        (sig.tobytes(), int(dl), active, int(r["doc_id"]))
+                        for (sig, _t, dl), r in zip(sigs, stale)
+                    ],
+                )
+            repaired = {
+                int(r["doc_id"]): trip for trip, r in zip(sigs, stale)
+            }
+            logger.warning(
+                "lex_vocab.repaired_stale_sigs table=%s rows=%s "
+                "active_version=%s", table, len(stale), active,
+            )
+    out: List[DocRow] = []
+    for r in rows:
+        doc = doc_row_from_store_row(r)
+        trip = repaired.get(doc.doc_id)
+        if trip is not None:
+            sig, touched, dl = trip
+            doc.lex_sig = sig
+            doc.lex_dl = int(dl)
+            doc.lex_touched = touched.astype(np.int32)
+        out.append(doc)
+    return out
+
+
 def rebuild_index_from_store() -> Tuple[int, int]:
     """Reload device index state from SQLite (startup recovery; the
     reference's analogue is that Postgres IS its index — ours must be
@@ -582,10 +680,13 @@ def rebuild_index_from_store() -> Tuple[int, int]:
         corpus = index.corpus(table)
         with store.read() as conn:
             rows = conn.execute(
-                DOC_ROW_SELECT.format(id_col=id_col, table=table)
+                DOC_ROW_SELECT.format(
+                    id_col=id_col, table=table,
+                    text_col=TEXT_COLUMNS[table],
+                )
                 + f"ORDER BY t.{id_col} ASC"
             ).fetchall()
-        rows_out = [doc_row_from_store_row(row) for row in rows]
+        rows_out = rehydrate_doc_rows(store, table, rows)
         if rows_out:
             corpus.insert(rows_out)
         totals.append(len(rows_out))

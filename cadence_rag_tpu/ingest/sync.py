@@ -40,8 +40,9 @@ from . import featurize
 from .ingest import (
     DOC_ROW_SELECT,
     INDEXED_TABLES,
-    doc_row_from_store_row,
+    TEXT_COLUMNS,
     persist_lexical_meta,
+    rehydrate_doc_rows,
 )
 
 logger = get_logger(__name__)
@@ -148,18 +149,22 @@ class StoreSyncer:
                 placeholders = ",".join("?" * len(ids))
                 with self.store.read() as conn:
                     rows = conn.execute(
-                        DOC_ROW_SELECT.format(id_col=id_col, table=table)
+                        DOC_ROW_SELECT.format(
+                            id_col=id_col, table=table,
+                            text_col=TEXT_COLUMNS[table],
+                        )
                         + f"WHERE t.{id_col} IN ({placeholders}) "
                         f"ORDER BY t.{id_col} ASC",
                         ids,
                     ).fetchall()
                 present = {int(r["doc_id"]): r for r in rows}
                 pos = corpus.position_of(list(present))
-                to_insert = [
-                    doc_row_from_store_row(r)
-                    for p, r in zip(pos, present.values())
-                    if p < 0
-                ]
+                # repairs stale-layout signatures (a writer that raced a
+                # vocab rebuild) before they reach the device
+                to_insert = rehydrate_doc_rows(
+                    self.store, table,
+                    [r for p, r in zip(pos, present.values()) if p < 0],
+                )
                 # present rows with a logged UPDATE need a re-scatter;
                 # present rows with only a logged insert were applied by
                 # the local ingest path already — skip
@@ -277,12 +282,15 @@ class StoreSyncer:
                     placeholders = ",".join("?" * len(missing))
                     with self.store.read() as conn:
                         rows = conn.execute(
-                            DOC_ROW_SELECT.format(id_col=id_col, table=table)
+                            DOC_ROW_SELECT.format(
+                                id_col=id_col, table=table,
+                                text_col=TEXT_COLUMNS[table],
+                            )
                             + f"WHERE t.{id_col} IN ({placeholders}) "
                             f"ORDER BY t.{id_col} ASC",
                             missing,
                         ).fetchall()
-                    corpus.insert([doc_row_from_store_row(r) for r in rows])
+                    corpus.insert(rehydrate_doc_rows(self.store, table, rows))
                     counts["inserted"] += len(rows)
                 if extra:
                     counts["deleted"] += corpus.delete_ids(extra)
@@ -336,6 +344,14 @@ class StoreSyncer:
                     self.poll_once()
                 except Exception:  # never kill the loop; next tick retries
                     logger.exception("sync.poll_failed")
+                try:
+                    # drift-triggered vocab rebuild (opt-in; rate-limited
+                    # internally to LEX_VOCAB_REBUILD_CHECK_S)
+                    from ..core.vocab import auto_rebuild_if_needed
+
+                    auto_rebuild_if_needed(self.store, self.index)
+                except Exception:
+                    logger.exception("sync.auto_rebuild_failed")
 
         self._thread = threading.Thread(
             target=loop, daemon=True, name="store-syncer"

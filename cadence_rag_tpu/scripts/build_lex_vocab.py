@@ -66,6 +66,10 @@ def main() -> None:
     if index.chunks.count == 0 and index.artifacts.count == 0:
         from ..ingest.ingest import rebuild_index_from_store
 
+        # adopt the store's current layout before rehydrating, so the
+        # version-provenance check (rehydrate_doc_rows) sees a coherent
+        # process rather than a layout lag
+        vocab_mod.activate_from_store(store)
         rebuild_index_from_store()
     summary = vocab_mod.build_and_apply(
         store, index, head=args.head, limit_docs=args.limit_docs

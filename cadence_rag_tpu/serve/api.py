@@ -341,28 +341,11 @@ def retrieve_batch_endpoint(req: Request):
 
 
 def index_stats_endpoint(_req: Request):
-    import numpy as np
-
+    from ..core.vocab import drift_stats
     from ..ingest import featurize
 
     index = get_index()
     vocab, vocab_version = featurize.active_vocab()
-
-    def vocab_drift(corpus):
-        """Head-vs-tail df drift: tail buckets hotter than the head's
-        median mean frequent NEW features are hashing into the collision
-        tail — the signal to re-run scripts/build_lex_vocab."""
-        head = int(vocab.size)
-        head_df = corpus.doc_freq[:head]
-        tail_df = corpus.doc_freq[head:]
-        nz = head_df[head_df > 0]
-        if nz.size == 0 or tail_df.size == 0:
-            return {"hot_tail_buckets": 0, "head_median_df": 0}
-        median = float(np.median(nz))
-        return {
-            "hot_tail_buckets": int((tail_df > median).sum()),
-            "head_median_df": median,
-        }
 
     def corpus_stats(corpus):
         out = {
@@ -380,7 +363,8 @@ def index_stats_endpoint(_req: Request):
             out["lex_vocab"] = {
                 "version": vocab_version,
                 "head": int(vocab.size),
-                **vocab_drift(corpus),
+                "auto_rebuild": bool(settings.lex_vocab_auto_rebuild),
+                **drift_stats(corpus, vocab),
             }
         return out
     from ..ingest.sync import get_syncer

@@ -24,7 +24,7 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 from ..config import settings
 
-SCHEMA_VERSION = 7
+SCHEMA_VERSION = 8
 
 # Ordered DDL migrations (the reference evolves its schema through 8 alembic
 # revisions; we group the same end-state into 4 logical revisions).
@@ -272,6 +272,25 @@ MIGRATIONS: List[Tuple[int, str]] = [
         applied INTEGER NOT NULL DEFAULT 0,
         hashes BLOB NOT NULL
     );
+    """),
+    # Vocab-layout provenance: every lex_sig blob records the vocab
+    # version it was featurized under, so a row written by a process
+    # whose vocab lagged an online rebuild (core/vocab.py auto-rebuild;
+    # the race is one in-flight ingest job) is DETECTED and re-featurized
+    # at rehydration (ingest.rehydrate_doc_rows) instead of silently
+    # scoring garbage. lex_vocab.built_docs records corpus size at build
+    # time — the growth input to the auto-rebuild trigger.
+    (8, """
+    ALTER TABLE chunks ADD COLUMN lex_vocab_version INTEGER NOT NULL DEFAULT 0;
+    ALTER TABLE artifact_chunks ADD COLUMN lex_vocab_version INTEGER NOT NULL DEFAULT 0;
+    ALTER TABLE lex_vocab ADD COLUMN built_docs INTEGER NOT NULL DEFAULT 0;
+    -- pre-migration rows were written under the store's applied vocab
+    -- (the offline-rebuild contract): stamp them so they are not
+    -- re-featurized wholesale at the next rehydration
+    UPDATE chunks SET lex_vocab_version =
+        COALESCE((SELECT MAX(version) FROM lex_vocab WHERE applied=1), 0);
+    UPDATE artifact_chunks SET lex_vocab_version =
+        COALESCE((SELECT MAX(version) FROM lex_vocab WHERE applied=1), 0);
     """),
 ]
 

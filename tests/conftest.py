@@ -43,12 +43,16 @@ def tmp_store(tmp_path, monkeypatch):
     monkeypatch.setattr(settings, "index_initial_capacity", 256)
     monkeypatch.setattr(settings, "lexical_dim", 1024)
     monkeypatch.setattr(settings, "embeddings_dim", 64)
+    from cadence_rag_tpu.embed.provider import reset_embed_cache
+
     set_store_only(False)
     reset_store()
     reset_index()
     reset_syncer()
+    reset_embed_cache()
     yield settings
     set_store_only(False)
     reset_store()
     reset_index()
     reset_syncer()
+    reset_embed_cache()

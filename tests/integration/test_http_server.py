@@ -39,16 +39,19 @@ class TestAiohttpBinding:
                 body = await resp.json()
                 assert body["status"] == "ok"
 
-                # concurrent retrieves through the batcher fast path
-                async def one():
+                # concurrent DISTINCT retrieves share a micro-batch
+                # through the batcher fast path (identical ones would
+                # additionally coalesce to one plan — covered in
+                # test_batcher.py)
+                async def one(i):
                     r = await client.post(
                         "/retrieve",
-                        json={"query": "ECONNRESET object store"},
+                        json={"query": f"ECONNRESET object store {i}"},
                     )
                     assert r.status == 200
                     return await r.json()
 
-                results = await asyncio.gather(*(one() for _ in range(3)))
+                results = await asyncio.gather(*(one(i) for i in range(3)))
                 return results
 
         results = asyncio.run(scenario())
@@ -59,7 +62,7 @@ class TestAiohttpBinding:
             b["notes"]["retrieval"]["timings_ms"].get("device_batch")
             for b in results
         }
-        assert max(batch_sizes) >= 2.0  # at least two coalesced
+        assert max(batch_sizes) >= 2.0  # at least two shared a dispatch
 
     def test_invalid_json_400(self, corpus):
         from aiohttp.test_utils import TestClient as AioClient, TestServer

@@ -161,7 +161,8 @@ class TestStoreOnlyIngest:
         n = index.chunks.count
         with get_store().read() as conn:
             rows = conn.execute(
-                DOC_ROW_SELECT.format(id_col="chunk_id", table="chunks")
+                DOC_ROW_SELECT.format(id_col="chunk_id", table="chunks",
+                                      text_col="text")
             ).fetchall()
         index.chunks.insert([doc_row_from_store_row(r) for r in rows])
         assert index.chunks.count == n  # all duplicates dropped
