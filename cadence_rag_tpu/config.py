@@ -132,6 +132,14 @@ class Settings:
     ivf_min_rows: int = 200_000              # use IVF above this row count
     ivf_clusters: int = 0                    # 0 = auto sqrt(N)
     ivf_nprobe: int = 0                      # 0 = auto 8% of clusters (>=4)
+    # Beyond-HBM cold tier (core/coldtier.py): rows past this count per
+    # corpus spill to host RAM and are scanned by the same fused lane
+    # program in blocks streamed through the device per batch; results
+    # merge with the hot tier before RRF (bit-identical to an uncapped
+    # index, tested). 0 = off. Not combinable with MESH_SHAPE or
+    # multi-process gangs — those are the scale-OUT paths.
+    index_max_device_rows: int = 0
+    cold_block_rows: int = 262144            # rows per streamed cold block
     retrieve_batch_window_ms: int = 0        # server-side query batching
     # Coalesce IDENTICAL requests within a micro-batch (same query,
     # filters, budget, style, debug): plan/embed/dispatch/assemble once,

@@ -29,9 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import settings
+from ..logging_utils import get_logger
 from ..ops.fused import dual_corpus_retrieve, multi_lane_retrieve
 from ..ops.ivf import build_buckets, ivf_topk, kmeans
 from ..ops.masks import filter_mask
+
+logger = get_logger(__name__)
 
 INT32_MIN = np.int32(-2147483648)
 INT32_MAX = np.int32(2147483647)
@@ -244,6 +247,24 @@ class CorpusIndex:
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
         self._ivf_rebuilding = False
+        # Beyond-HBM cold tier (core/coldtier.py): rows past
+        # max_device_rows spill to host RAM, scanned in streamed blocks
+        # by the same fused program and lane-merged before RRF.
+        self.max_device_rows = int(settings.index_max_device_rows or 0)
+        self.cold = None
+        if self.max_device_rows:
+            if row_sharding is not None:
+                raise RuntimeError(
+                    "INDEX_MAX_DEVICE_ROWS and MESH_SHAPE are mutually "
+                    "exclusive: shard the corpus over the mesh OR spill "
+                    "to the host cold tier, not both"
+                )
+            if _multiprocess():
+                raise RuntimeError(
+                    "INDEX_MAX_DEVICE_ROWS is single-process only (cold-"
+                    "tier ops are not mirrored over the op-log); use the "
+                    "data mesh for multi-host scale"
+                )
         # set by DeviceIndexManager: fires after each insert (prewarm hook)
         self._on_insert = None
         # set by DeviceIndexManager: (corpus, need) -> next capacity.
@@ -352,15 +373,57 @@ class CorpusIndex:
         if self._on_insert is not None:
             self._on_insert()
 
+    def _cold_tier(self):
+        if self.cold is None:
+            from .coldtier import ColdTier
+
+            self.cold = ColdTier(
+                dim=self.dim, lex_dim=self.lex_dim,
+                tech_slots=self.tech_slots, emb_dtype=self.emb_dtype,
+            )
+            logger.warning(
+                "%s: device-row cap %s reached — new rows spill to the "
+                "host cold tier (core/coldtier.py; scanned per batch in "
+                "%s-row blocks)",
+                self.name, self.max_device_rows,
+                int(settings.cold_block_rows),
+            )
+        return self.cold
+
+    def _present(self, doc_id: int) -> bool:
+        if int(doc_id) in self._id_to_pos:
+            return True
+        return self.cold is not None and self.cold.contains(doc_id)
+
+    def contains(self, doc_ids: Sequence[int]) -> np.ndarray:
+        """Presence of each id in EITHER tier (syncer/reconcile use this
+        instead of position_of, which is hot-tier positional)."""
+        with self.lock:
+            return np.array([self._present(d) for d in doc_ids], dtype=bool)
+
+    def _cold_insert_locked(self, rows: Sequence[DocRow]) -> None:
+        tier = self._cold_tier()
+        tier.insert(rows, self._encode_emb)
+        for r in rows:
+            self.doc_freq[r.lex_touched] += 1
+            self.dl_sum += r.lex_dl
+
     def _insert_locked(self, rows: Sequence[DocRow]) -> None:
         # Drop rows already present (same doc_id): the live store->index
         # syncer (ingest/sync.py) and a local ingest can race to insert
         # the same committed row — whichever arrives second must be a
         # no-op, not a duplicate index row.
-        if any(int(r.doc_id) in self._id_to_pos for r in rows):
-            rows = [r for r in rows if int(r.doc_id) not in self._id_to_pos]
+        if any(self._present(r.doc_id) for r in rows):
+            rows = [r for r in rows if not self._present(r.doc_id)]
         if not rows:
             return
+        if self.max_device_rows:
+            hot_room = max(0, self.max_device_rows - self.count)
+            if len(rows) > hot_room:
+                self._cold_insert_locked(rows[hot_room:])
+                rows = rows[:hot_room]
+                if not rows:
+                    return
         n = len(rows)
         padded = _next_pow2(n)
         # Reserve room for the PADDED slab: dynamic_update_slice silently
@@ -435,10 +498,20 @@ class CorpusIndex:
     def _set_embeddings_locked(
         self, doc_ids: Sequence[int], vectors: np.ndarray
     ) -> int:
+        cold_n = 0
+        if self.cold is not None:
+            cold_pos = self.cold.positions(doc_ids)
+            cmask = cold_pos >= 0
+            if cmask.any():
+                cold_n = self.cold.set_embeddings(
+                    cold_pos[cmask],
+                    np.asarray(vectors, dtype=np.float32)[cmask],
+                    self._encode_emb,
+                )
         id_to_pos = self.position_of(doc_ids)
         mask = id_to_pos >= 0
         if not mask.any():
-            return 0
+            return cold_n
         pos = id_to_pos[mask]
         vals = np.asarray(vectors, dtype=np.float32)[mask]
         n = pos.shape[0]
@@ -462,7 +535,7 @@ class CorpusIndex:
         )
         self.emb_rows += int((~self.h_has_emb[pos]).sum())
         self.h_has_emb[pos] = True
-        return int(n)
+        return int(n) + cold_n
 
     def set_tech(self, doc_ids: Sequence[int], tech_rows: np.ndarray) -> int:
         """Replace tech-token slots for existing rows (tech-token backfill
@@ -472,10 +545,19 @@ class CorpusIndex:
             return self._set_tech_locked(doc_ids, tech_rows)
 
     def _set_tech_locked(self, doc_ids: Sequence[int], tech_rows: np.ndarray) -> int:
+        cold_n = 0
+        if self.cold is not None:
+            cold_pos = self.cold.positions(doc_ids)
+            cmask = cold_pos >= 0
+            if cmask.any():
+                cold_n = self.cold.set_tech(
+                    cold_pos[cmask],
+                    np.asarray(tech_rows, dtype=np.int32)[cmask],
+                )
         id_to_pos = self.position_of(doc_ids)
         mask = id_to_pos >= 0
         if not mask.any():
-            return 0
+            return cold_n
         pos = id_to_pos[mask]
         vals = np.asarray(tech_rows, dtype=np.int32)[mask]
         n = pos.shape[0]
@@ -491,7 +573,7 @@ class CorpusIndex:
         self.tech = _scatter_rows(
             self.tech, _stage(pad_pos), _stage(pad_vals)
         )
-        return int(n)
+        return int(n) + cold_n
 
     def set_lex(
         self, doc_ids: Sequence[int], lex_rows: np.ndarray,
@@ -533,6 +615,32 @@ class CorpusIndex:
         )
         return int(n)
 
+    def set_lex_ids(
+        self, doc_ids: Sequence[int], lex_rows: np.ndarray
+    ) -> np.ndarray:
+        """Replace lexical signatures by doc id across BOTH tiers;
+        returns the per-row live mask (vocab re-featurize uses it to
+        rebuild df over every live row, hot or cold)."""
+        with self.lock:
+            pos = self.position_of(doc_ids)
+            live = pos >= 0
+            if live.any():
+                self._set_lex_locked(
+                    np.asarray(doc_ids)[live],
+                    np.asarray(lex_rows, dtype=np.int8)[live],
+                    positions=pos[live],
+                )
+            if self.cold is not None:
+                cold_pos = self.cold.positions(doc_ids)
+                cmask = cold_pos >= 0
+                if cmask.any():
+                    self.cold.set_lex(
+                        cold_pos[cmask],
+                        np.asarray(lex_rows, dtype=np.int8)[cmask],
+                    )
+                live = live | cmask
+            return live
+
     def replace_doc_freq(self, doc_freq: np.ndarray) -> None:
         """Swap the bucket-granularity df table after a full lexical
         re-featurize (doc lengths are layout-independent, so dl_sum/avgdl
@@ -561,6 +669,34 @@ class CorpusIndex:
             return self._delete_ids_locked(doc_ids, lex_sigs, lex_dls)
 
     def _delete_ids_locked(self, doc_ids, lex_sigs, lex_dls) -> int:
+        cold_n = 0
+        if self.cold is not None:
+            cold_pos = self.cold.positions(doc_ids)
+            cmask = cold_pos >= 0
+            if cmask.any():
+                # dedupe within the request (same contract as hot below)
+                uniq_idx = [
+                    i for i in np.flatnonzero(cmask)
+                    if not (cold_pos[:i] == cold_pos[i]).any()
+                ]
+                cold_n = self.cold.tombstone(
+                    cold_pos[uniq_idx],
+                    ([lex_sigs[i] for i in uniq_idx]
+                     if lex_sigs is not None else None),
+                    ([lex_dls[i] for i in uniq_idx]
+                     if lex_dls is not None else None),
+                )
+                for i in uniq_idx:
+                    sig = lex_sigs[i] if lex_sigs is not None else None
+                    if sig is not None:
+                        touched = np.flatnonzero(sig)
+                        self.doc_freq[touched] = np.maximum(
+                            self.doc_freq[touched] - 1, 0
+                        )
+                    if lex_dls is not None:
+                        self.dl_sum = max(
+                            self.dl_sum - int(lex_dls[i] or 0), 0
+                        )
         pos_all = self.position_of(doc_ids)
         # drop unknown ids AND duplicates (a doc_id listed twice must not
         # double-count tombstones/emb_rows for one invalidated row)
@@ -572,7 +708,7 @@ class CorpusIndex:
         keep[list(first_seen.values())] = True
         pos_all = np.where(keep, pos_all, -1)
         if not keep.any():
-            return 0
+            return cold_n
         pos = pos_all[keep]
         n = int(pos.shape[0])
         padded = _next_pow2(n)
@@ -603,20 +739,26 @@ class CorpusIndex:
             ))
             self.dl_sum = max(self.dl_sum, 0)
         self.tombstones += n
-        return n
+        return n + cold_n
 
     def maybe_compact(self, threshold_frac: float = 0.25) -> bool:
         """Compact when tombstones exceed a quarter of the rows (bounded
         wasted HBM + scan work); O(live rows) one-time gather. Works
         multi-host: the whole compaction is device programs mirrored
         over the op-log (the r2 stand-down is gone)."""
+        compacted = False
         with self.lock:
-            if self.tombstones < max(
+            if self.cold is not None and self.cold.tombstones >= max(
+                int(self.cold.count * threshold_frac), 64
+            ):
+                self.cold.compact()
+                compacted = True
+            if self.tombstones >= max(
                 int(self.count * threshold_frac), 64
             ):
-                return False
-            self._compact_locked()
-            return True
+                self._compact_locked()
+                compacted = True
+            return compacted
 
     def compact(self) -> None:
         with self.lock:
@@ -691,7 +833,10 @@ class CorpusIndex:
 
     @property
     def live_count(self) -> int:
-        return self.count - self.tombstones
+        """Live rows across BOTH tiers — idf/avgdl and planner estimates
+        are corpus-wide so hot and cold scoring agree."""
+        cold = self.cold.live_count if self.cold is not None else 0
+        return self.count - self.tombstones + cold
 
     # -- IVF dense index ----------------------------------------------------
     def _ivf_append_overflow(self, positions: np.ndarray) -> None:
@@ -855,16 +1000,25 @@ class CorpusIndex:
         this a vectorized numpy pass — and the common unfiltered case is a
         cached counter, no pass at all."""
         n = self.count
+        cold = self.cold
+        cold_est = (
+            cold.estimate(allowed_calls, date_min, date_max,
+                          require_embedding, unfiltered)
+            if cold is not None else 0
+        )
         if n == 0:
-            return 0
+            return cold_est
         if unfiltered:
-            return self.emb_rows if require_embedding else self.live_count
+            hot = self.emb_rows if require_embedding else (
+                self.count - self.tombstones
+            )
+            return hot + cold_est
         mask = (self.h_started[:n] >= date_min) & (self.h_started[:n] <= date_max)
         if allowed_calls is not None:
             mask &= allowed_calls[self.h_call[:n]]
         if require_embedding:
             mask &= self.h_has_emb[:n]
-        return int(mask.sum())
+        return int(mask.sum()) + cold_est
 
     # -- checkpoint (core/checkpoint.py drives these) ----------------------
     def state_arrays(self) -> Dict[str, np.ndarray]:
@@ -879,6 +1033,19 @@ class CorpusIndex:
                 "— restore IS multi-host-supported (parallel/oplog.py)"
             )
         c = self.count
+        doc_freq = self.doc_freq.copy()
+        dl_sum = self.dl_sum
+        if self.cold is not None and self.cold.count:
+            logger.warning(
+                "%s: checkpoint snapshots the HOT tier only — %s cold-tier "
+                "rows rebuild from the store at startup (sync.reconcile)",
+                self.name, self.cold.count,
+            )
+            # hot-only snapshot: subtract the cold tier's share of the
+            # lexical stats; the startup reconcile re-adds it when the
+            # cold rows re-insert from the store
+            doc_freq = np.maximum(doc_freq - self.cold.df, 0)
+            dl_sum = max(dl_sum - self.cold.dl_sum, 0)
         return {
             # storage dtype passes through (bf16 stays bf16): checkpoints
             # are half the size and no precision is gained by widening
@@ -889,8 +1056,8 @@ class CorpusIndex:
             "call": self.h_call[:c].copy(),
             "started": self.h_started[:c].copy(),
             "has_emb": self.h_has_emb[:c].copy(),
-            "doc_freq": self.doc_freq.copy(),
-            "dl_sum": np.array([self.dl_sum], dtype=np.int64),
+            "doc_freq": doc_freq,
+            "dl_sum": np.array([dl_sum], dtype=np.int64),
         }
 
     def load_state(self, arrays: Dict[str, np.ndarray]) -> None:
@@ -902,6 +1069,9 @@ class CorpusIndex:
     def _load_state_locked(self, arrays: Dict[str, np.ndarray]) -> None:
         n = int(arrays["ids"].shape[0])
         self.count = 0
+        # checkpoints are hot-tier-only: cold rows rebuild from the store
+        # via the startup reconcile (they spill again past the cap)
+        self.cold = None
         # IVF is derived from the (old) row positions — always invalidate
         self.ivf = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
@@ -975,6 +1145,7 @@ class CorpusIndex:
         with self.lock:
             n = int(total_rows)
             self.count = 0
+            self.cold = None  # hot-only checkpoints; see state_arrays
             self.ivf = None
             self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
             cap = max(self.capacity, _next_pow2(max(n, 8)))
@@ -1216,6 +1387,11 @@ class PackedDispatch:
     artifact_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
     batch: int = 0
     ready: Optional[Tuple[Dict, Dict]] = None
+    # in-flight cold-tier block scans per corpus (core/coldtier.py):
+    # [(lane_futures, ids_snapshot, block_rows)], merged at collect
+    cold_chunks: list = dataclasses.field(default_factory=list)
+    cold_artifacts: list = dataclasses.field(default_factory=list)
+    cold_ks: Optional[Tuple[Tuple[int, int, int], Tuple[int, int, int]]] = None
 
 
 class DeviceIndexManager:
@@ -1494,12 +1670,18 @@ class DeviceIndexManager:
             artifact_q_lex = np.stack([
                 _dense_query_vector(f, self.artifacts) for f in q_lex_feats
             ])
-            return PackedDispatch(ready=self.query_both(
+            ready = self.query_both(
                 q_emb, chunk_q_lex, artifact_q_lex, q_tech, allowed_calls,
                 date_min, date_max, chunk_ks=chunk_ks,
                 artifact_ks=artifact_ks, chunk_mode=chunk_mode,
                 artifact_mode=artifact_mode, recall_target=recall_target,
-            ))
+            )
+            ready = self._merge_cold_ready(
+                ready, q_emb, q_lex_feats, q_tech, allowed_calls,
+                date_min, date_max, chunk_ks, artifact_ks, chunk_mode,
+                artifact_mode, recall_target, batch,
+            )
+            return PackedDispatch(ready=ready)
 
         # idf uses LIVE counts: delete_ids sheds df mass, so counting
         # tombstoned rows in n_docs would skew BM25 idf until compaction
@@ -1601,6 +1783,14 @@ class DeviceIndexManager:
             # and renumbers positions)
             chunk_snap = (self.chunks.h_ids, self.chunks.count)
             artifact_snap = (self.artifacts.h_ids, self.artifacts.count)
+            # beyond-HBM cold tier: enqueue block scans behind the hot
+            # program (still under the locks — the jit stages each host
+            # block eagerly, so later inserts can't corrupt the scan)
+            cold_chunks, cold_artifacts = self._dispatch_cold_locked(
+                q_emb, q_lex_feats, q_tech, allowed_calls, date_min,
+                date_max, chunk_ks, artifact_ks, chunk_mode,
+                artifact_mode, recall_target,
+            )
         self.prewarmer.note_signature(sig)
         self.prewarmer.maybe_prewarm()
         return PackedDispatch(
@@ -1610,7 +1800,75 @@ class DeviceIndexManager:
             chunk_snap=chunk_snap,
             artifact_snap=artifact_snap,
             batch=batch,
+            cold_chunks=cold_chunks,
+            cold_artifacts=cold_artifacts,
+            cold_ks=(chunk_ks, artifact_ks),
         )
+
+    def _dispatch_cold_locked(
+        self, q_emb, q_lex_feats, q_tech, allowed_calls, date_min,
+        date_max, chunk_ks, artifact_ks, chunk_mode, artifact_mode,
+        recall_target,
+    ) -> Tuple[list, list]:
+        """Enqueue cold-tier block scans for corpora with spilled rows
+        (caller holds both corpus locks). Dense query vectors for the
+        cold program densify on host from the same sparse features —
+        corpus-wide df/live_count keep hot and cold scores identical."""
+        out = []
+        for corpus, ks, mode in (
+            (self.chunks, chunk_ks, chunk_mode),
+            (self.artifacts, artifact_ks, artifact_mode),
+        ):
+            tier = corpus.cold
+            if tier is None or tier.count == 0:
+                out.append([])
+                continue
+            q_lex_dense = np.stack([
+                _dense_query_vector(f, corpus) for f in q_lex_feats
+            ])
+            out.append(tier.dispatch(
+                q_emb, q_lex_dense, q_tech, allowed_calls,
+                np.asarray(date_min, np.int32),
+                np.asarray(date_max, np.int32),
+                ks=ks, dense_mode=mode,
+                recall_target=float(recall_target),
+                block_rows=int(settings.cold_block_rows),
+            ))
+        return out[0], out[1]
+
+    def _merge_cold_ready(
+        self, ready, q_emb, q_lex_feats, q_tech, allowed_calls, date_min,
+        date_max, chunk_ks, artifact_ks, chunk_mode, artifact_mode,
+        recall_target, batch,
+    ):
+        """Synchronous cold merge for the blocking fallback path."""
+        if (self.chunks.cold is None or self.chunks.cold.count == 0) and (
+            self.artifacts.cold is None or self.artifacts.cold.count == 0
+        ):
+            return ready
+        from .coldtier import collect_cold, merge_rect_lanes
+
+        with self.chunks.lock, self.artifacts.lock:
+            cold_chunks, cold_artifacts = self._dispatch_cold_locked(
+                q_emb, q_lex_feats, q_tech, allowed_calls, date_min,
+                date_max, chunk_ks, artifact_ks, chunk_mode,
+                artifact_mode, recall_target,
+            )
+        chunks_rect, artifacts_rect = ready
+        if cold_chunks:
+            chunks_rect = merge_rect_lanes(
+                chunks_rect, collect_cold(self.chunks, cold_chunks, batch),
+                {"dense": chunk_ks[0], "lex": chunk_ks[1],
+                 "tech": chunk_ks[2]},
+            )
+        if cold_artifacts:
+            artifacts_rect = merge_rect_lanes(
+                artifacts_rect,
+                collect_cold(self.artifacts, cold_artifacts, batch),
+                {"dense": artifact_ks[0], "lex": artifact_ks[1],
+                 "tech": artifact_ks[2]},
+            )
+        return chunks_rect, artifacts_rect
 
     def collect_packed(self, disp: "PackedDispatch") -> Tuple[Dict, Dict]:
         """Block on a dispatched query (ONE flat device->host transfer for
@@ -1631,14 +1889,31 @@ class DeviceIndexManager:
         if extra_np is not None:
             chunks_np = dict(chunks_np)
             chunks_np["dense"] = extra_np
-        return (
-            self.chunks.postprocess_lanes(
-                chunks_np, disp.batch, *disp.chunk_snap
-            ),
-            self.artifacts.postprocess_lanes(
-                artifacts_np, disp.batch, *disp.artifact_snap
-            ),
+        chunks_rect = self.chunks.postprocess_lanes(
+            chunks_np, disp.batch, *disp.chunk_snap
         )
+        artifacts_rect = self.artifacts.postprocess_lanes(
+            artifacts_np, disp.batch, *disp.artifact_snap
+        )
+        if disp.cold_chunks or disp.cold_artifacts:
+            from .coldtier import collect_cold, merge_rect_lanes
+
+            cks, aks = disp.cold_ks
+            if disp.cold_chunks:
+                chunks_rect = merge_rect_lanes(
+                    chunks_rect,
+                    collect_cold(self.chunks, disp.cold_chunks, disp.batch),
+                    {"dense": cks[0], "lex": cks[1], "tech": cks[2]},
+                )
+            if disp.cold_artifacts:
+                artifacts_rect = merge_rect_lanes(
+                    artifacts_rect,
+                    collect_cold(
+                        self.artifacts, disp.cold_artifacts, disp.batch
+                    ),
+                    {"dense": aks[0], "lex": aks[1], "tech": aks[2]},
+                )
+        return chunks_rect, artifacts_rect
 
     def corpus(self, name: str) -> CorpusIndex:
         if name == "chunks":

@@ -288,14 +288,12 @@ def apply_vocab_to_store(
                         for (sig, _t, dl), doc_id in zip(sigs, ids)
                     ],
                 )
-            pos = corpus.position_of(ids)
-            live = pos >= 0
+            sig_rows = np.stack([s for s, _t, _dl in sigs])
+            # routes hot (device scatter) and cold (host write) rows;
+            # the returned mask covers BOTH tiers so df rebuilds over
+            # every live row
+            live = corpus.set_lex_ids(ids, sig_rows)
             if live.any():
-                sig_rows = np.stack([s for s, _t, _dl in sigs])
-                corpus.set_lex(
-                    np.asarray(ids)[live], sig_rows[live],
-                    positions=pos[live],
-                )
                 touched: List[np.ndarray] = [
                     t for (s, t, _dl), ok in zip(sigs, live) if ok
                 ]

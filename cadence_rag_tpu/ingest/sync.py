@@ -158,19 +158,19 @@ class StoreSyncer:
                         ids,
                     ).fetchall()
                 present = {int(r["doc_id"]): r for r in rows}
-                pos = corpus.position_of(list(present))
+                have = corpus.contains(list(present))  # either tier
                 # repairs stale-layout signatures (a writer that raced a
                 # vocab rebuild) before they reach the device
                 to_insert = rehydrate_doc_rows(
                     self.store, table,
-                    [r for p, r in zip(pos, present.values()) if p < 0],
+                    [r for ok, r in zip(have, present.values()) if not ok],
                 )
                 # present rows with a logged UPDATE need a re-scatter;
                 # present rows with only a logged insert were applied by
                 # the local ingest path already — skip
                 upd = [
-                    r for p, r in zip(pos, present.values())
-                    if p >= 0 and int(r["doc_id"]) in updated[table]
+                    r for ok, r in zip(have, present.values())
+                    if ok and int(r["doc_id"]) in updated[table]
                 ]
                 if to_insert:
                     corpus.insert(to_insert)
@@ -276,6 +276,13 @@ class StoreSyncer:
                     n = corpus.count
                     live = corpus.h_started[:n] > np.iinfo(np.int32).min
                     index_ids = set(corpus.h_ids[:n][live].astype(int))
+                    if corpus.cold is not None:
+                        cn = corpus.cold.count
+                        clive = (corpus.cold.started[:cn]
+                                 > np.iinfo(np.int32).min)
+                        index_ids |= set(
+                            corpus.cold.ids[:cn][clive].astype(int)
+                        )
                 missing = sorted(store_ids - index_ids)
                 extra = sorted(index_ids - store_ids)
                 if missing:
@@ -306,6 +313,12 @@ class StoreSyncer:
                         i for i, p in zip(emb_ids, pos)
                         if p >= 0 and not corpus.h_has_emb[p]
                     ]
+                    if corpus.cold is not None:
+                        cpos = corpus.cold.positions(emb_ids)
+                        need.extend(
+                            i for i, p in zip(emb_ids, cpos)
+                            if p >= 0 and not corpus.cold.has_emb[p]
+                        )
                     if need:
                         placeholders = ",".join("?" * len(need))
                         with self.store.read() as conn:

@@ -359,6 +359,14 @@ def index_stats_endpoint(_req: Request):
             "tombstones": corpus.tombstones,
             "ivf_built": corpus.ivf is not None,
         }
+        if corpus.cold is not None:
+            out["cold_tier"] = {
+                "count": corpus.cold.count,
+                "live": corpus.cold.live_count,
+                "embedded": corpus.cold.emb_rows,
+                "tombstones": corpus.cold.tombstones,
+                "max_device_rows": corpus.max_device_rows,
+            }
         if vocab is not None:
             out["lex_vocab"] = {
                 "version": vocab_version,
