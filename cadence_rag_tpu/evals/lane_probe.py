@@ -72,6 +72,39 @@ def lane_lex(lex, q):
 
 
 @jax.jit
+def lane_dense_bf16plane(emb, q):
+    """Dense lane with the (B, N) score plane narrowed to bf16 between
+    the matmul epilogue and approx_max_k — halves plane write+read HBM
+    traffic; quality impact measured host-side first (NOTES_DEV)."""
+    scores = jax.lax.dot_general(
+        q, emb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    return jax.lax.approx_max_k(scores.astype(jnp.float32), 50)
+
+
+@jax.jit
+def lane_dense_bf16plane_native(emb, q):
+    """Same, but approx_max_k runs directly on the bf16 plane (no widen
+    back) — tests whether PartialReduce accepts bf16 operands and what
+    it costs."""
+    scores = jax.lax.dot_general(
+        q, emb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    return jax.lax.approx_max_k(scores, 50)
+
+
+@jax.jit
+def lane_lex_bf16plane(lex, q):
+    scores = jax.lax.dot_general(
+        q, lex.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    return jax.lax.approx_max_k(scores.astype(jnp.float32), 50)
+
+
+@jax.jit
 def lane_tech_current(tech, started, q_tech):
     """The shipping (B,N,Q,S) broadcast compare."""
     eq = q_tech[:, None, :, None] == tech[None, :, None, :]
@@ -166,7 +199,7 @@ def main() -> None:
     parser.add_argument("--lex-dim", type=int, default=4096)
     parser.add_argument("--dim", type=int, default=1024)
     parser.add_argument("--probe", default="all",
-                        choices=["tech", "lex", "dense", "all"])
+                        choices=["tech", "lex", "dense", "plane", "all"])
     parser.add_argument("--q", type=int, default=8,
                         help="query tech slots for the current lane")
     parser.add_argument("--c", type=int, default=3,
@@ -194,6 +227,28 @@ def main() -> None:
             rng.standard_normal((b, args.lex_dim)) * 0.05, jnp.float32)
         _timed(lane_lex, lex, ql, iters=args.iters,
                label=f"lex int8->bf16 ({args.lex_dim})")
+        del lex
+
+    if args.probe == "plane":
+        # f32 vs bf16 score-plane cost, dense + lex, at production shapes
+        emb = _gen_emb(keys[0], n=n, dim=args.dim)
+        jax.block_until_ready(emb)
+        q = jnp.asarray(rng.standard_normal((b, args.dim)), jnp.float32)
+        _timed(lane_dense, emb, q, iters=args.iters,
+               label=f"dense f32 plane ({args.dim})")
+        _timed(lane_dense_bf16plane, emb, q, iters=args.iters,
+               label="dense bf16 plane (widen)")
+        _timed(lane_dense_bf16plane_native, emb, q, iters=args.iters,
+               label="dense bf16 plane (native)")
+        del emb
+        lex = _gen_lex(keys[1], n=n, lex_dim=args.lex_dim)
+        jax.block_until_ready(lex)
+        ql = jnp.asarray(
+            rng.standard_normal((b, args.lex_dim)) * 0.05, jnp.float32)
+        _timed(lane_lex, lex, ql, iters=args.iters,
+               label=f"lex f32 plane ({args.lex_dim})")
+        _timed(lane_lex_bf16plane, lex, ql, iters=args.iters,
+               label="lex bf16 plane (widen)")
         del lex
 
     if args.probe in ("tech", "all"):

@@ -57,7 +57,15 @@ def dense_scores(
 def masked_topk_exact(
     scores: jax.Array, mask: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k of (B, N) scores under a (B, N) validity mask."""
+    """Exact top-k of (B, N) scores under a (B, N) validity mask.
+
+    The (B, N) f32 score plane costs nothing to keep at full width:
+    measured on-chip at 1M rows (lane_probe --probe plane, NOTES_DEV
+    2026-08-18) the dense lane runs at ~477 GB/s — the corpus read alone
+    accounts for the whole lane time, i.e. XLA already fuses the plane
+    into the matmul->top-k pipeline and never materializes it at full
+    width. A bf16-narrowed plane measured SLOWER (the convert adds a
+    pass), so no plane-dtype knob exists."""
     masked = jnp.where(mask, scores, NEG_INF)
     return jax.lax.top_k(masked, k)
 
