@@ -229,9 +229,15 @@ class GrowthPrewarmer:
             )
             grow = max(cap - corpus.capacity, 0)
             if free is None:
-                need += ((corpus.capacity + cap)
-                         * _corpus_row_bytes(corpus)) / shards
-            else:
+                # old+new buffers coexist only for a corpus actually
+                # growing; one held at its current capacity contributes
+                # a single buffer set (counting it twice made the 1M
+                # headline scale stand down — BENCH context in NOTES_DEV)
+                coexist = (corpus.capacity + cap) if grow else cap
+                need += coexist * _corpus_row_bytes(corpus) / shards
+            elif grow:
+                # bytes_in_use already covers live buffers; only the new
+                # allocation is additional demand
                 need += (cap * _corpus_row_bytes(corpus)) / shards
             need += 3 * batch * grow * 4 / shards
         if free is None:
@@ -254,19 +260,48 @@ class GrowthPrewarmer:
                 # host core for an executable that is never used
                 return False
         chunk_cap, art_cap = self._target_caps()
-        if (chunk_cap == self._manager.chunks.capacity
-                and art_cap == self._manager.artifacts.capacity):
+        chunks = self._manager.chunks
+        arts = self._manager.artifacts
+        if chunk_cap == chunks.capacity and art_cap == arts.capacity:
             return False
         if not self._fits_hbm(chunk_cap, art_cap):
-            if (chunk_cap, art_cap) not in self._hbm_warned:
-                self._hbm_warned.add((chunk_cap, art_cap))
-                logger.warning(
-                    "prewarm.skipped_hbm chunk_cap=%s art_cap=%s "
-                    "budget_gb=%s (provision INDEX_INITIAL_CAPACITY "
-                    "upfront or shard via MESH_SHAPE at this scale)",
-                    chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
-                )
-            return False
+            # Degrade before standing down: growths land at different
+            # times, and it is the SIMULTANEOUS old+new buffer pairs of
+            # both corpora that break the budget — prewarm only the
+            # corpus nearest its growth threshold and hold the other at
+            # its current capacity. (At the 1M-chunk headline scale the
+            # 76%-full artifacts corpus's speculative doubling pushed
+            # the joint plan past the budget and the chunks prewarm —
+            # the one that mattered — never ran.)
+            chunk_first = (
+                chunks.count * arts.capacity
+                >= arts.count * chunks.capacity
+            )
+            combos = [(chunk_cap, arts.capacity),
+                      (chunks.capacity, art_cap)]
+            if not chunk_first:
+                combos.reverse()
+            for cc, ac in combos:
+                if ((cc, ac) != (chunks.capacity, arts.capacity)
+                        and self._fits_hbm(cc, ac)):
+                    logger.info(
+                        "prewarm.degraded_single_corpus chunk_cap=%s "
+                        "art_cap=%s (joint growth targets exceed the "
+                        "HBM budget; nearest-growth corpus first)",
+                        cc, ac,
+                    )
+                    chunk_cap, art_cap = cc, ac
+                    break
+            else:
+                if (chunk_cap, art_cap) not in self._hbm_warned:
+                    self._hbm_warned.add((chunk_cap, art_cap))
+                    logger.warning(
+                        "prewarm.skipped_hbm chunk_cap=%s art_cap=%s "
+                        "budget_gb=%s (provision INDEX_INITIAL_CAPACITY "
+                        "upfront or shard via MESH_SHAPE at this scale)",
+                        chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
+                    )
+                return False
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
                 return False

@@ -180,6 +180,9 @@ def run_serve_bench(
             "qps": round(batch * iters / total, 1),
             "p50_batch_ms": round(float(np.percentile(latencies, 50)) * 1e3, 2),
             "p99_batch_ms": round(float(np.percentile(latencies, 99)) * 1e3, 2),
+            # p99 of many iters can hide the ONE growth-copy/recompile
+            # batch; the max is the honest tail for capacity-crossing runs
+            "max_batch_ms": round(float(np.max(latencies)) * 1e3, 2),
             "p50_per_query_ms": round(
                 float(np.percentile(latencies, 50)) * 1e3 / batch, 3
             ),

@@ -150,6 +150,38 @@ class TestGrowthPrewarm:
         index.chunks.insert(_rows(301, 100))  # need 428 > 390
         assert index.chunks.capacity == 768
 
+    def test_degrades_to_single_corpus_prewarm(self, prewarm_env,
+                                               monkeypatch):
+        """When BOTH corpora are near growth and the joint old+new
+        buffer pairs exceed the budget, the prewarmer must compile the
+        nearest-growth corpus's program (other corpus held at current
+        capacity) instead of standing down — the 1M headline regression
+        where a 76%-full artifacts corpus's speculative doubling
+        blocked the chunks prewarm."""
+        from cadence_rag_tpu.core.prewarm import _corpus_row_bytes
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+
+        index = get_index()
+        index.chunks.insert(_rows(1, 220))     # 86% of 256
+        index.artifacts.insert(_rows(1, 200))  # 78% of 256 (lower fill)
+        row = _corpus_row_bytes(index.chunks)
+        # budget between the worst-case single-corpus need (batch<=128)
+        # and the best-case joint need (batch>=1), so the joint plan
+        # fails and the single-corpus degrade fits for any noted batch
+        single_worst = (256 + 512) * row + 256 * row + 3 * 128 * 256 * 4
+        joint_best = (256 + 512) * row * 2 + 2 * 3 * 1 * 256 * 4
+        assert single_worst < joint_best
+        monkeypatch.setattr(prewarm_env, "prewarm_hbm_budget_gb",
+                            (single_worst + joint_best) / 2 / (1 << 30))
+        reqs = [RetrieveRequest(query="object store gateway retry",
+                                return_style="ids_only")]
+        retrieve_evidence_batch(reqs)  # notes the sig; dispatch triggers
+        index.prewarmer.maybe_prewarm()  # idempotent if already started
+        index.prewarmer.wait(timeout=120)
+        caps = {(c, a) for _, c, a in index.prewarmer._compiled}
+        # chunks (higher fill) prewarmed at its doubling; artifacts held
+        assert caps == {(512, 256)}
+
     def test_prewarm_disabled_is_inert(self, prewarm_env, monkeypatch):
         monkeypatch.setattr(prewarm_env, "prewarm_growth_enabled", False)
         index = get_index()
