@@ -243,6 +243,13 @@ class CorpusIndex:
         self.emb_rows = 0
         # tombstoned (deleted-but-not-compacted) rows within [:count]
         self.tombstones = 0
+        # every doc_id ever tombstoned in this process. Store ids are
+        # AUTOINCREMENT (never reused), so a deleted id can never be
+        # legitimately re-inserted — this set lets the store syncer and
+        # any racing insert path refuse to resurrect a row mid-delete
+        # (delete_call tombstones the device BEFORE the store commit;
+        # a sync poll in that window sees store-present/device-absent).
+        self.deleted_ids: set = set()
         # optional probed-cluster dense index (settings.dense_ivf_enabled)
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
@@ -415,6 +422,11 @@ class CorpusIndex:
         # no-op, not a duplicate index row.
         if any(self._present(r.doc_id) for r in rows):
             rows = [r for r in rows if not self._present(r.doc_id)]
+        if self.deleted_ids:
+            # a row tombstoned here can only reappear via a stale sync/
+            # rebuild read that raced the store delete — refuse it
+            rows = [r for r in rows
+                    if int(r.doc_id) not in self.deleted_ids]
         if not rows:
             return
         if self.max_device_rows:
@@ -669,6 +681,9 @@ class CorpusIndex:
             return self._delete_ids_locked(doc_ids, lex_sigs, lex_dls)
 
     def _delete_ids_locked(self, doc_ids, lex_sigs, lex_dls) -> int:
+        # blacklist first: ids explicitly deleted must never re-enter,
+        # even when unknown to this tier (store-only writer's rows)
+        self.deleted_ids.update(int(d) for d in doc_ids)
         cold_n = 0
         if self.cold is not None:
             cold_pos = self.cold.positions(doc_ids)

@@ -160,10 +160,16 @@ class StoreSyncer:
                 present = {int(r["doc_id"]): r for r in rows}
                 have = corpus.contains(list(present))  # either tier
                 # repairs stale-layout signatures (a writer that raced a
-                # vocab rebuild) before they reach the device
+                # vocab rebuild) before they reach the device.
+                # deleted_ids guard: a local delete tombstones the device
+                # BEFORE its store commit — a poll in that window would
+                # otherwise resurrect the rows (store-present, device-
+                # absent, insert entries still unconsumed)
                 to_insert = rehydrate_doc_rows(
                     self.store, table,
-                    [r for ok, r in zip(have, present.values()) if not ok],
+                    [r for ok, r in zip(have, present.values())
+                     if not ok
+                     and int(r["doc_id"]) not in corpus.deleted_ids],
                 )
                 # present rows with a logged UPDATE need a re-scatter;
                 # present rows with only a logged insert were applied by
@@ -283,7 +289,9 @@ class StoreSyncer:
                         index_ids |= set(
                             corpus.cold.ids[:cn][clive].astype(int)
                         )
-                missing = sorted(store_ids - index_ids)
+                missing = sorted(
+                    store_ids - index_ids - corpus.deleted_ids
+                )
                 extra = sorted(index_ids - store_ids)
                 if missing:
                     placeholders = ",".join("?" * len(missing))

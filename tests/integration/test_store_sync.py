@@ -135,6 +135,32 @@ class TestStoreOnlyIngest:
         # df mass shed using the lex_sig captured by the delete trigger
         assert index.chunks.doc_freq.sum() < before_df
 
+    def test_poll_mid_delete_does_not_resurrect(self, tmp_store):
+        """delete_call tombstones the device BEFORE its store commit; a
+        poll landing in that window (insert entries unconsumed, store
+        rows still present, device rows already tombstoned) must NOT
+        re-insert the rows. Caught live as a flaky count divergence in
+        the multihost gang test (oracle 120 vs gang 96: the oracle's
+        background syncer resurrected the 24 just-deleted chunks)."""
+        call_a = _ingest_one("mid-1", "kafka timeout incident on svc zero")
+        index = get_index()
+        with get_store().read() as conn:
+            ids = [int(r[0]) for r in conn.execute(
+                "SELECT chunk_id FROM chunks WHERE call_id = ?", (call_a,),
+            )]
+        assert ids
+        # open the window: device tombstoned, store delete not yet
+        # committed, insert mutations not yet consumed (fresh syncer)
+        index.chunks.delete_ids(ids)
+        n = index.chunks.count
+        fresh = StoreSyncer()
+        assert fresh.poll_once().get("inserted", 0) == 0
+        assert index.chunks.count == n
+        assert not index.chunks.contains(ids).any()
+        # reconcile in the same window must not resurrect either
+        assert fresh.reconcile().get("inserted", 0) == 0
+        assert not index.chunks.contains(ids).any()
+
     def test_local_ingest_not_reapplied(self, tmp_store):
         """The serving process's own writes hit the log too; the poll
         must skip them (dedupe by doc_id, no re-scatter for pure
