@@ -157,6 +157,39 @@ def lane_tech_onepass(tech, started, q_one):
 
 
 @jax.jit
+def lane_tech_percol(tech, started, q_one):
+    """Per-slot-COLUMN compare over the existing (N, S) storage: S
+    passes of (B, N)-shaped ops keep N in the 128-lane dim throughout.
+    The (B,N,S) one-pass form puts S=16 in lanes (padded 8x to the
+    128-lane tile); here every intermediate is (B, N). Column reads are
+    strided, but all S slices come from one array — XLA can read each
+    tile once and feed all S compares."""
+    match = None
+    for s in range(tech.shape[1]):
+        hit = ((q_one[:, s, None] == tech[None, :, s])
+               & (q_one[:, s, None] != 0))
+        match = hit if match is None else (match | hit)
+    recency = jax.lax.bitcast_convert_type(started, jnp.float32)
+    keys = jnp.where(match, recency[None, :], -jnp.inf)
+    return jax.lax.approx_max_k(keys, 50)
+
+
+@jax.jit
+def lane_tech_percol_t(tech_t, started, q_one):
+    """Per-slot-column compare over TRANSPOSED (S, N) storage —
+    contiguous (N,) reads per slot; measures whether the strided column
+    access of the (N, S) layout costs anything once S is unrolled."""
+    match = None
+    for s in range(tech_t.shape[0]):
+        hit = ((q_one[:, s, None] == tech_t[s][None, :])
+               & (q_one[:, s, None] != 0))
+        match = hit if match is None else (match | hit)
+    recency = jax.lax.bitcast_convert_type(started, jnp.float32)
+    keys = jnp.where(match, recency[None, :], -jnp.inf)
+    return jax.lax.approx_max_k(keys, 50)
+
+
+@jax.jit
 def lane_tech_summary(tech_bits, tech, started, q_bits, q_tech):
     """Two-level: 32-bit per-doc summary bitmap prefilter (cheap), exact
     compare still full-width but masked — measures whether XLA can skip
@@ -272,6 +305,13 @@ def main() -> None:
         q_one = jnp.asarray(rng.integers(1, 1 << 30, (b, S)), jnp.int32)
         _timed(lane_tech_onepass, tech, started, q_one,
                iters=args.iters, label="tech one-pass (B,N,S)")
+        _timed(lane_tech_percol, tech, started, q_one,
+               iters=args.iters, label="tech per-col (S x (B,N))")
+        tech_t = jax.jit(lambda t: t.T.copy())(tech)  # on-device transpose
+        jax.block_until_ready(tech_t)
+        _timed(lane_tech_percol_t, tech_t, started, q_one,
+               iters=args.iters, label="tech per-col transposed")
+        del tech_t
         if jax.default_backend() == "tpu":
             from cadence_rag_tpu.ops.pallas_tech import tech_topk_pallas
 

@@ -30,11 +30,15 @@ def tech_match(doc_tokens: jax.Array, q_tokens: jax.Array) -> jax.Array:
     Docs store token h at slot h%S or (h>>8)%S (2-choice,
     ops/hashing.tech_token_hashes); the query structure holds, per slot,
     up to C hashes that could live there (ops/hashing.
-    tech_query_structure). The compare is therefore C slot-ALIGNED
-    (B, N, S) passes instead of the old (B, N, Q, S) broadcast — the
-    fused program's dominant cost, measured 16.7 -> 7.1 ms at C=2,
-    batch 128 x 1M rows (lane_probe) — and the query token budget rises
-    from a silent cap of 8 to ~S*C with per-slot overflow surfaced in
+    tech_query_structure). The compare unrolls into C*S per-slot-COLUMN
+    (B, N) passes: every intermediate keeps the 1M-row N axis in the
+    128-lane dim, where the earlier (B, N, S) form put S=16 in lanes
+    (padded 8x to the lane tile). Measured at batch 128 x 1M rows
+    (lane_probe, on-chip): 16.7 ms (original (B,N,Q,S) broadcast) ->
+    4.29 ms ((B,N,S) one-pass at C=1) -> 3.68 ms per-column — the lane
+    is now within ~0.1 ms of its masked-top-k floor (3.6 ms), and C=2
+    escalation costs ~0.7 ms instead of 3 ms. The query token budget is
+    ~S*C (was a silent cap of 8) with per-slot overflow surfaced in
     debug payloads."""
     n_cols = q_tokens.shape[1]
     slots = doc_tokens.shape[1]
@@ -42,10 +46,11 @@ def tech_match(doc_tokens: jax.Array, q_tokens: jax.Array) -> jax.Array:
     assert capacity * slots == n_cols, (n_cols, slots)
     match = None
     for c in range(capacity):
-        q = q_tokens[:, c * slots:(c + 1) * slots]      # (B, S)
-        eq = (q[:, None, :] == doc_tokens[None, :, :]) & (q[:, None, :] != 0)
-        hit = jnp.any(eq, axis=2)
-        match = hit if match is None else (match | hit)
+        for s in range(slots):
+            q_col = q_tokens[:, c * slots + s]          # (B,)
+            hit = ((q_col[:, None] == doc_tokens[None, :, s])
+                   & (q_col[:, None] != 0))              # (B, N)
+            match = hit if match is None else (match | hit)
     return match
 
 
