@@ -215,9 +215,9 @@ class ColdTier:
         """Enqueue one fused-lane program per cold block (fixed padded
         shapes — one compile per block geometry) and return
         [(lane_futures, ids_snapshot, block_n)] without blocking. Must be
-        called under the corpus lock; the jit stages each block's host
-        arrays eagerly, so later mutations cannot corrupt an in-flight
-        scan."""
+        called under the corpus lock; every block ships a SNAPSHOT of
+        the host arrays, so mutations after the lock is released cannot
+        corrupt an in-flight scan."""
         from ..ops.fused import multi_lane_retrieve
 
         n = self.count
@@ -236,12 +236,18 @@ class ColdTier:
             stop = min(start + block, n)
             bn = stop - start
             if bn == block:
-                emb_b = self.emb[start:stop]
-                lex_b = self.lex[start:stop]
-                tech_b = self.tech[start:stop]
-                call_b = self.call_idx[start:stop]
-                started_b = self.started[start:stop]
-                has_b = self.has_emb[start:stop]
+                # SNAPSHOT the block (host memcpy, trivial next to the
+                # H2D transfer): jax gives no guarantee the host buffer
+                # is consumed before the call returns (CPU backend can
+                # zero-copy alias it), so a set_*/compact by the syncer
+                # thread after the corpus lock is released must not be
+                # able to corrupt an in-flight scan
+                emb_b = self.emb[start:stop].copy()
+                lex_b = self.lex[start:stop].copy()
+                tech_b = self.tech[start:stop].copy()
+                call_b = self.call_idx[start:stop].copy()
+                started_b = self.started[start:stop].copy()
+                has_b = self.has_emb[start:stop].copy()
             else:
                 # pad the tail block to the fixed shape; padding rows
                 # carry started=INT32_MIN so every lane masks them out

@@ -184,11 +184,7 @@ def _pad_rows(arr: np.ndarray, padded: int) -> np.ndarray:
     return np.concatenate([arr, pad], axis=0)
 
 
-def _next_pow2(n: int, lo: int = 8) -> int:
-    p = lo
-    while p < n:
-        p *= 2
-    return p
+from .coldtier import _next_pow2  # canonical pow2 rounding, one definition
 
 
 def _clamp_ks(ks: Tuple[int, int, int], cap: int) -> Tuple[int, int, int]:
@@ -689,11 +685,15 @@ class CorpusIndex:
             cold_pos = self.cold.positions(doc_ids)
             cmask = cold_pos >= 0
             if cmask.any():
-                # dedupe within the request (same contract as hot below)
-                uniq_idx = [
-                    i for i in np.flatnonzero(cmask)
-                    if not (cold_pos[:i] == cold_pos[i]).any()
-                ]
+                # dedupe within the request (same first-seen contract as
+                # the hot path below; O(n), not a per-element rescan)
+                seen_cold: set = set()
+                uniq_idx = []
+                for i in np.flatnonzero(cmask):
+                    p = int(cold_pos[i])
+                    if p not in seen_cold:
+                        seen_cold.add(p)
+                        uniq_idx.append(i)
                 cold_n = self.cold.tombstone(
                     cold_pos[uniq_idx],
                     ([lex_sigs[i] for i in uniq_idx]

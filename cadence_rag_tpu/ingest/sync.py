@@ -52,6 +52,33 @@ logger = get_logger(__name__)
 CONSUMER_STALE_S = 3600.0
 
 
+def _emb_matrix(rows, dim: int, where: str):
+    """(ids, (n, dim) f32) from store rows with an ``embedding`` blob,
+    DROPPING wrong-length blobs with an error log: a writer running a
+    different EMBEDDINGS_DIM (or a truncated write) must not raise out
+    of the poll loop — that would wedge the watermark and silently stop
+    ALL sync progress on one poison row."""
+    ids: List[int] = []
+    vecs = []
+    bad = 0
+    for r in rows:
+        raw = r["embedding"]
+        if not raw:
+            continue
+        if len(raw) == dim * 4:
+            ids.append(int(r["doc_id"]))
+            vecs.append(np.frombuffer(raw, np.float32))
+        else:
+            bad += 1
+    if bad:
+        logger.error(
+            "sync.bad_embedding_blob where=%s rows=%s expected_dim=%s "
+            "(skipped — check the writer's EMBEDDINGS_DIM)",
+            where, bad, dim,
+        )
+    return ids, (np.stack(vecs) if vecs else np.zeros((0, dim), np.float32))
+
+
 class StoreSyncer:
     """Tails ``index_mutations`` and applies them to this process's
     device index. One instance per serving process."""
@@ -89,8 +116,12 @@ class StoreSyncer:
         """Call BEFORE a full rebuild reads the store: anything the
         rebuild misses has seq > this watermark and the first poll picks
         it up (rows both rebuilt and logged are skipped by the
-        already-present check)."""
+        already-present check). Registers this consumer immediately —
+        a rebuild takes minutes, and an already-running consumer's
+        heartbeat would otherwise prune ``index_mutations`` past this
+        watermark before the first poll ever runs."""
         self.last_seq = self.current_watermark()
+        self._heartbeat()
         return self.last_seq
 
     # -- polling -----------------------------------------------------------
@@ -100,6 +131,14 @@ class StoreSyncer:
             return self._poll_locked()
 
     def _poll_locked(self) -> Dict[str, int]:
+        # an EXTERNAL vocab rebuild (another process ran build_lex_vocab
+        # against the shared store) must be adopted BEFORE applying
+        # mutations, or new-layout rows would land in an old-layout
+        # index and score wrong silently. One cheap SELECT when layouts
+        # match.
+        from ..core.vocab import adopt_store_layout
+
+        adopt_store_layout(self.store, self.index)
         with self.store.read() as conn:
             muts = conn.execute(
                 "SELECT seq, tbl, op, row_id, lex_sig, lex_dl "
@@ -182,23 +221,27 @@ class StoreSyncer:
                     corpus.insert(to_insert)
                     counts["inserted"] += len(to_insert)
                 if upd:
-                    emb_rows = [r for r in upd if r["embedding"]]
-                    if emb_rows:
-                        corpus.set_embeddings(
-                            [int(r["doc_id"]) for r in emb_rows],
-                            np.stack([
-                                np.frombuffer(r["embedding"], np.float32)
-                                for r in emb_rows
-                            ]),
-                        )
-                    corpus.set_tech(
-                        [int(r["doc_id"]) for r in upd],
-                        np.stack([
-                            featurize.tech_slots(
+                    emb_ids, emb_mat = _emb_matrix(
+                        upd, corpus.dim, f"poll:{table}"
+                    )
+                    if emb_ids:
+                        corpus.set_embeddings(emb_ids, emb_mat)
+                    def _slots(r):
+                        try:
+                            return featurize.tech_slots(
                                 from_json(r["tech_tokens"]) or []
                             )
-                            for r in upd
-                        ]),
+                        except Exception:
+                            logger.error(
+                                "sync.bad_tech_tokens table=%s doc_id=%s "
+                                "(treated as no tokens)",
+                                table, int(r["doc_id"]),
+                            )
+                            return featurize.tech_slots([])
+
+                    corpus.set_tech(
+                        [int(r["doc_id"]) for r in upd],
+                        np.stack([_slots(r) for r in upd]),
                     )
                     counts["updated"] += len(upd)
                 # a touched row missing from the store with no delete
@@ -217,6 +260,14 @@ class StoreSyncer:
                     ids_d,
                     [_sig(dels[i][0]) for i in ids_d],
                     [int(dels[i][1] or 0) for i in ids_d],
+                )
+                # the delete's log entry is now behind our watermark: the
+                # store row is gone and its insert entries are older than
+                # the delete, so no future poll/reconcile can resurrect
+                # it — safe to drop from the blacklist (which would
+                # otherwise grow forever on churn-heavy corpora)
+                corpus.deleted_ids.difference_update(
+                    int(d) for d in ids_d
                 )
             if ids or dels:
                 persist_lexical_meta(self.store, corpus)
@@ -336,14 +387,12 @@ class StoreSyncer:
                                 f"({placeholders})",
                                 need,
                             ).fetchall()
-                        corpus.set_embeddings(
-                            [int(r["doc_id"]) for r in rows],
-                            np.stack([
-                                np.frombuffer(r["embedding"], np.float32)
-                                for r in rows
-                            ]),
+                        emb_ids, emb_mat = _emb_matrix(
+                            rows, corpus.dim, f"reconcile:{table}"
                         )
-                        counts["updated"] += len(rows)
+                        if emb_ids:
+                            corpus.set_embeddings(emb_ids, emb_mat)
+                        counts["updated"] += len(emb_ids)
                 if missing or extra:
                     persist_lexical_meta(self.store, corpus)
             self._heartbeat()

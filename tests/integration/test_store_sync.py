@@ -273,3 +273,50 @@ class TestBackgroundLoop:
             assert ids
         finally:
             syncer.stop()
+
+
+class TestSyncRobustness:
+    def test_poison_embedding_blob_does_not_wedge(self, tmp_store, caplog):
+        """A writer with a mismatched EMBEDDINGS_DIM (or a truncated
+        blob) logs an update mutation whose vector cannot be applied;
+        the syncer must skip it and keep advancing the watermark — one
+        poison row must not stall ALL sync progress forever."""
+        call_a = _ingest_one("poison-1", "grpc deadline exceeded in auth")
+        syncer = get_syncer()
+        syncer.poll_once()
+        index = get_index()
+        with get_store().read() as conn:
+            cid = int(conn.execute(
+                "SELECT chunk_id FROM chunks WHERE call_id=?", (call_a,)
+            ).fetchone()[0])
+        # wrong-length embedding blob, written store-side (triggers log
+        # an update mutation)
+        with get_store().tx() as conn:
+            conn.execute(
+                "UPDATE chunks SET embedding=? WHERE chunk_id=?",
+                (np.ones(7, np.float32).tobytes(), cid),
+            )
+        counts = syncer.poll_once()  # must not raise
+        assert any("bad_embedding_blob" in r.message
+                   for r in caplog.records)
+        # watermark advanced: a subsequent good mutation still applies
+        _ingest_one("poison-2", "redis eviction spike on cache nine")
+        set_store_only(True)
+        _ingest_one("poison-3", "dns resolution flap in the edge pop")
+        set_store_only(False)
+        counts = syncer.poll_once()
+        assert counts.get("inserted", 0) >= 1
+
+    def test_deleted_blacklist_pruned_after_log_consumed(self, tmp_store):
+        """deleted_ids exists to close the mid-delete resurrection
+        window; once the delete's log entry is behind the watermark the
+        id can never resurrect, so the blacklist is pruned (it would
+        otherwise grow forever on churn-heavy corpora)."""
+        call_a = _ingest_one("prune-1", "s3 multipart upload checksum bug")
+        index = get_index()
+        syncer = get_syncer()
+        syncer.poll_once()
+        delete_call(call_a)
+        assert index.chunks.deleted_ids  # window open: blacklisted
+        syncer.poll_once()  # consumes the delete log entries
+        assert not index.chunks.deleted_ids  # pruned once durable
