@@ -148,6 +148,100 @@ def refresh_if_changed(store) -> Optional[int]:
     return activate_from_store(store)
 
 
+def adopt_store_layout(store, index, *, batch: int = 4096) -> Optional[int]:
+    """Serving-process repair for an EXTERNAL vocab rebuild: when this
+    process's active layout lags the store's applied vocab (another
+    process ran build_lex_vocab/auto-rebuild against the shared store),
+    activate the store's vocab and refresh every live device row's
+    lexical signature FROM THE STORE BLOBS — the rebuilding process
+    already rewrote them, so no re-featurization is needed except for
+    straggler rows still stamped with an older version (those are
+    re-featurized from text and written back). Rebuilds each corpus's
+    bucket df table and persists index meta. Returns the adopted
+    version, or None when the layouts already match (one cheap SELECT).
+
+    Called from the StoreSyncer poll loop, closing the layout-coherence
+    hole for the multi-serving-process topology: without it, new-layout
+    rows reaching a lagging process's syncer were inserted into an
+    old-layout index and scored wrong silently (review finding r3)."""
+    prev_hashes, prev_version = featurize.active_vocab()
+    new_version = refresh_if_changed(store)
+    if new_version is None:
+        return None
+    logger.warning(
+        "lex_vocab.adopting_store_layout version=%s (external rebuild "
+        "detected; refreshing device signatures from store)", new_version,
+    )
+    try:
+        _adopt_scatter(store, index, new_version)
+    except Exception:
+        # revert the activation so the next poll tick retries the FULL
+        # adoption (a partially refreshed index under the new layout
+        # would otherwise look "done" to the version check)
+        featurize.set_active_vocab(prev_hashes, prev_version)
+        raise
+    return new_version
+
+
+def _adopt_scatter(store, index, new_version: int, *,
+                   batch: int = 4096) -> None:
+    from ..ingest.ingest import persist_lexical_meta
+
+    for table, id_col, text_col in CORPUS_COLUMNS:
+        corpus = index.corpus(table)
+        df_acc = np.zeros(corpus.lex_dim, dtype=np.int64)
+        avgdl = corpus.avgdl or 400.0
+        after = -1
+        n_live = 0
+        n_refeat = 0
+        while True:
+            with store.read() as conn:
+                rows = conn.execute(
+                    f"SELECT {id_col} AS id, lex_sig, lex_vocab_version, "
+                    f"{text_col} AS txt FROM {table} "
+                    f"WHERE {id_col} > ? ORDER BY {id_col} LIMIT ?",
+                    (after, batch),
+                ).fetchall()
+            if not rows:
+                break
+            ids = [int(r["id"]) for r in rows]
+            sig_rows = np.zeros((len(rows), corpus.lex_dim), np.int8)
+            stale_updates = []
+            for i, r in enumerate(rows):
+                blob = r["lex_sig"]
+                if (int(r["lex_vocab_version"] or 0) == new_version
+                        and blob and len(blob) == corpus.lex_dim):
+                    sig_rows[i] = np.frombuffer(blob, np.int8)
+                elif r["txt"] is not None:
+                    sig, _touched, dl = featurize.lexical_signatures_batch(
+                        [r["txt"]], avgdl
+                    )[0]
+                    sig_rows[i] = sig
+                    stale_updates.append(
+                        (sig.tobytes(), int(dl), new_version, ids[i])
+                    )
+                    n_refeat += 1
+            if stale_updates:
+                with store.tx() as conn:
+                    conn.executemany(
+                        f"UPDATE {table} SET lex_sig=?, lex_dl=?, "
+                        f"lex_vocab_version=? WHERE {id_col}=?",
+                        stale_updates,
+                    )
+            live = corpus.set_lex_ids(ids, sig_rows)
+            if live.any():
+                nz = sig_rows[live] != 0
+                df_acc += nz.sum(axis=0)
+                n_live += int(live.sum())
+            after = ids[-1]
+        corpus.replace_doc_freq(df_acc)
+        persist_lexical_meta(store, corpus)
+        logger.info(
+            "lex_vocab.adopted corpus=%s live_rows=%s refeaturized=%s "
+            "version=%s", table, n_live, n_refeat, new_version,
+        )
+
+
 def _merge_counts(
     keys: np.ndarray, cnts: np.ndarray,
     new_keys: np.ndarray, new_cnts: np.ndarray,

@@ -622,10 +622,17 @@ def rehydrate_doc_rows(store: Store, table: str, rows) -> List[DocRow]:
             ).fetchone()
         store_active = int(row["v"]) if row and row["v"] else 0
         if store_active != active:
+            # Transient in a serving process: the StoreSyncer adopts the
+            # store's layout at the top of its next poll
+            # (core/vocab.adopt_store_layout), which re-scatters every
+            # live row — including any inserted this tick — so the
+            # mismatch self-heals. Processes without a syncer must
+            # restart to re-activate.
             logger.error(
                 "lex_vocab.layout_lag table=%s active=%s store=%s — this "
-                "process's vocab layout is behind the store's; restart it "
-                "to re-activate (rows left as stored)",
+                "process's vocab layout is behind the store's (rows left "
+                "as stored; the store syncer adopts the new layout on its "
+                "next poll, otherwise restart this process)",
                 table, active, store_active,
             )
         else:

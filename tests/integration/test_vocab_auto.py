@@ -297,3 +297,108 @@ class TestQueryLayoutSwapMidBatch:
             r["retrieved_ids"] for r in fresh
         ]
         assert all(p.lex_vocab_gen == 1 for p in plans)
+
+
+class TestAdoptExternalRebuild:
+    def _external_rebuild(self, store):
+        """Simulate ANOTHER process running build_lex_vocab against the
+        shared store: learn + persist a vocab and rewrite the store's
+        blobs under the new layout — without touching THIS process's
+        featurizer or device index (the lagging-process scenario)."""
+        prev = featurize.active_vocab()
+        hashes = vocab_mod.build_vocab_from_store(store, head=16)
+        version = vocab_mod.save_vocab(
+            store, hashes, int(settings.lexical_dim)
+        )
+        featurize.set_active_vocab(
+            np.unique(np.asarray(hashes, np.uint64)), version
+        )
+        try:
+            for table, id_col, text_col in vocab_mod.CORPUS_COLUMNS:
+                with store.read() as conn:
+                    rows = conn.execute(
+                        f"SELECT {id_col} AS id, {text_col} AS txt "
+                        f"FROM {table}"
+                    ).fetchall()
+                if not rows:
+                    continue
+                sigs = featurize.lexical_signatures_batch(
+                    [r["txt"] for r in rows], 400.0
+                )
+                with store.tx() as conn:
+                    conn.executemany(
+                        f"UPDATE {table} SET lex_sig=?, lex_dl=?, "
+                        f"lex_vocab_version=? WHERE {id_col}=?",
+                        [
+                            (s.tobytes(), int(dl), version, int(r["id"]))
+                            for (s, _t, dl), r in zip(sigs, rows)
+                        ],
+                    )
+            vocab_mod.mark_applied(store, version)
+        finally:
+            featurize.set_active_vocab(*prev)
+        return version
+
+    def test_syncer_adopts_external_layout(self, tmp_store):
+        """The store syncer detects a store-applied vocab this process
+        never activated, adopts it, and re-scatters device signatures
+        from the store — queries keep matching afterward."""
+        _ingest("base", BASE_TEXTS + DRIFT_TEXTS[:6])
+        store, index = get_store(), get_index()
+        syncer = get_syncer()
+        syncer.init_watermark()
+
+        version = self._external_rebuild(store)
+        assert featurize.active_vocab()[1] == 0  # this process lags
+
+        syncer.poll_once()
+        assert featurize.active_vocab()[1] == version
+
+        # device lexical state now matches the store layout: the hot
+        # query of the new regime retrieves its documents
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence
+
+        got = retrieve_evidence(RetrieveRequest(
+            query="kubernetes eviction frankfurt",
+            return_style="ids_only", debug=True,
+        ))
+        assert got["retrieved_ids"]
+        lex_lane = got["debug"]["lanes"]["chunks"]["bm25"]
+        assert lex_lane  # lexical lane scored under the adopted layout
+
+        # df table was rebuilt from the adopted signatures
+        with store.read() as conn:
+            n_chunks = conn.execute(
+                "SELECT COUNT(*) FROM chunks"
+            ).fetchone()[0]
+        assert index.chunks.doc_freq.sum() > 0
+        assert index.chunks.count == n_chunks
+
+    def test_adoption_repairs_straggler_rows(self, tmp_store):
+        """Rows still stamped with an older version at adoption time are
+        re-featurized from text and written back."""
+        _ingest("base", BASE_TEXTS)
+        store, index = get_store(), get_index()
+        syncer = get_syncer()
+        syncer.init_watermark()
+        version = self._external_rebuild(store)
+
+        # one straggler row the external apply "missed"
+        with store.read() as conn:
+            row = conn.execute(
+                "SELECT chunk_id FROM chunks ORDER BY chunk_id LIMIT 1"
+            ).fetchone()
+        with store.tx() as conn:
+            conn.execute(
+                "UPDATE chunks SET lex_vocab_version=0 WHERE chunk_id=?",
+                (int(row["chunk_id"]),),
+            )
+
+        syncer.poll_once()
+        assert featurize.active_vocab()[1] == version
+        with store.read() as conn:
+            got = conn.execute(
+                "SELECT lex_vocab_version FROM chunks WHERE chunk_id=?",
+                (int(row["chunk_id"]),),
+            ).fetchone()
+        assert int(got["lex_vocab_version"]) == version
