@@ -27,10 +27,30 @@ class ResolvedFilters:
     date_max: int
     scoped: bool                # planner input (app/retrieve.py:267-274)
     call_ids: Optional[List[str]]  # resolved explicit scoping, or None
+    # value for bitmap slots beyond this plan's width: the background
+    # syncer can grow call capacity between planning and dispatch, and a
+    # batch's plans may then hold different widths. True = the filter
+    # did not constrain call seqs (new calls stay visible); False = seqs
+    # were resolved explicitly (new calls are out of scope).
+    pad_allowed: bool = True
 
     @property
     def unfiltered(self) -> bool:
         return not self.scoped
+
+    def allowed_at(self, call_capacity: int) -> np.ndarray:
+        """This plan's bitmap padded/clipped to ``call_capacity`` (the
+        dispatch-time width). Without this, np.stack over mixed widths
+        raises and fails the whole micro-batch, and estimate's
+        ``allowed[h_call]`` gather can IndexError on rows of calls
+        created after planning."""
+        a = self.allowed_calls
+        if a.shape[0] == call_capacity:
+            return a
+        out = np.full(call_capacity, self.pad_allowed, dtype=bool)
+        w = min(a.shape[0], call_capacity)
+        out[:w] = a[:w]
+        return out
 
 
 # The unfiltered request shares ONE read-only all-true bitmap: building a
@@ -132,4 +152,5 @@ def resolve_filters(
     return ResolvedFilters(
         allowed, date_min, date_max, scoped,
         sorted(call_ids) if call_ids is not None else None,
+        pad_allowed=seq_constraint is None,
     )

@@ -31,6 +31,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import settings
+from ..core.coldtier import _next_pow2
 from ..core.index import get_index
 from ..embed import EmbeddingError, embed_texts, embeddings_enabled
 from ..ingest import featurize
@@ -222,12 +223,13 @@ def _finish_planning(plan: QueryPlan) -> None:
         return
     index = get_index()
     resolved = plan.resolved
+    allowed = resolved.allowed_at(index.call_capacity)
     plan.chunk_candidates = index.chunks.estimate_candidates(
-        resolved.allowed_calls, resolved.date_min, resolved.date_max,
+        allowed, resolved.date_min, resolved.date_max,
         unfiltered=resolved.unfiltered,
     )
     plan.artifact_candidates = index.artifacts.estimate_candidates(
-        resolved.allowed_calls, resolved.date_min, resolved.date_max,
+        allowed, resolved.date_min, resolved.date_max,
         unfiltered=resolved.unfiltered,
     )
     plan.chunk_mode = choose_dense_mode(
@@ -298,18 +300,57 @@ def _dispatch_plans(plans: Sequence[QueryPlan]) -> List[Tuple]:
         q_tech = np.zeros((len(group), tech_w), dtype=np.int32)
         for row, p in enumerate(group):
             q_tech[row, : p.q_tech.shape[0]] = p.q_tech
-        allowed = np.stack([p.resolved.allowed_calls for p in group])
+        # pad every plan's bitmap to the dispatch-time call capacity:
+        # the syncer can grow it between planning and dispatch, and
+        # mixed widths would fail the whole micro-batch (new calls stay
+        # visible to unscoped plans via pad_allowed)
+        cap = index.call_capacity
+        allowed = np.stack([p.resolved.allowed_at(cap) for p in group])
         date_min = np.array([p.resolved.date_min for p in group], dtype=np.int32)
         date_max = np.array([p.resolved.date_max for p in group], dtype=np.int32)
         q_emb = (
             np.stack([p.q_emb for p in group]).astype(np.float32)
             if dense_on else None
         )
+        # Pad the batch to a power of two: the device program is
+        # compiled per batch size (QuerySignature.batch is static), and
+        # a micro-batcher flushing 1..128 requests would otherwise
+        # compile up to 128 variants per mode — each a minutes-long
+        # stall at 1M scale on the hot path. Pow2 buckets bound the
+        # variants to log2(max_batch); pad rows carry an inverted date
+        # window + all-False call bitmap (match nothing) and their
+        # output rows are never read (_collect_plans iterates the real
+        # group).
+        feats = [p.q_lex_feats for p in group]
+        n_real = len(group)
+        n_pad = _next_pow2(n_real, lo=1) - n_real
+        if n_pad:
+            q_tech = np.vstack(
+                [q_tech, np.zeros((n_pad, tech_w), np.int32)]
+            )
+            allowed = np.vstack(
+                [allowed, np.zeros((n_pad, cap), dtype=bool)]
+            )
+            date_min = np.concatenate(
+                [date_min, np.zeros(n_pad, np.int32)]
+            )
+            date_max = np.concatenate(
+                [date_max, np.full(n_pad, -1, np.int32)]
+            )
+            if q_emb is not None:
+                q_emb = np.vstack([
+                    q_emb, np.zeros((n_pad, q_emb.shape[1]), np.float32)
+                ])
+            empty_feats = (
+                np.zeros(0, np.int64), np.zeros(0, np.float32),
+                np.zeros(0, np.float32),
+            )
+            feats = feats + [empty_feats] * n_pad
         # Shows as a named region in jax.profiler traces (SURVEY.md §5:
         # "add jax.profiler trace hooks"); no-op when no trace is active.
         with _profiler.TraceAnnotation("retrieve_device_dispatch"):
             disp = index.query_both_packed_async(
-                q_emb, [p.q_lex_feats for p in group], q_tech,
+                q_emb, feats, q_tech,
                 allowed, date_min, date_max,
                 chunk_ks=(DENSE_CHUNK_TOPK, CHUNK_BM25_TOPK, TECH_TOPK),
                 artifact_ks=(DENSE_ARTIFACT_TOPK, ARTIFACT_BM25_TOPK, TECH_TOPK),
@@ -346,6 +387,7 @@ def _collect_plans(pending: Sequence[Tuple]) -> None:
         artifact_merged = rrf_merge_rect(
             _rename_lanes(artifacts_out), k=RRF_K
         )
+        served_mode = getattr(disp, "served_chunk_mode", None)
         for row, plan in enumerate(group):
             plan.chunk_lanes = _format_lanes(chunks_out, row)
             plan.artifact_lanes = _format_lanes(artifacts_out, row)
@@ -353,6 +395,11 @@ def _collect_plans(pending: Sequence[Tuple]) -> None:
             plan.artifact_merged = artifact_merged[row]
             plan.timings["device_ms"] = device_ms
             plan.timings["device_batch"] = float(batch)
+            if served_mode is not None and plan.chunk_mode is not None:
+                # notes/debug must report the mode that SERVED, not the
+                # planned one (ivf can downgrade to ann at dispatch when
+                # a compaction invalidated the index mid-flight)
+                plan.chunk_mode = served_mode
 
 
 def _execute_plans(plans: Sequence[QueryPlan]) -> None:

@@ -283,3 +283,62 @@ class TestBatchRetrieve:
         assert poisoned["notes"]["retrieval"]["planner"] == "lexical_only"
         assert "token limit" in poisoned["notes"]["retrieval"]["dense_error"]
         assert poisoned["quotes"], "lexical lanes must still serve"
+
+
+class TestCallCapacityGrowthMidBatch:
+    def test_bitmap_widths_pad_to_dispatch_capacity(self, tmp_store):
+        """The background syncer can grow call capacity between planning
+        and dispatch; plans in one micro-batch then hold different
+        bitmap widths. Dispatch must pad to the dispatch-time width
+        (np.stack over mixed widths failed the whole batch; review
+        finding). Unscoped plans keep new calls visible; seq-scoped
+        plans exclude them."""
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.engine import retrieve as eng
+
+        def _one(ext, text):
+            cid, _, _ = ingest_transcript(
+                CallRef(external_id=ext),
+                [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                             text=text)],
+                ChunkingOptions(target_tokens=10, max_tokens=30,
+                                overlap_tokens=0),
+            )
+            return cid
+
+        call_a = _one("width-1", "nginx 502 storm at the edge tier")
+        _one("width-2", "cassandra compaction backlog on ring two")
+        index = get_index()
+
+        reqs = [
+            RetrieveRequest(query="nginx 502 storm edge",
+                            return_style="ids_only"),
+            RetrieveRequest(query="nginx 502 storm edge",
+                            filters=RetrieveFilters(call_ids=[call_a]),
+                            return_style="ids_only"),
+        ]
+        plans = eng._prepare_plans(reqs)
+        widths = {p.resolved.allowed_calls.shape[0] for p in plans}
+        # capacity doubles mid-flight (what a syncer poll does when a
+        # worker creates many calls)
+        index.ensure_call_capacity(index.call_capacity * 2 + 1)
+        responses = eng._finish_plans(plans, eng._dispatch_plans(plans))
+        assert responses[0]["retrieved_ids"]
+        assert responses[1]["retrieved_ids"]
+        # scoped result stays scoped to call_a
+        from cadence_rag_tpu.store.db import get_store
+
+        with get_store().read() as conn:
+            a_ids = {
+                f"chunk:{r[0]}" for r in conn.execute(
+                    "SELECT chunk_id FROM chunks WHERE call_id=?",
+                    (call_a,),
+                )
+            }
+        assert set(responses[1]["retrieved_ids"]) <= a_ids
+        # padded bitmaps: unscoped pads True, scoped pads False
+        cap = index.call_capacity
+        un = plans[0].resolved.allowed_at(cap)
+        sc = plans[1].resolved.allowed_at(cap)
+        assert un.shape == (cap,) and un.all()
+        assert sc.shape == (cap,) and not sc[-1]
