@@ -250,6 +250,10 @@ class CorpusIndex:
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
         self._ivf_rebuilding = False
+        # bumped whenever row POSITIONS are renumbered or reloaded
+        # (compaction, checkpoint restore): an IVF build that started
+        # before the bump must not install its position-based buckets
+        self._pos_gen = 0
         # Beyond-HBM cold tier (core/coldtier.py): rows past
         # max_device_rows spill to host RAM, scanned in streamed blocks
         # by the same fused program and lane-merged before RRF.
@@ -426,10 +430,21 @@ class CorpusIndex:
         if not rows:
             return
         if self.max_device_rows:
-            hot_room = max(0, self.max_device_rows - self.count)
-            if len(rows) > hot_room:
-                self._cold_insert_locked(rows[hot_room:])
-                rows = rows[:hot_room]
+            take = min(len(rows), max(0, self.max_device_rows - self.count))
+            # ensure_capacity reserves the POW2-PADDED slab: at a cap
+            # that equals the allocated capacity, a padded tail slab
+            # would otherwise DOUBLE the device arrays past
+            # max_device_rows — the limit that exists because HBM is
+            # full. Shrink the hot intake until its padding fits the
+            # existing allocation; the remainder spills to the cold
+            # tier like any over-cap rows. (While capacity is still
+            # below the cap, growth stays within budget — no shrink.)
+            if self.capacity >= self.max_device_rows:
+                while take and self.count + _next_pow2(take) > self.capacity:
+                    take = min(take - 1, _next_pow2(take) // 2)
+            if len(rows) > take:
+                self._cold_insert_locked(rows[take:])
+                rows = rows[:take]
                 if not rows:
                     return
         n = len(rows)
@@ -803,6 +818,7 @@ class CorpusIndex:
         self.count = out_rows
         self.ivf = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+        self._pos_gen += 1
 
     def _compact_locked(self) -> None:
         n = self.count
@@ -845,6 +861,7 @@ class CorpusIndex:
         # row positions changed: derived IVF state is invalid
         self.ivf = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+        self._pos_gen += 1
 
     @property
     def live_count(self) -> int:
@@ -889,6 +906,7 @@ class CorpusIndex:
             if self.count == 0:
                 raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
             n = self.count
+            pos_gen = self._pos_gen
             # device-side copy so later donated inserts can't invalidate
             # the buffer mid-clustering
             emb_snapshot = jnp.copy(
@@ -926,6 +944,17 @@ class CorpusIndex:
         )
 
         with self.lock:
+            if self._pos_gen != pos_gen:
+                # a compaction/restore renumbered rows while k-means ran:
+                # the assignment maps PRE-renumber positions, installing
+                # it would silently return wrong doc_ids from the dense
+                # lane. Abort; the caller (CLI or rebuild daemon) retries
+                # against the new layout.
+                raise RuntimeError(
+                    f"{self.name}: concurrent compaction/restore "
+                    "invalidated the IVF build (row positions changed); "
+                    "re-run the build"
+                )
             # rows inserted during the build join the overflow tail
             tail = np.arange(n, self.count, dtype=np.int32)
             self._ivf_overflow_host = np.concatenate(
@@ -1090,6 +1119,7 @@ class CorpusIndex:
         # IVF is derived from the (old) row positions — always invalidate
         self.ivf = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+        self._pos_gen += 1
         cap = max(self.capacity, _next_pow2(max(n, 8)))
         self.capacity = cap
         if _oplog is not None:
@@ -1163,6 +1193,7 @@ class CorpusIndex:
             self.cold = None  # hot-only checkpoints; see state_arrays
             self.ivf = None
             self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
+            self._pos_gen += 1
             cap = max(self.capacity, _next_pow2(max(n, 8)))
             self.capacity = cap
             if _oplog is not None:
@@ -1244,15 +1275,13 @@ class CorpusIndex:
         dense_mode: str = "exact",
         recall_target: Optional[float] = None,
     ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
-        """Runs the fused program; returns per-lane (doc_ids, scores) with
-        padding/non-matches removed. Empty index -> empty lanes."""
+        """Runs the fused program; returns per-lane rectangular
+        (doc_ids, scores, counts) blocks. Empty index -> empty lanes
+        (the SAME 3-tuple contract as the populated path — a divergent
+        2-tuple here armed an unpack crash for any caller without the
+        count guard)."""
         if self.count == 0:
-            empty = (np.zeros((q_lex.shape[0], 0), dtype=np.int64),
-                     np.zeros((q_lex.shape[0], 0), dtype=np.float32))
-            lanes = {"lex": empty, "tech": empty}
-            if q_emb is not None:
-                lanes["dense"] = empty
-            return lanes
+            return self.empty_lanes(q_lex.shape[0], q_emb is not None)
 
         with self.lock:
             # Hold for the full dispatch: inserts DONATE the old buffers,
@@ -1397,6 +1426,11 @@ class PackedDispatch:
 
     flat_raw: object = None
     sig: object = None                  # QuerySignature: the flat layout key
+    # the dense mode that actually SERVED the chunks corpus ("ivf" may
+    # downgrade to "ann" at dispatch when a compaction invalidated the
+    # index between planning and execution) — response notes/debug must
+    # report this, not the planned mode
+    served_chunk_mode: object = None
     extra_dense: object = None          # optional (scores, pos) device pair
     chunk_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
     artifact_snap: Tuple[np.ndarray, int] = (None, 0)  # type: ignore[assignment]
@@ -1696,7 +1730,14 @@ class DeviceIndexManager:
                 date_min, date_max, chunk_ks, artifact_ks, chunk_mode,
                 artifact_mode, recall_target, batch,
             )
-            return PackedDispatch(ready=ready)
+            return PackedDispatch(
+                ready=ready,
+                # the empty-corpus fallback inside query_both serves a
+                # planner "ivf" choice as ann (_query_both_locked)
+                served_chunk_mode=(
+                    "ann" if chunk_mode == "ivf" else chunk_mode
+                ),
+            )
 
         # idf uses LIVE counts: delete_ids sheds df mass, so counting
         # tombstoned rows in n_docs would skew BM25 idf until compaction
@@ -1716,6 +1757,18 @@ class DeviceIndexManager:
         # (Multi-process: stays numpy — jit stages it replicated on every
         # process; see _stage.)
         d_packed = _stage(packed)
+        # Pre-stage the separate IVF dispatch's inputs too: its H2D
+        # otherwise runs INSIDE the critical section below (~25 ms+ of
+        # tunnel round trip holding both corpus locks per IVF batch,
+        # serializing inserts and the next batch's enqueue behind a
+        # transfer that references no corpus buffer). jnp.asarray on an
+        # already-device array is a no-op inside ivf_dense_query.
+        # (IVF is single-process-only; multi-process keeps numpy.)
+        if dense_enabled and chunk_mode == "ivf" and not _multiprocess():
+            q_emb = jnp.asarray(q_emb)
+            allowed_calls = jnp.asarray(allowed_calls)
+            date_min = jnp.asarray(date_min)
+            date_max = jnp.asarray(date_max)
         # Locks are held only from CAPTURING the array handles to ENQUEUE:
         # the donated-insert hazard is an insert deleting a handle between
         # capture and dispatch. Once the program is enqueued the runtime
@@ -1811,6 +1864,11 @@ class DeviceIndexManager:
         return PackedDispatch(
             flat_raw=flat_raw,
             sig=sig,
+            # resolved under the lock: "none" means the separate IVF
+            # dispatch carries the dense lane
+            served_chunk_mode=(
+                "ivf" if chunk_mode == "none" else chunk_mode
+            ),
             extra_dense=ivf_dense,
             chunk_snap=chunk_snap,
             artifact_snap=artifact_snap,

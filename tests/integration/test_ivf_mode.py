@@ -22,15 +22,27 @@ TOPICS = [
 
 @pytest.fixture()
 def ivf_corpus(tmp_store, monkeypatch):
+    from cadence_rag_tpu.ingest.ingest import ingest_analysis
+    from cadence_rag_tpu.schemas import AnalysisArtifactIn
+
     monkeypatch.setattr(tmp_store, "dense_ivf_enabled", True)
     monkeypatch.setattr(tmp_store, "ivf_min_rows", 8)  # tiny for tests
     for i in range(12):
-        ingest_transcript(
+        cid, _, _ = ingest_transcript(
             CallRef(external_id=f"ivf-{i}"),
             [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
                          text=f"{TOPICS[i % len(TOPICS)]} variation {i}")],
             OPTS,
         )
+    # BOTH corpora must be populated: an empty artifacts corpus routes
+    # dispatch through the cold-start fallback, which serves a planner
+    # "ivf" choice as ann — these tests must exercise the real packed
+    # IVF dispatch (and the served-mode label that comes back from it)
+    ingest_analysis(
+        CallRef(external_id="ivf-0"),
+        [AnalysisArtifactIn(kind="summary",
+                            content="object store incident summary")],
+    )
     run_embedding_backfill(batch_size=8)
     return tmp_store
 
@@ -173,3 +185,45 @@ class TestDiagnosticsSurface:
         ivf = body["index"]["ivf"]
         assert ivf["n_clusters"] == 4 and ivf["usable"] is True
         assert body["index"]["mesh"] is None
+
+
+class TestMidFlightInvalidation:
+    def test_notes_report_served_mode_after_downgrade(self, ivf_corpus):
+        """Planner picks ivf; a compaction invalidates the index before
+        dispatch; the response notes must report the mode that actually
+        SERVED (ann), not the planned label (review finding)."""
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.engine import retrieve as eng
+
+        index = get_index()
+        index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        req = RetrieveRequest(query="ECONNRESET object store gateway",
+                              return_style="ids_only", debug=True)
+        plans = eng._prepare_plans([req])
+        assert plans[0].chunk_mode == "ivf"
+        index.chunks.ivf = None  # what a mid-flight compaction does
+        responses = eng._finish_plans(plans, eng._dispatch_plans(plans))
+        modes = responses[0]["debug"]["dense"]["modes"]
+        assert modes["chunks"] == "ann"
+        assert responses[0]["retrieved_ids"]
+
+    def test_build_aborts_when_compaction_renumbers_rows(
+            self, ivf_corpus, monkeypatch):
+        """A compaction/restore that renumbers rows while k-means runs
+        outside the lock must abort the build — installing buckets built
+        from pre-compact positions would silently return wrong doc_ids
+        from the dense lane (review finding)."""
+        import cadence_rag_tpu.core.index as index_mod
+        from cadence_rag_tpu.core.index import get_index
+
+        corpus = get_index().chunks
+        real_kmeans = index_mod.kmeans
+
+        def racing_kmeans(*args, **kwargs):
+            corpus._pos_gen += 1  # a compaction landed mid-clustering
+            return real_kmeans(*args, **kwargs)
+
+        monkeypatch.setattr(index_mod, "kmeans", racing_kmeans)
+        with pytest.raises(RuntimeError, match="row positions changed"):
+            corpus.build_ivf(n_clusters=4, nprobe=4)
+        assert corpus.ivf is None  # nothing stale installed
