@@ -54,6 +54,20 @@ HEAVY_KEYS = ("emb", "lex", "tech")
 SCALAR_KEYS = ("ids", "call", "started", "has_emb")
 SHARD_EMB_BYTES = 256 * 1024 * 1024
 
+# One save at a time per target directory: generation is derived by
+# re-reading meta.json, so two concurrent saves (e.g. an in-flight
+# block=False writer plus a second call) would pick the SAME generation,
+# interleave writes on the same filenames, and prune each other's
+# in-progress files.
+_save_locks: Dict[str, threading.Lock] = {}
+_save_locks_guard = threading.Lock()
+
+
+def _save_lock(path) -> threading.Lock:
+    key = str(Path(path).resolve())
+    with _save_locks_guard:
+        return _save_locks.setdefault(key, threading.Lock())
+
 
 def _active_vocab():
     from ..ingest import featurize
@@ -177,6 +191,8 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
 
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
+    save_lock = _save_lock(out)
+    save_lock.acquire()  # released before every return/raise below
     generation = 0
     meta_path = out / "meta.json"
     if meta_path.exists():
@@ -189,6 +205,18 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
     from ..ops.hashing import TECH_LAYOUT_VERSION
 
     gen = f"g{generation:04d}"
+    # a previous save at this generation may have CRASHED after
+    # followers wrote their shard files but before the meta flip (no
+    # prune ran, meta still names the prior generation) — the
+    # completion poll below checks file EXISTENCE, so stale same-name
+    # files would let the leader flip meta while followers are still
+    # writing fresh content. Remove them before any follower starts
+    # (follower writes are ordered after the leader's op-log emit).
+    for stale in out.glob(f"*.{gen}.*"):
+        try:
+            stale.unlink()
+        except OSError:
+            pass
     meta: Dict = {
         "format_version": MULTIHOST_FORMAT_VERSION,
         "generation": generation,
@@ -243,6 +271,7 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
     missing = [n for n in expected if not (out / n).exists()]
     while missing:
         if _time.monotonic() > deadline:
+            save_lock.release()
             raise TimeoutError(
                 f"multi-host checkpoint: {len(missing)} shard file(s) "
                 f"never appeared (shared filesystem required): "
@@ -260,6 +289,7 @@ def _save_index_multihost(path: str, index, timeout_s: float = 600.0) -> Dict:
                 stale.unlink()
             except OSError:
                 pass
+    save_lock.release()
     return meta
 
 
@@ -317,6 +347,8 @@ def save_index(
         return _save_index_multihost(path, index)
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
+    save_lock = _save_lock(out)
+    save_lock.acquire()  # released by write() below
     generation = 0
     meta_path = out / "meta.json"
     if meta_path.exists():
@@ -347,17 +379,26 @@ def save_index(
     meta["lex_vocab_head"] = int(vocab.size) if vocab is not None else 0
     meta["lex_vocab_sha"] = _vocab_digest(vocab)
     snapshots = {}
-    for corpus in (index.chunks, index.artifacts):
-        arrays = corpus.state_arrays()  # locked device->host copy
-        meta["counts"][corpus.name] = corpus.count
-        n = int(arrays["ids"].shape[0])
-        emb_row_bytes = max(arrays["emb"][:1].nbytes, 1) if n else 1
-        rows_per_shard = max(1, SHARD_EMB_BYTES // emb_row_bytes)
-        n_shards = max(1, -(-n // rows_per_shard)) if n else 1
-        meta["shards"][corpus.name] = n_shards
-        snapshots[corpus.name] = (arrays, n, rows_per_shard, n_shards)
+    try:
+        for corpus in (index.chunks, index.artifacts):
+            arrays = corpus.state_arrays()  # locked device->host copy
+            n = int(arrays["ids"].shape[0])
+            # the SNAPSHOT's row count, not corpus.count re-read after
+            # the lock released: a concurrent ingest between the two
+            # would make meta disagree with the shard rows and fail
+            # every restore of this generation
+            meta["counts"][corpus.name] = n
+            emb_row_bytes = max(arrays["emb"][:1].nbytes, 1) if n else 1
+            rows_per_shard = max(1, SHARD_EMB_BYTES // emb_row_bytes)
+            n_shards = max(1, -(-n // rows_per_shard)) if n else 1
+            meta["shards"][corpus.name] = n_shards
+            snapshots[corpus.name] = (arrays, n, rows_per_shard, n_shards)
+    except BaseException:
+        save_lock.release()  # write() never starts; don't leak the lock
+        raise
 
     def write() -> None:
+      try:
         import os
 
         gen = f"g{generation:04d}"
@@ -388,6 +429,8 @@ def save_index(
                     stale.unlink()
                 except OSError:
                     pass
+      finally:
+        save_lock.release()
 
     if block:
         write()

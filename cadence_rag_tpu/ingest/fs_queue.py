@@ -338,7 +338,9 @@ def get_ingest_job(job_id: str) -> Dict[str, Any]:
             "SELECT * FROM ingest_jobs WHERE ingest_job_id = ?", (str(job_id),)
         ).fetchone()
         if not row:
-            raise KeyError(f"ingest job not found: {job_id}")
+            from ..utils.errors import ApiError
+
+            raise ApiError(404, f"ingest job not found: {job_id}")
         files = conn.execute(
             "SELECT * FROM ingest_job_files WHERE ingest_job_id = ? ORDER BY path",
             (str(job_id),),
@@ -442,6 +444,16 @@ def _wrap_single_file(path: Path, inbox: Path) -> Path:
 def _record_invalid(bundle_dir: Path, failed_dir: Path, error: str) -> None:
     bundle_id = _sanitize_bundle_id(bundle_dir.name)
     job_id, created = create_or_get_job(bundle_id, str(bundle_dir), None)
+    if not created:
+        # bundle_id already has a job (e.g. an operator re-dropped a
+        # directory with a used name): flipping THAT row to 'invalid'
+        # would clobber a succeeded/queued job's status and repoint its
+        # bundle_path at the re-dropped copy — record this drop under
+        # its own id instead
+        job_id, _ = create_or_get_job(
+            f"{bundle_id}-dup-{uuid.uuid4().hex[:8]}",
+            str(bundle_dir), None,
+        )
     update_job_status(job_id, "invalid", error=error)
     moved = _move(bundle_dir, failed_dir)
     update_job_status(job_id, "invalid", bundle_path=str(moved))
@@ -602,6 +614,27 @@ def work_once(worker_id: str = "worker") -> Optional[str]:
         return None
     try:
         status = process_ingest_job(message["job_id"])
-    finally:
+    except Exception as exc:
+        # an exception ESCAPING process_ingest_job (its own handlers
+        # failed — e.g. the bundle dir vanished mid-move) used to be
+        # acked by a bare finally, stranding the job in 'running'
+        # forever with no queue message left to recover it. Mark it
+        # failed so the state machine terminates, then ack (redelivering
+        # a message whose handler crashes deterministically would loop).
+        logger.exception(
+            "ingest_worker.job_crashed job=%s", message["job_id"]
+        )
+        try:
+            update_job_status(
+                message["job_id"], "failed",
+                error=f"worker crashed: {exc}",
+            )
+        except Exception:
+            logger.exception(
+                "ingest_worker.crash_status_update_failed job=%s",
+                message["job_id"],
+            )
         ack(message["message_id"])
+        return "failed"
+    ack(message["message_id"])
     return status

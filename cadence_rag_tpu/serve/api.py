@@ -115,8 +115,6 @@ class Router:
                     status, payload = exc.status, {"detail": exc.detail}
                 except ValidationError as exc:
                     status, payload = 422, {"detail": exc.errors(include_url=False)}
-                except KeyError as exc:
-                    status, payload = 404, {"detail": str(exc.args[0] if exc.args else exc)}
                 except Exception:
                     logger.exception(
                         "request.failed method=%s path=%s", method, path
@@ -234,6 +232,13 @@ def ingest_transcript_batch_endpoint(req: Request):
         except ApiError as exc:
             failed += 1
             results.append({"error": exc.detail, "status": exc.status})
+        except Exception:
+            # the endpoint's contract is per-item results: an unexpected
+            # failure on item N must not abort items N+1.. with a bare
+            # 500 and no record of what landed
+            logger.exception("ingest.batch_item_failed")
+            failed += 1
+            results.append({"error": "internal error", "status": 500})
     return 200, {"items": results, "failed": failed}
 
 
@@ -251,15 +256,24 @@ def ingest_analysis_endpoint(req: Request):
     return 200, {"call_id": call_id, "artifacts_created": created}
 
 
+def _parse_limit(req: Request, default: str = "50") -> int:
+    try:
+        limit = int(req.q1("limit", default))
+    except ValueError as exc:
+        # client input error, not a 500 (int('abc') raised out of the
+        # handler and hit the generic 500 path + error metrics)
+        raise ApiError(422, "limit must be an integer") from exc
+    if not 1 <= limit <= 200:
+        raise ApiError(422, "limit must be in [1, 200]")
+    return limit
+
+
 def list_jobs_endpoint(req: Request):
     status = req.q1("status")
     allowed = {"queued", "running", "succeeded", "failed", "invalid"}
     if status is not None and status not in allowed:
         raise ApiError(400, "invalid ingest job status filter")
-    limit = int(req.q1("limit", "50"))
-    if not 1 <= limit <= 200:
-        raise ApiError(422, "limit must be in [1, 200]")
-    return 200, list_ingest_jobs(status=status, limit=limit)
+    return 200, list_ingest_jobs(status=status, limit=_parse_limit(req))
 
 
 def get_job_endpoint(req: Request):
@@ -271,11 +285,8 @@ def get_job_endpoint(req: Request):
 
 
 def list_calls_endpoint(req: Request):
-    limit = int(req.q1("limit", "50"))
-    if not 1 <= limit <= 200:
-        raise ApiError(422, "limit must be in [1, 200]")
     return 200, list_calls(
-        limit=limit,
+        limit=_parse_limit(req),
         cursor=req.q1("cursor"),
         date_from=_parse_dt(req.q1("date_from")),
         date_to=_parse_dt(req.q1("date_to")),

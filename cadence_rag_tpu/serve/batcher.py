@@ -56,7 +56,12 @@ class RetrieveBatcher:
             elif self._flusher is None or self._flusher.done():
                 self._flusher = asyncio.create_task(self._delayed_flush())
         if batch is not None:
-            await self._dispatch(batch)
+            # shield: this coroutine runs inside ONE client's handler
+            # task — if that client disconnects, aiohttp cancels the
+            # task, and an unshielded dispatch would unwind without
+            # resolving the other max_batch-1 waiters' futures (they
+            # would hang forever)
+            await asyncio.shield(self._dispatch(batch))
         return await future
 
     async def _delayed_flush(self) -> None:
@@ -101,10 +106,21 @@ class RetrieveBatcher:
                 return finish_evidence_batch(handle)
 
             responses = await loop.run_in_executor(_ENGINE, stage_finish)
-        except Exception as exc:  # propagate to every waiter
+        except BaseException as exc:  # propagate to every waiter —
+            # including CancelledError (BaseException since py3.8):
+            # unwinding without resolving the futures strands every
+            # other request in the batch. Cancellation is wrapped so the
+            # OTHER waiters' handler tasks see a normal 500, not a
+            # CancelledError that would silently drop their responses.
+            fan = (
+                exc if isinstance(exc, Exception)
+                else RuntimeError("retrieve batch dispatch cancelled")
+            )
             for _, future in batch:
                 if not future.done():
-                    future.set_exception(exc)
+                    future.set_exception(fan)
+            if not isinstance(exc, Exception):
+                raise
             return
         for (_, future), response in zip(batch, responses):
             if not future.done():

@@ -48,18 +48,67 @@ def make_app():
                         {"detail": "invalid JSON body"}, status=400
                     )
 
-        # micro-batched /retrieve fast path
+        # micro-batched /retrieve fast path. It bypasses Router.dispatch,
+        # so it must reproduce the router's contract itself: request-ID
+        # contextvar + response header, metrics observation under the
+        # same family, and the JSON error mapping — otherwise the
+        # hottest route records zero traffic in /metrics exactly in the
+        # deployment mode built for throughput.
         if (
             batcher is not None
             and request.method == "POST"
             and request.path == "/retrieve"
         ):
+            import time as _time
+            import uuid as _uuid
+
+            from ..logging_utils import (
+                get_logger,
+                reset_request_id,
+                set_request_id,
+            )
+            from ..utils.errors import ApiError
+            from .metrics import registry
+
+            request_id = (
+                request.headers.get("X-Request-ID") or _uuid.uuid4().hex
+            )
+            rid_headers = {"x-request-id": request_id}
+            token = set_request_id(request_id)
+            t0 = _time.perf_counter()
+            status = 200
             try:
-                payload = RetrieveRequest.model_validate(body)
-            except Exception as exc:
-                return web.json_response({"detail": str(exc)}, status=422)
-            result = await batcher.submit(payload)
-            return web.json_response(result)
+                try:
+                    payload = RetrieveRequest.model_validate(body)
+                except Exception as exc:
+                    status = 422
+                    return web.json_response(
+                        {"detail": str(exc)}, status=422, headers=rid_headers
+                    )
+                try:
+                    result = await batcher.submit(payload)
+                except ApiError as exc:
+                    status = exc.status
+                    return web.json_response(
+                        {"detail": exc.detail}, status=exc.status,
+                        headers=rid_headers,
+                    )
+                except Exception:
+                    get_logger(__name__).exception(
+                        "request.failed method=POST path=/retrieve"
+                    )
+                    status = 500
+                    return web.json_response(
+                        {"detail": "internal error"}, status=500,
+                        headers=rid_headers,
+                    )
+                return web.json_response(result, headers=rid_headers)
+            finally:
+                registry.observe(
+                    "POST /retrieve", _time.perf_counter() - t0,
+                    error=status >= 500,
+                )
+                reset_request_id(token)
         status, payload, headers = await asyncio.get_event_loop().run_in_executor(
             None,
             lambda: router.dispatch(

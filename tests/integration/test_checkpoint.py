@@ -246,3 +246,25 @@ class TestCheckpoint:
             RetrieveRequest(query="azure migration", return_style="ids_only")
         )
         assert resp["retrieved_ids"]
+
+
+class TestConcurrentSaves:
+    def test_async_saves_serialize_and_generations_advance(
+            self, populated, tmp_path):
+        """Two overlapping save_index calls must not pick the same
+        generation and interleave writes on the same filenames (review
+        finding: generation derives from re-reading meta.json, and an
+        in-flight block=False writer hasn't flipped it yet). The
+        per-path save lock serializes them."""
+        snap = str(tmp_path / "snap")
+        m1 = save_index(snap, block=False)
+        m2 = save_index(snap, block=False)  # blocks until writer 1 done
+        m1["_writer"].join(timeout=60)
+        m2["_writer"].join(timeout=60)
+        assert m2["generation"] == m1["generation"] + 1
+        # the surviving (latest) generation restores cleanly
+        from cadence_rag_tpu.core.index import get_index, reset_index
+
+        reset_index()
+        restore_index(snap)
+        assert get_index().chunks.count > 0

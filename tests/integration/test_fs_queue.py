@@ -289,3 +289,51 @@ class TestAutoManifestInference:
 
         resp = retrieve_evidence(RetrieveRequest(query="ECONNRESET storm gateway"))
         assert resp["quotes"] and resp["artifacts"]
+
+
+class TestInvalidRecordIsolation:
+    def test_duplicate_redrop_does_not_clobber_original_job(
+            self, ingest_root):
+        """A re-dropped bundle with a used bundle_id is recorded invalid
+        under its OWN job row; the original (succeeded) job keeps its
+        status and bundle_path (review finding: create_or_get_job
+        returned the original row and _record_invalid overwrote it)."""
+        _write_bundle(ingest_root, "redrop")
+        scan_inbox_once(ingest_root)
+        assert work_once() == "succeeded"
+        original = fs_queue.list_ingest_jobs()["items"][0]
+        assert original["status"] == "succeeded"
+
+        _write_bundle(ingest_root, "redrop")
+        stats = scan_inbox_once(ingest_root)
+        assert stats["invalid"] == 1
+        jobs = fs_queue.list_ingest_jobs()["items"]
+        by_id = {j["ingest_job_id"]: j for j in jobs}
+        # original untouched
+        assert by_id[original["ingest_job_id"]]["status"] == "succeeded"
+        assert (by_id[original["ingest_job_id"]]["bundle_path"]
+                == original["bundle_path"])
+        # the duplicate drop has its own invalid record
+        invalid = [j for j in jobs if j["status"] == "invalid"]
+        assert len(invalid) == 1
+        assert invalid[0]["ingest_job_id"] != original["ingest_job_id"]
+
+    def test_worker_crash_marks_job_failed_not_running(
+            self, ingest_root, monkeypatch):
+        """An exception ESCAPING process_ingest_job must not strand the
+        job in 'running' with the queue message acked (review finding:
+        bare finally-ack)."""
+        _write_bundle(ingest_root, "crash")
+        scan_inbox_once(ingest_root)
+        import cadence_rag_tpu.ingest.fs_queue as fsq
+
+        def boom(job_id):
+            raise OSError("disk gone")
+
+        monkeypatch.setattr(fsq, "process_ingest_job", boom)
+        assert fsq.work_once() == "failed"
+        job = fs_queue.list_ingest_jobs()["items"][0]
+        assert job["status"] == "failed"
+        assert "worker crashed" in (job["error"] or "")
+        # message acked: nothing left to claim
+        assert fsq.claim_next("w2") is None
