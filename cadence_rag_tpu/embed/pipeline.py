@@ -72,8 +72,13 @@ def infer_batch_size_limit(error_message: str) -> Optional[int]:
 
 
 def embed_texts_adaptive(
-    texts: Sequence[str], batch_size: int
+    texts: Sequence[str], batch_size: int,
+    learned: Optional[Dict[str, int]] = None,
 ) -> EmbeddingResult:
+    """``learned`` (optional dict) receives the final downshifted batch
+    size under "batch_size" so a long backfill can carry the provider's
+    real limit across pages instead of re-triggering the same oversized
+    failure on every page."""
     cleaned = [t.strip() for t in texts if isinstance(t, str) and t.strip()]
     if not cleaned:
         raise EmbeddingError("embedding request requires at least one non-empty text")
@@ -98,6 +103,8 @@ def embed_texts_adaptive(
         vectors.extend(result.vectors)
         model = result.model
         index = upper
+    if learned is not None:
+        learned["batch_size"] = current
     return EmbeddingResult(vectors, model)
 
 
@@ -197,18 +204,35 @@ def run_embedding_backfill(
     calls: Set[str] = set()
     model = settings.embeddings_model_id
     per_table: Dict[str, int] = {}
+    learned = {"batch_size": max(1, int(batch_size))}
     for spec in TABLE_SPECS:
         updated = 0
         while True:
             rows = _pending_rows(spec, batch_size, call_id)
             if not rows:
                 break
+            # SQLite trim() strips only spaces; a '\n'- or '\xa0'-only
+            # text passes the SQL pending filter but would be dropped by
+            # the Python-side strip in embed_texts_adaptive — fewer
+            # vectors than rows then wedged the backfill forever on the
+            # same page. Blank texts carry no dense signal: store a zero
+            # vector so the row leaves the pending set.
+            blank = [r for r in rows if not str(r["content"] or "").strip()]
+            live = [r for r in rows if str(r["content"] or "").strip()]
+            if blank:
+                dim = int(settings.embeddings_dim)
+                _write_vectors(spec, blank, [[0.0] * dim] * len(blank))
+                calls.update(row["call_id"] for row in blank)
+                updated += len(blank)
+            if not live:
+                continue
             result = embed_texts_adaptive(
-                [row["content"] for row in rows], batch_size=batch_size
+                [row["content"] for row in live],
+                batch_size=learned["batch_size"], learned=learned,
             )
-            _write_vectors(spec, rows, result.vectors)
-            calls.update(row["call_id"] for row in rows)
-            updated += len(rows)
+            _write_vectors(spec, live, result.vectors)
+            calls.update(row["call_id"] for row in live)
+            updated += len(live)
             model = result.model
         per_table[spec.table] = updated
         total += updated

@@ -79,6 +79,18 @@ def list_calls(
     elif external_source:
         clauses.append("external_source = ?")
         params.append(external_source)
+    if tags:
+        # tag overlap in SQL via the inverted tag map (the reference's
+        # `tags && :arr` before LIMIT) — filtering AFTER fetching
+        # limit+1 rows returned under-filled pages and terminated
+        # pagination early whenever a page's newest rows lacked the tag
+        wanted = sorted({str(t) for t in tags})
+        placeholders = ",".join("?" * len(wanted))
+        clauses.append(
+            f"call_seq IN (SELECT call_seq FROM call_tags "
+            f"WHERE tag IN ({placeholders}))"
+        )
+        params.extend(wanted)
     if cursor:
         c_started, c_call = _decode_cursor(cursor)
         clauses.append("(started_at < ? OR (started_at = ? AND call_id < ?))")
@@ -92,15 +104,6 @@ def list_calls(
             f"ORDER BY started_at DESC, call_id DESC LIMIT ?",
             [*params, limit + 1],
         ).fetchall()
-
-    # tag overlap filter (jsonb && in the reference) applied post-query;
-    # page fill-up keeps keyset semantics by over-fetching
-    if tags:
-        wanted = set(tags)
-        rows = [
-            r for r in rows
-            if set(from_json(r["tags"]) or []) & wanted
-        ]
 
     next_cursor = None
     if len(rows) > limit:
@@ -185,7 +188,10 @@ def expand_evidence(
 ) -> Dict[str, Any]:
     store = get_store()
     if evidence_id.startswith("Q-"):
-        chunk_id = int(evidence_id.split("-", 1)[1])
+        try:
+            chunk_id = int(evidence_id.split("-", 1)[1])
+        except ValueError as exc:
+            raise ApiError(400, "unsupported evidence_id") from exc
         with store.read() as conn:
             chunk = conn.execute(
                 "SELECT chunk_id, call_id, start_ts_ms, end_ts_ms "
@@ -231,7 +237,10 @@ def expand_evidence(
         }
 
     if evidence_id.startswith("A-"):
-        artifact_chunk_id = int(evidence_id.split("-", 1)[1])
+        try:
+            artifact_chunk_id = int(evidence_id.split("-", 1)[1])
+        except ValueError as exc:
+            raise ApiError(400, "unsupported evidence_id") from exc
         with store.read() as conn:
             row = conn.execute(
                 "SELECT artifact_chunk_id, artifact_id, call_id, kind, content "

@@ -52,10 +52,12 @@ _MD_TS_RE = re.compile(r"^\*(?P<min>\d{1,3}):(?P<sec>\d{2})\*\s*$")
 
 # --------------------------------------------------------------- helpers ----
 
-def _to_ms(value: Any) -> Optional[int]:
-    """Heuristic normalization to milliseconds: numeric strings parsed;
-    values that look like seconds (< 1e7 with fraction, or small) scaled;
-    already-ms values passed through (reference: ingest_adapters.py:548-574)."""
+def _to_ms(value: Any, key: Optional[str] = None) -> Optional[int]:
+    """Heuristic normalization to milliseconds, KEY-AWARE like the
+    reference (ingest_adapters.py:548-574): a key naming ms passes
+    numeric values through unscaled; otherwise numeric strings are
+    parsed, values that look like seconds (small, fractional, or
+    epoch-second magnitude) are scaled, and already-ms values pass."""
     if value is None:
         return None
     if isinstance(value, str):
@@ -78,10 +80,16 @@ def _to_ms(value: Any) -> Optional[int]:
         v = float(value)
         if v < 0:
             return None
+        if key is not None and "ms" in key:
+            # the field SAYS milliseconds — never rescale (a 5000 ms
+            # start under the old value-only heuristic became 5000 s)
+            return int(round(v))
         # fractional values are seconds; large integers are already ms
         if isinstance(value, float) and not value.is_integer():
             return int(round(v * 1000))
         if v < 100_000:  # < ~28 hours expressed in seconds
+            return int(v * 1000)
+        if 1e9 <= v < 1e11:  # epoch-second magnitude (1973..5138)
             return int(v * 1000)
         return int(v)
     return None
@@ -94,14 +102,25 @@ def _first_key(obj: Dict[str, Any], keys) -> Optional[Any]:
     return None
 
 
+def _first_keyed(obj: Dict[str, Any], keys):
+    """(key, value) of the first present key — _to_ms needs the KEY to
+    honor explicit-ms field names."""
+    for key in keys:
+        if key in obj and obj[key] is not None:
+            return key, obj[key]
+    return None, None
+
+
 def _normalize_turn(obj: Dict[str, Any], prev_end_ms: int) -> Optional[UtteranceIn]:
     text = _first_key(obj, TEXT_KEYS)
     if not isinstance(text, str) or not text.strip():
         return None
     speaker = _first_key(obj, SPEAKER_KEYS)
     speaker_id = _first_key(obj, SPEAKER_ID_KEYS)
-    start = _to_ms(_first_key(obj, START_KEYS))
-    end = _to_ms(_first_key(obj, END_KEYS))
+    start_key, start_val = _first_keyed(obj, START_KEYS)
+    end_key, end_val = _first_keyed(obj, END_KEYS)
+    start = _to_ms(start_val, start_key)
+    end = _to_ms(end_val, end_key)
     if start is None:
         start = prev_end_ms
     if end is None or end < start:
@@ -281,8 +300,13 @@ def _docx_to_text(path: Path) -> str:
             return docx_to_text(Path(path))
         except ExtractionError as exc:
             raise AdapterError(str(exc)) from exc
-    document = docx.Document(str(path))
-    return "\n\n".join(p.text for p in document.paragraphs if p.text.strip())
+    try:
+        document = docx.Document(str(path))
+        return "\n\n".join(
+            p.text for p in document.paragraphs if p.text.strip()
+        )
+    except Exception as exc:  # corrupt/invalid file under python-docx
+        raise AdapterError(f"docx extraction failed: {exc}") from exc
 
 
 def _pdf_text_quality(text: str) -> float:
@@ -301,23 +325,39 @@ def _should_run_ocr(text: str) -> bool:
 
 
 def _pdf_via_ocr(path: Path) -> str:
-    cmd = [
-        settings.analysis_pdf_ocr_command,
-        "--sidecar", "-",
-        "--force-ocr",
-        "-l", settings.analysis_pdf_ocr_languages,
-        str(path), "-",
-    ]
-    try:
-        proc = subprocess.run(
-            cmd,
-            capture_output=True,
-            timeout=int(settings.analysis_pdf_ocr_timeout_s),
-            check=True,
-        )
-    except (subprocess.SubprocessError, OSError) as exc:
-        raise AdapterError(f"pdf OCR failed: {exc}") from exc
-    return proc.stdout.decode("utf-8", errors="replace").strip()
+    # sidecar and output go to TEMP FILES, matching the reference
+    # (ingest_adapters.py:224-273): real ocrmypdf rejects `--sidecar -`
+    # combined with output `-` (two streams cannot share stdout), so the
+    # previous both-to-stdout invocation failed on every real install
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sidecar = Path(td) / "sidecar.txt"
+        out_pdf = Path(td) / "ocr.pdf"
+        cmd = [
+            settings.analysis_pdf_ocr_command,
+            "--sidecar", str(sidecar),
+            "--force-ocr",
+            "-l", settings.analysis_pdf_ocr_languages,
+            str(path), str(out_pdf),
+        ]
+        try:
+            subprocess.run(
+                cmd,
+                capture_output=True,
+                timeout=int(settings.analysis_pdf_ocr_timeout_s),
+                check=True,
+            )
+        except (subprocess.SubprocessError, OSError) as exc:
+            raise AdapterError(f"pdf OCR failed: {exc}") from exc
+        try:
+            return sidecar.read_text(
+                encoding="utf-8", errors="replace"
+            ).strip()
+        except OSError as exc:
+            raise AdapterError(
+                f"pdf OCR produced no sidecar text: {exc}"
+            ) from exc
 
 
 def _pdf_to_text(path: Path) -> str:
@@ -325,9 +365,18 @@ def _pdf_to_text(path: Path) -> str:
     try:
         import pypdf  # noqa: PLC0415
 
-        reader = pypdf.PdfReader(str(path))
-        pages = reader.pages[: int(settings.analysis_pdf_ocr_max_pages)]
-        text = "\n\n".join((page.extract_text() or "") for page in pages).strip()
+        try:
+            reader = pypdf.PdfReader(str(path))
+            pages = reader.pages[: int(settings.analysis_pdf_ocr_max_pages)]
+            text = "\n\n".join(
+                (page.extract_text() or "") for page in pages
+            ).strip()
+        except Exception as exc:  # corrupt/encrypted file under pypdf
+            # same contract as the vendored extractor's ExtractionError:
+            # typed error when OCR can't rescue, else fall to the gate
+            if not settings.analysis_pdf_ocr_enabled:
+                raise AdapterError(f"pdf extraction failed: {exc}") from exc
+            text = ""
     except ImportError:
         # vendored stdlib extractor for digital PDFs (reference: pypdf at
         # ingest_adapters.py:167-182); scanned PDFs yield "" and fall
@@ -342,7 +391,14 @@ def _pdf_to_text(path: Path) -> str:
             if not settings.analysis_pdf_ocr_enabled:
                 raise AdapterError(str(exc)) from exc
     if settings.analysis_pdf_ocr_enabled and _should_run_ocr(text):
-        ocr_text = _pdf_via_ocr(path)
+        try:
+            ocr_text = _pdf_via_ocr(path)
+        except AdapterError:
+            if text:
+                # soft-fail like the reference: usable extracted text
+                # beats a hard error when the OCR binary misbehaves
+                return text
+            raise
         # keep whichever extraction looks better (reference quality gate:
         # ingest_adapters.py:276-293)
         if len(ocr_text) > len(text) or (

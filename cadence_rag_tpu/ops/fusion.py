@@ -52,6 +52,13 @@ def rrf_merge_arrays(
     cost ~16 ms per 64-query batch on the 1-core serving host (profiled).
     """
     lane_names = tuple(lanes.keys())
+    if len(lane_names) > 8:
+        # lane provenance rides a uint8 bitmask (bit = 1 << lane index);
+        # a 9th lane would overflow under numpy 2 — widen the mask dtype
+        # before adding lanes (serving uses 3)
+        raise ValueError(
+            f"rrf merge supports at most 8 lanes, got {len(lane_names)}"
+        )
     parts = []
     contribs = []
     bits = []
@@ -119,6 +126,10 @@ def rrf_merge_batch(
     names_per_plan: List[Tuple[str, ...]] = []
     for p, lanes in enumerate(per_plan_lanes):
         names = tuple(lanes.keys())
+        if len(names) > 8:
+            raise ValueError(
+                f"rrf merge supports at most 8 lanes, got {len(names)}"
+            )
         names_per_plan.append(names)
         for i, name in enumerate(names):
             ids = np.asarray(lanes[name], dtype=np.int64)
@@ -216,6 +227,10 @@ def rrf_merge_rect(
     sequence and the first-occurrence tiebreak are unchanged (tested
     bitwise against rrf_merge_batch)."""
     names = tuple(lanes.keys())
+    if len(names) > 8:
+        raise ValueError(
+            f"rrf merge supports at most 8 lanes, got {len(names)}"
+        )
     n_plans = next(iter(lanes.values()))[0].shape[0] if lanes else 0
 
     from ..native import rrf as native_rrf

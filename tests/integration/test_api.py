@@ -357,3 +357,28 @@ class TestBatchIngest:
         assert body["failed"] == 1
         assert body["items"][0]["chunks_created"] >= 1
         assert body["items"][1]["status"] == 404  # unknown call_id
+
+
+class TestTagPagination:
+    def test_tag_filter_reaches_past_untagged_pages(self, client):
+        """Tag filtering happens in SQL before LIMIT (reference
+        `tags && :arr`): with many newer untagged calls, a tag-filtered
+        first page must still return the older tagged calls (the old
+        post-fetch filter returned an empty page and a dead cursor)."""
+        for i in range(15):
+            client.post("/ingest/call", json={
+                "call_ref": {"external_id": f"untagged-{i}"},
+            })
+        for i in range(3):
+            client.post("/ingest/call", json={
+                "call_ref": {"external_id": f"tagged-{i}",
+                             "tags": ["needle"]},
+            })
+        for i in range(15):
+            client.post("/ingest/call", json={
+                "call_ref": {"external_id": f"later-{i}"},
+            })
+        resp = client.get("/calls?tags=needle&limit=10")
+        assert resp.status_code == 200
+        got = {c["external_id"] for c in resp.json()["items"]}
+        assert got == {"tagged-0", "tagged-1", "tagged-2"}

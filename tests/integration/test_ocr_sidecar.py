@@ -4,8 +4,10 @@ The ocrmypdf binary is absent in this image, so prior coverage mocked
 `_pdf_via_ocr` — the subprocess plumbing, CLI contract, and quality
 arbitration had never executed (r2 missing #3). These tests install a
 FAKE ocrmypdf executable honoring the adapter's CLI contract
-(`ocrmypdf --sidecar - --force-ocr -l <langs> <input> -`, recognized
-text on stdout — reference contract: ingest_adapters.py:224-273) and
+(`ocrmypdf --sidecar <txt> --force-ocr -l <langs> <input> <pdf>`,
+recognized text written to the sidecar file — reference contract:
+ingest_adapters.py:224-273; sidecar and output CANNOT both be stdout
+on a real install) and
 drive the real `subprocess.run` path, the quality gate, and a full
 drop-folder ingest of a scanned (text-less) PDF.
 """
@@ -37,9 +39,16 @@ def fake_ocrmypdf(tmp_path, tmp_store, monkeypatch):
         "import json, sys\n"
         f"open({str(log)!r}, 'a').write(json.dumps(sys.argv[1:]) + '\\n')\n"
         "assert '--sidecar' in sys.argv and '--force-ocr' in sys.argv\n"
-        "infile = sys.argv[-2]\n"
+        "sidecar = sys.argv[sys.argv.index('--sidecar') + 1]\n"
+        # real ocrmypdf REJECTS sidecar-to-stdout combined with
+        # pdf-to-stdout (two streams can't share it) — the adapter must
+        # pass file paths for both
+        "assert sidecar != '-', 'sidecar must be a file path'\n"
+        "infile, outfile = sys.argv[-2], sys.argv[-1]\n"
         "assert infile.endswith('.pdf'), infile\n"
-        f"sys.stdout.write({OCR_TEXT!r})\n"
+        "assert outfile != '-', 'output must be a file path'\n"
+        f"open(sidecar, 'w').write({OCR_TEXT!r})\n"
+        "open(outfile, 'wb').write(b'%PDF-1.4 fake')\n"
     )
     exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
     monkeypatch.setattr(tmp_store, "analysis_pdf_ocr_enabled", True)

@@ -132,3 +132,24 @@ class TestAnalysisAdapters:
         path.write_text("   \n  ")
         with pytest.raises(AdapterError, match="no content"):
             load_analysis_content(path, "text")
+
+
+class TestToMsKeyAware:
+    def test_explicit_ms_key_never_rescaled(self):
+        """A field NAMED ms is milliseconds (reference _to_milliseconds
+        is key-aware): 5000 under start_ms is 5 s, not 5000 s."""
+        from cadence_rag_tpu.ingest.adapters import _auto_object
+
+        turns = [{"text": "hello world", "speaker": "A",
+                  "start_ms": 5000, "end_ms": 6000}]
+        utts = _auto_object({"turns": turns})
+        assert utts[0].start_ts_ms == 5000
+        assert utts[0].end_ts_ms == 6000
+
+    def test_epoch_seconds_scaled(self):
+        from cadence_rag_tpu.ingest.adapters import _to_ms
+
+        assert _to_ms(1_700_000_000, "start") == 1_700_000_000_000
+        assert _to_ms(5000, "start") == 5_000_000  # ambiguous: seconds
+        assert _to_ms(5000, "start_ms") == 5000
+        assert _to_ms(3_600_000, "start") == 3_600_000  # ms duration

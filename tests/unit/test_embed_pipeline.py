@@ -100,3 +100,47 @@ class TestLexicalFidelity:
         stats = result["overlap_at_k"]["2048"]
         assert stats["vs_feature_bm25"] >= 0.6, stats
         assert stats["top1_vs_feature"] >= 0.8, stats
+
+
+class TestWhitespaceOnlyRows:
+    def test_newline_only_text_cannot_wedge_backfill(self, tmp_store):
+        """SQLite trim() strips only spaces, so a '\\n'-only text passes
+        the SQL pending filter but Python-strips to empty — the old path
+        produced fewer vectors than rows and crashed EVERY subsequent
+        backfill at the same page. Such rows now get a zero vector and
+        leave the pending set (review finding)."""
+        from cadence_rag_tpu.ingest.ingest import ingest_transcript
+        from cadence_rag_tpu.schemas import (
+            CallRef,
+            ChunkingOptions,
+            UtteranceIn,
+        )
+        from cadence_rag_tpu.store.db import get_store
+
+        ingest_transcript(
+            CallRef(external_id="ws-1"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text="kafka lag resolved after the rebalance")],
+            ChunkingOptions(target_tokens=10, max_tokens=30,
+                            overlap_tokens=0),
+        )
+        store = get_store()
+        with store.tx() as conn:
+            row = conn.execute(
+                "SELECT chunk_id FROM chunks LIMIT 1"
+            ).fetchone()
+            # simulate a writer that stored a newline-only text
+            conn.execute(
+                "UPDATE chunks SET text=? WHERE chunk_id=?",
+                ("\n", int(row["chunk_id"])),
+            )
+        summary = run_embedding_backfill(batch_size=8)
+        assert summary.rows_updated >= 1
+        with store.read() as conn:
+            pending = conn.execute(
+                "SELECT COUNT(*) FROM chunks WHERE embedding IS NULL"
+            ).fetchone()[0]
+        assert pending == 0
+        # second run is a no-op, not a crash
+        again = run_embedding_backfill(batch_size=8)
+        assert again.rows_updated == 0
