@@ -184,7 +184,8 @@ class GrowthPrewarmer:
         capacity when the corpus is not near growth)."""
         frac = float(settings.prewarm_fill_fraction)
         min_cap = int(settings.prewarm_min_capacity)
-        batch = max((sig.batch for sig in self._sigs), default=128)
+        with self._lock:  # note_signature mutates the list concurrently
+            batch = max((sig.batch for sig in self._sigs), default=128)
 
         def target(corpus) -> int:
             cap = corpus.capacity
@@ -216,7 +217,8 @@ class GrowthPrewarmer:
         AOT compile would OOM its HLO temps and the client-side lowering
         of a multi-million-row program steals the serving host's core
         while failing, measured at 2M->4M on 16 GB.)"""
-        batch = max((sig.batch for sig in self._sigs), default=128)
+        with self._lock:  # note_signature mutates the list concurrently
+            batch = max((sig.batch for sig in self._sigs), default=128)
         free = free_hbm_bytes()
         need = 0.0
         for corpus, cap in ((self._manager.chunks, chunk_cap),
@@ -398,13 +400,29 @@ class GrowthPrewarmer:
                 executable = lowered.compile()
                 with self._lock:
                     self._compiled[(sig, chunk_cap, art_cap)] = executable
+                    cur = (self._manager.chunks.capacity,
+                           self._manager.artifacts.capacity)
+                    # bookkeeping for superseded capacities never matches
+                    # again (capacities only grow) — prune every pass so
+                    # _started/_planned stay bounded over process life
+                    self._started = {
+                        k for k in self._started
+                        if k[1] >= cur[0] and k[2] >= cur[1]
+                    }
+                    self._planned = {
+                        k: v for k, v in self._planned.items()
+                        if v >= (self._manager.chunks.capacity
+                                 if k[0] == "chunks"
+                                 else self._manager.artifacts.capacity)
+                    }
                     # prune executables for superseded capacities (each
-                    # holds a device program binary)
+                    # holds a device program binary). An entry is stale
+                    # when EITHER cap is below current for its corpus —
+                    # lexicographic comparison kept (high-chunk,
+                    # stale-artifact) entries that can never match
                     if len(self._compiled) > self._MAX_COMPILED:
-                        cur = (self._manager.chunks.capacity,
-                               self._manager.artifacts.capacity)
                         for key in list(self._compiled):
-                            if (key[1], key[2]) < cur:
+                            if key[1] < cur[0] or key[2] < cur[1]:
                                 del self._compiled[key]
                         while len(self._compiled) > self._MAX_COMPILED:
                             del self._compiled[next(iter(self._compiled))]
@@ -418,3 +436,8 @@ class GrowthPrewarmer:
                     "prewarm.failed chunk_cap=%s art_cap=%s", chunk_cap,
                     art_cap,
                 )
+                with self._lock:
+                    # let a later pass RETRY: a transient failure (e.g.
+                    # momentary HBM pressure) would otherwise blacklist
+                    # this signature via _started forever
+                    self._started.discard((sig, chunk_cap, art_cap))

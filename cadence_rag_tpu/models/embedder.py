@@ -363,6 +363,16 @@ class NeuralEmbeddingProvider:
         params_path = (settings.embedder_params_path or "").strip()
         if cfg is None and params_path:
             self.params, self.cfg = load_params(params_path)
+            if int(self.cfg.embed_dim) != int(settings.embeddings_dim):
+                # fail at STARTUP with the actual misconfig: otherwise
+                # every embed() returns wrong-width vectors, the provider
+                # facade raises per request, and retrieval silently
+                # degrades to lexical-only with no pointer to the cause
+                raise RuntimeError(
+                    f"embedder checkpoint {params_path} produces "
+                    f"{self.cfg.embed_dim}-d vectors but EMBEDDINGS_DIM="
+                    f"{settings.embeddings_dim}; retrain or fix the env"
+                )
             suffix = "-tuned"
         else:
             self.cfg = cfg or EmbedderConfig(
@@ -385,8 +395,21 @@ class NeuralEmbeddingProvider:
     def embed(self, texts: Sequence[str]):
         from ..embed.provider import EmbeddingResult
 
-        tokens = jnp.asarray(batch_tokenize(texts, self.cfg))
-        vectors = np.asarray(self._encode(self.params, tokens))
+        tokens = np.asarray(batch_tokenize(texts, self.cfg))
+        # pad the batch to a power of two: encode is jitted per token
+        # shape, and coalescing/adaptive backfill produce arbitrary
+        # batch sizes — each new size would pay a fresh XLA compile
+        # (minutes through the dev tunnel). O(log B) variants instead.
+        n = tokens.shape[0]
+        padded_n = 1
+        while padded_n < n:
+            padded_n *= 2
+        if padded_n != n:
+            tokens = np.concatenate(
+                [tokens, np.zeros((padded_n - n, tokens.shape[1]),
+                                  tokens.dtype)]
+            )
+        vectors = np.asarray(self._encode(self.params, jnp.asarray(tokens)))
         return EmbeddingResult(
-            vectors=[v.tolist() for v in vectors], model=self.model_id
+            vectors=[v.tolist() for v in vectors[:n]], model=self.model_id
         )

@@ -10,7 +10,7 @@ scores (SURVEY.md §2.4). Queries are replicated across "data".
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,7 @@ def _local_dense_topk(
     emb: jax.Array,          # (N/d, dim) local shard
     call_idx: jax.Array,     # (N/d,)
     started_sec: jax.Array,  # (N/d,)
+    has_emb: jax.Array,      # (N/d,) bool
     q_emb: jax.Array,        # (B, dim) replicated
     allowed_calls: jax.Array,
     date_min: jax.Array,
@@ -35,20 +36,15 @@ def _local_dense_topk(
     axis: str,
 ) -> Tuple[jax.Array, jax.Array]:
     shard_rows = emb.shape[0]
-    my_shard = jax.lax.axis_index(axis)
     mask = filter_mask(call_idx, started_sec, allowed_calls, date_min, date_max)
     scores = dense_scores(q_emb, emb)
-    local_scores, local_pos = masked_topk_exact(scores, mask, min(k, shard_rows))
-    global_pos = local_pos + my_shard * shard_rows
-    # merge: gather every shard's candidates, re-select top-k locally
-    all_scores = jax.lax.all_gather(local_scores, axis, axis=0)  # (d, B, k)
-    all_pos = jax.lax.all_gather(global_pos, axis, axis=0)
-    d, batch, kk = all_scores.shape
-    flat_scores = all_scores.transpose(1, 0, 2).reshape(batch, d * kk)
-    flat_pos = all_pos.transpose(1, 0, 2).reshape(batch, d * kk)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
-    top_pos = jnp.take_along_axis(flat_pos, top_idx, axis=1)
-    return top_scores, top_pos
+    # `embedding IS NOT NULL` parity like every other dense lane:
+    # without it, backfill-pending rows (zero vectors, score 0.0) can
+    # outrank real matches whose cosine is negative
+    local_scores, local_pos = masked_topk_exact(
+        scores, mask & has_emb[None, :], min(k, shard_rows)
+    )
+    return _merge_gathered(local_scores, local_pos, shard_rows, k, axis)
 
 
 def sharded_dense_topk(
@@ -62,9 +58,13 @@ def sharded_dense_topk(
     date_max: jax.Array,
     k: int,
     axis: str = "data",
+    has_emb: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over a corpus sharded on ``axis``. Returns
-    (scores (B,k), global positions (B,k))."""
+    (scores (B,k), global positions (B,k)). ``has_emb`` marks rows with
+    a present embedding (None = all rows embedded)."""
+    if has_emb is None:
+        has_emb = jnp.ones(emb.shape[0], dtype=bool)
     fn = shard_map(
         partial(_local_dense_topk, k=k, axis=axis),
         mesh=mesh,
@@ -72,13 +72,15 @@ def sharded_dense_topk(
             P(axis, None),   # emb rows sharded
             P(axis),         # call_idx
             P(axis),         # started_sec
+            P(axis),         # has_emb
             P(),             # queries replicated
             P(), P(), P(),   # filters replicated
         ),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(emb, call_idx, started_sec, q_emb, allowed_calls, date_min, date_max)
+    return fn(emb, call_idx, started_sec, has_emb, q_emb, allowed_calls,
+              date_min, date_max)
 
 
 def _merge_gathered(local_scores, local_pos, shard_rows, k, axis):

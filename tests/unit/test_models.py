@@ -114,6 +114,11 @@ class TestPersistence:
         path = str(tmp_path / "tuned.npz")
         emb.save_params(path, params, TINY)
         monkeypatch.setattr(tmp_store, "embedder_params_path", path)
+        # the provider refuses a checkpoint whose embed_dim disagrees
+        # with EMBEDDINGS_DIM (startup-time misconfig gate)
+        with pytest.raises(RuntimeError, match="EMBEDDINGS_DIM"):
+            NeuralEmbeddingProvider()
+        monkeypatch.setattr(tmp_store, "embeddings_dim", TINY.embed_dim)
         provider = NeuralEmbeddingProvider()
         assert provider.model_id.endswith("-tuned")
         assert provider.cfg == TINY
