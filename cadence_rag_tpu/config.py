@@ -172,6 +172,13 @@ class Settings:
     # memory stats (the axon tunnel doesn't).
     prewarm_hbm_budget_gb: float = 14.0
     embedder_params_path: str = ""           # trained weights for "neural"
+    # Qwen3-shaped in-process encoder (EMBEDDINGS_PROVIDER=qwen3,
+    # models/qwen3.py): the reference-scale embedding workload hosted on
+    # the mesh. Preset "4b" is the Qwen3-Embedding-4B geometry (synthetic
+    # weights unless QWEN3_PARAMS_PATH points at a real checkpoint);
+    # "tiny" is the CPU-test shape.
+    qwen3_preset: str = "4b"
+    qwen3_params_path: str = ""
     # Cross-request embedding LRU (embed/provider.py): hot queries that
     # repeat ACROSS batch windows skip the provider (coalescing already
     # dedupes within a window). 0 = off (reference behavior); entries

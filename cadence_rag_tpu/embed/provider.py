@@ -93,6 +93,10 @@ def get_provider() -> EmbeddingProvider:
         from ..models.embedder import NeuralEmbeddingProvider
 
         return NeuralEmbeddingProvider.shared()
+    if kind == "qwen3":
+        from ..models.qwen3 import Qwen3EmbeddingProvider
+
+        return Qwen3EmbeddingProvider.shared()
     raise EmbeddingError("no embedding provider configured")
 
 
@@ -109,7 +113,8 @@ _CACHE_LOCK = threading.Lock()
 def _cache_key(text: str) -> tuple:
     return (
         provider_kind(), settings.embeddings_model_id,
-        int(settings.embeddings_dim), settings.embedder_params_path, text,
+        int(settings.embeddings_dim), settings.embedder_params_path,
+        settings.qwen3_preset, settings.qwen3_params_path, text,
     )
 
 
