@@ -41,7 +41,11 @@ from ..ops.fusion import lane_mask_names, rrf_merge_rect
 from ..schemas import Budget, RetrieveRequest
 from ..store.db import get_store
 from .filters import ResolvedFilters, resolve_filters
-from .planner import choose_dense_mode, recall_target_for_ef_search
+from .planner import (
+    choose_dense_mode,
+    expected_recall_for_ef_search,
+    recall_target_for_ef_search,
+)
 
 logger = get_logger(__name__)
 
@@ -473,6 +477,12 @@ def _static_notes_cached(
         "hnsw_ef_search": ef_search if dense_enabled else None,
         "ann_recall_target": (
             recall_target_for_ef_search(ef_search)
+            if dense_enabled else None
+        ),
+        # measured on-chip recall@10 this ef setting delivers (calibrated
+        # lookup, engine/planner.MEASURED_RECALL_AT_TARGET)
+        "ann_expected_recall": (
+            expected_recall_for_ef_search(ef_search)
             if dense_enabled else None
         ),
     }
