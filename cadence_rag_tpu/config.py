@@ -126,6 +126,15 @@ class Settings:
     # their own batch only (batches pad to the widest member).
     tech_slot_capacity: int = 1
     query_lex_features: int = 256            # sparse query-transfer width
+    # RRF fusion ON DEVICE (ops/fusion.rrf_fuse_lanes_device): the fused
+    # program returns merged (ids, scores, lane-masks) directly, skipping
+    # the host per-lane postprocess + merge (~5 ms per 128-batch on the
+    # 1-core host). Scores accumulate f32 on device vs f64 on host, so
+    # candidates whose fused scores differ by < ~1e-7 may swap order vs
+    # the host oracle (true ties break identically). Debug-mode queries,
+    # cold-tier corpora and separate-IVF dispatches always use the host
+    # path; 0 restores it everywhere.
+    device_rrf_enabled: bool = True
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.
     dense_ivf_enabled: bool = False

@@ -1401,6 +1401,49 @@ class CorpusIndex:
                             scores_f32, counts)
         return result
 
+    def postprocess_merged(
+        self,
+        merged: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+        h_ids: Optional[np.ndarray] = None,
+        count: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Device-fused RRF output -> host rect merged block:
+        (fused f32 (B,K), positions i32 (B,K), lane-masks i32 (B,K),
+        counts (B,)) -> (doc_ids i64 (B,K), scores f64 (B,K),
+        masks u8 (B,K), counts i32 (B,)). The device already excluded
+        invalid rows (started_sec sentinel masks) and sorted by
+        (-score, first-occurrence); the position->count clamp here is the
+        same defensive guard as postprocess_lanes (a compaction racing
+        the dispatch renumbers rows — the snapshot keeps consistency)."""
+        if h_ids is None:
+            h_ids = self.h_ids
+        if count is None:
+            count = self.count
+        fused, pos, masks, counts = merged
+        counts = counts.astype(np.int32, copy=False)
+        K = pos.shape[1]
+        in_prefix = np.arange(K)[None, :] < counts[:, None]
+        keep = in_prefix & (pos >= 0) & (pos < count)
+        if not bool((keep == in_prefix).all()):
+            # snapshot race (rare): drop out-of-range rows, recompact
+            counts = keep.sum(axis=1, dtype=np.int32)
+            ids_fix = np.zeros(pos.shape, dtype=np.int64)
+            scores_fix = np.zeros(pos.shape, dtype=np.float64)
+            masks_fix = np.zeros(pos.shape, dtype=np.uint8)
+            ids_all = h_ids[np.where(keep, pos, 0)]
+            for b in range(pos.shape[0]):
+                n = int(counts[b])
+                row_keep = keep[b]
+                ids_fix[b, :n] = ids_all[b][row_keep]
+                scores_fix[b, :n] = fused[b][row_keep].astype(np.float64)
+                masks_fix[b, :n] = masks[b][row_keep].astype(np.uint8)
+            return ids_fix, scores_fix, masks_fix, counts
+        ids = h_ids[np.where(keep, pos, 0)].astype(np.int64, copy=False)
+        return (
+            ids, fused.astype(np.float64),
+            masks.astype(np.uint8, copy=False), counts,
+        )
+
     def device_arrays(self) -> Tuple[jax.Array, ...]:
         return (self.emb, self.lex, self.tech, self.call_idx, self.started,
                 self.has_emb)
@@ -1644,6 +1687,7 @@ class DeviceIndexManager:
             "artifact_mode": sig.artifact_mode,
             "recall_target": sig.recall_target,
             "dense_enabled": sig.dense_enabled,
+            "fuse_rrf": sig.fuse_rrf,
         }
         if _oplog is not None:
             _oplog.emit("query_packed",
@@ -1692,6 +1736,7 @@ class DeviceIndexManager:
         chunk_mode: str,
         artifact_mode: str,
         recall_target: float,
+        fuse_rrf: bool = False,
     ) -> "PackedDispatch":
         """ONE packed H2D transfer + one ENQUEUE for all six lanes over
         both corpora, returning a handle WITHOUT blocking on the device —
@@ -1782,6 +1827,17 @@ class DeviceIndexManager:
                 chunk_mode, dense_enabled, q_emb, allowed_calls, date_min,
                 date_max, chunk_ks[0],
             )
+            # Device-fused RRF needs every lane in the main program and
+            # all candidates in the hot tier: a separate IVF dense
+            # dispatch ("none") or a cold tier (host-side per-lane merge
+            # precedes RRF) falls back to the host merge path.
+            fuse_rrf = bool(
+                fuse_rrf
+                and chunk_mode != "none"
+                and (self.chunks.cold is None or self.chunks.cold.count == 0)
+                and (self.artifacts.cold is None
+                     or self.artifacts.cold.count == 0)
+            )
             sig = QuerySignature(
                 batch=batch,
                 emb_dim=self.chunks.dim if dense_enabled else 1,
@@ -1796,6 +1852,7 @@ class DeviceIndexManager:
                 dim=self.chunks.dim, lex_dim=self.chunks.lex_dim,
                 tech_slots=self.chunks.tech_slots,
                 emb_dtype=str(self.chunks.emb_dtype),
+                fuse_rrf=fuse_rrf,
             )
             if _multiprocess():
                 flat_raw = self._dispatch_multiprocess(
@@ -1845,6 +1902,7 @@ class DeviceIndexManager:
                     artifact_mode=artifact_mode,
                     recall_target=float(recall_target),
                     dense_enabled=dense_enabled,
+                    fuse_rrf=fuse_rrf,
                 )
             # snapshot the host-mirror state the postprocess needs while
             # still under the lock (a concurrent compact() REPLACES h_ids
@@ -1953,6 +2011,23 @@ class DeviceIndexManager:
             return disp.ready
         flat_np, extra_np = jax.device_get((disp.flat_raw, disp.extra_dense))
         sig = disp.sig
+        if sig.fuse_rrf:
+            from ..ops.pack import unflatten_merged
+
+            chunks_m, artifacts_m = unflatten_merged(
+                flat_np,
+                chunk_ks=sig.chunk_ks, artifact_ks=sig.artifact_ks,
+                chunk_mode=sig.chunk_mode, artifact_mode=sig.artifact_mode,
+                dense_enabled=sig.dense_enabled,
+            )
+            return (
+                {"__rrf__": self.chunks.postprocess_merged(
+                    chunks_m, *disp.chunk_snap
+                )},
+                {"__rrf__": self.artifacts.postprocess_merged(
+                    artifacts_m, *disp.artifact_snap
+                )},
+            )
         chunks_np, artifacts_np = unflatten_lanes(
             flat_np,
             chunk_ks=sig.chunk_ks, artifact_ks=sig.artifact_ks,

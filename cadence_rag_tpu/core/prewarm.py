@@ -144,6 +144,7 @@ class QuerySignature:
     lex_dim: int
     tech_slots: int
     emb_dtype: str
+    fuse_rrf: bool = False
 
 
 class GrowthPrewarmer:
@@ -396,6 +397,7 @@ class GrowthPrewarmer:
                     artifact_mode=sig.artifact_mode,
                     recall_target=sig.recall_target,
                     dense_enabled=sig.dense_enabled,
+                    fuse_rrf=sig.fuse_rrf,
                 )
                 executable = lowered.compile()
                 with self._lock:

@@ -288,15 +288,20 @@ def _dispatch_plans(plans: Sequence[QueryPlan]) -> List[Tuple]:
             "retrieve.requeried_lex_layout plans=%s gen=%s", len(stale), gen
         )
     groups: Dict[Tuple, List[QueryPlan]] = {}
+    device_rrf = bool(settings.device_rrf_enabled)
     for plan in runnable:
+        # debug mode needs per-lane ranks/scores, which the fused-RRF
+        # program does not return — those plans group onto the host-merge
+        # (oracle) path
         key = (plan.chunk_mode or "exact", plan.artifact_mode or "exact",
-               plan.dense_enabled and plan.q_emb is not None)
+               plan.dense_enabled and plan.q_emb is not None,
+               device_rrf and not plan.payload.debug)
         groups.setdefault(key, []).append(plan)
 
     import jax.profiler as _profiler
 
     pending: List[Tuple] = []
-    for (chunk_mode, artifact_mode, dense_on), group in groups.items():
+    for (chunk_mode, artifact_mode, dense_on, fuse_rrf), group in groups.items():
         t0 = time.perf_counter()
         # pad to the group's widest tech structure (an identifier-heavy
         # query escalates its per-slot capacity; zero blocks never match)
@@ -363,6 +368,7 @@ def _dispatch_plans(plans: Sequence[QueryPlan]) -> List[Tuple]:
                 recall_target=recall_target_for_ef_search(
                     settings.embeddings_hnsw_ef_search
                 ),
+                fuse_rrf=fuse_rrf,
             )
         pending.append((group, disp, t0))
     return pending
@@ -387,11 +393,38 @@ def _collect_plans(pending: Sequence[Tuple]) -> None:
         chunks_out, artifacts_out = index.collect_packed(disp)
         device_ms = (time.perf_counter() - t0) * 1e3
         batch = len(group)
+        served_mode = getattr(disp, "served_chunk_mode", None)
+        if "__rrf__" in chunks_out:
+            # device-fused RRF: merged rows come straight off the chip;
+            # slice each plan's valid prefix (no host merge, no per-lane
+            # postprocess — debug plans never take this path)
+            c_ids, c_scores, c_masks, c_counts = chunks_out["__rrf__"]
+            a_ids, a_scores, a_masks, a_counts = artifacts_out["__rrf__"]
+            dense_on = disp.sig.dense_enabled
+            names = (
+                ("bm25", "tech_tokens", "dense")
+                if dense_on else ("bm25", "tech_tokens")
+            )
+            for row, plan in enumerate(group):
+                n = int(c_counts[row])
+                plan.chunk_merged = (
+                    c_ids[row, :n], c_scores[row, :n], c_masks[row, :n],
+                    names,
+                )
+                n = int(a_counts[row])
+                plan.artifact_merged = (
+                    a_ids[row, :n], a_scores[row, :n], a_masks[row, :n],
+                    names,
+                )
+                plan.timings["device_ms"] = device_ms
+                plan.timings["device_batch"] = float(batch)
+                if served_mode is not None and plan.chunk_mode is not None:
+                    plan.chunk_mode = served_mode
+            continue
         chunk_merged = rrf_merge_rect(_rename_lanes(chunks_out), k=RRF_K)
         artifact_merged = rrf_merge_rect(
             _rename_lanes(artifacts_out), k=RRF_K
         )
-        served_mode = getattr(disp, "served_chunk_mode", None)
         for row, plan in enumerate(group):
             plan.chunk_lanes = _format_lanes(chunks_out, row)
             plan.artifact_lanes = _format_lanes(artifacts_out, row)
@@ -525,8 +558,16 @@ def _prefetch_rows(plans: Sequence["QueryPlan"]) -> Tuple[Dict, Dict]:
     for plan in plans:
         if plan.empty or plan.payload.return_style == "ids_only":
             continue
-        chunk_parts.extend(ids for ids, _ in plan.chunk_lanes.values())
-        artifact_parts.extend(ids for ids, _ in plan.artifact_lanes.values())
+        if plan.chunk_lanes:
+            chunk_parts.extend(ids for ids, _ in plan.chunk_lanes.values())
+            artifact_parts.extend(
+                ids for ids, _ in plan.artifact_lanes.values()
+            )
+        else:
+            # device-fused RRF path: lanes never reach the host — the
+            # merged candidates are the (deduped) union of lane hits
+            chunk_parts.append(plan.chunk_merged[0])
+            artifact_parts.append(plan.artifact_merged[0])
 
     def _uniq(parts: List[np.ndarray]) -> List[int]:
         if not parts:

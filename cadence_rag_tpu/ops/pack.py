@@ -112,6 +112,58 @@ def unflatten_lanes(
     return chunks, artifacts
 
 
+def merged_width(ks: Tuple[int, int, int], mode: str, dense_enabled: bool) -> int:
+    """Total RRF candidate slots per corpus row (sum of lane widths)."""
+    k = ks[1] + ks[2]
+    if dense_enabled and mode != "none":
+        k += ks[0]
+    return k
+
+
+def _flatten_merged(chunks_merged, artifacts_merged) -> jax.Array:
+    """Device-fused RRF outputs -> ONE (B, total) int32 buffer per the
+    same single-transfer rationale as ``_flatten_lanes``. Per corpus:
+    [fused-scores bitcast (B,K) | positions (B,K) | lane-masks (B,K) |
+    count (B,1)]."""
+    parts = []
+    for pos, fused, masks, counts in (chunks_merged, artifacts_merged):
+        parts.append(jax.lax.bitcast_convert_type(fused, jnp.int32))
+        parts.append(pos)
+        parts.append(masks)
+        parts.append(counts[:, None])
+    return jnp.concatenate(parts, axis=1)
+
+
+def unflatten_merged(
+    flat: np.ndarray,
+    *,
+    chunk_ks: Tuple[int, int, int],
+    artifact_ks: Tuple[int, int, int],
+    chunk_mode: str,
+    artifact_mode: str,
+    dense_enabled: bool,
+) -> Tuple[Tuple[np.ndarray, ...], Tuple[np.ndarray, ...]]:
+    """Host inverse of ``_flatten_merged``: per corpus
+    (fused f32 (B,K), positions i32 (B,K), masks i32 (B,K), counts (B,))."""
+    flat = np.ascontiguousarray(flat)
+    flat_f = flat.view(np.float32)
+    out = []
+    off = 0
+    for ks, mode in ((chunk_ks, chunk_mode), (artifact_ks, artifact_mode)):
+        K = merged_width(ks, mode, dense_enabled)
+        fused = flat_f[:, off:off + K]
+        pos = flat[:, off + K:off + 2 * K]
+        masks = flat[:, off + 2 * K:off + 3 * K]
+        counts = flat[:, off + 3 * K]
+        off += 3 * K + 1
+        out.append((fused, pos, masks, counts))
+    if off != flat.shape[1]:
+        raise ValueError(
+            f"flat merged buffer has {flat.shape[1]} cols, layout expects {off}"
+        )
+    return out[0], out[1]
+
+
 def sparse_lex_rows(
     feats_list, doc_freq: np.ndarray, n_docs: int, F: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -252,6 +304,7 @@ def _densify(buckets: jax.Array, values: jax.Array, lex_dim: int) -> jax.Array:
         "batch", "emb_dim", "q_feats", "tech_q", "n_calls",
         "chunk_ks", "artifact_ks",
         "chunk_mode", "artifact_mode", "recall_target", "dense_enabled",
+        "fuse_rrf",
     ),
 )
 def dual_corpus_retrieve_packed(
@@ -270,12 +323,20 @@ def dual_corpus_retrieve_packed(
     artifact_mode: str = "exact",
     recall_target: float = 0.95,
     dense_enabled: bool = True,
+    fuse_rrf: bool = False,
 ) -> jax.Array:
     """The production /retrieve program: unpack + both corpora's six lanes,
     one H2D buffer, one dispatch, ONE flat output buffer (see
     ops/fused.dual_corpus_retrieve for the lane math; this wrapper only
     changes the transfer shapes — ``unflatten_lanes`` recovers the
-    per-lane dicts host-side)."""
+    per-lane dicts host-side).
+
+    fuse_rrf=True additionally runs the RRF merge ON DEVICE
+    (ops/fusion.rrf_fuse_lanes_device) and returns the merged
+    (scores, positions, lane-masks, counts) buffer instead of per-lane
+    outputs — ``unflatten_merged`` is the host inverse. Matches the
+    reference's fusion step (app/retrieve.py:245-260) without the host
+    postprocess+merge cost."""
     q = _unpack(
         packed, batch=batch, dim=emb_dim, q_feats=q_feats,
         tech_q=tech_q, n_calls=n_calls,
@@ -303,4 +364,10 @@ def dual_corpus_retrieve_packed(
         dense_mode=artifact_mode, recall_target=recall_target,
         dense_enabled=dense_enabled,
     )
+    if fuse_rrf:
+        from .fusion import rrf_fuse_lanes_device
+
+        chunks_merged = rrf_fuse_lanes_device(chunks_out, LANE_ORDER)
+        artifacts_merged = rrf_fuse_lanes_device(artifacts_out, LANE_ORDER)
+        return _flatten_merged(chunks_merged, artifacts_merged)
     return _flatten_lanes(chunks_out, artifacts_out)

@@ -242,7 +242,7 @@ def packed_query(chunk_arrays, artifact_arrays, packed_np, statics: Dict):
             static_argnames=(
                 "batch", "emb_dim", "q_feats", "tech_q", "n_calls",
                 "chunk_ks", "artifact_ks", "chunk_mode", "artifact_mode",
-                "recall_target", "dense_enabled",
+                "recall_target", "dense_enabled", "fuse_rrf",
             ),
             out_shardings=_replicated_sharding(),
         )
