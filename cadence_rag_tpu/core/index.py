@@ -878,11 +878,99 @@ class CorpusIndex:
         padded_len = _next_pow2(max(len(self._ivf_overflow_host), 8))
         padded = np.full(padded_len, -1, dtype=np.int32)
         padded[: len(self._ivf_overflow_host)] = self._ivf_overflow_host
+        if _multiprocess():
+            # mirror: the overflow array is an INPUT of the gang's IVF
+            # query program — shape and contents must match on every
+            # process or the next 'query_ivf' diverges/deadlocks
+            from ..parallel import oplog as oplog_mod
+
+            if _oplog is not None:
+                _oplog.emit(
+                    "ivf_overflow",
+                    {"corpus": self.name,
+                     "count": len(self._ivf_overflow_host)},
+                    {"padded": padded},
+                )
+            overflow_arr = oplog_mod.replicated_array(padded)
+        else:
+            overflow_arr = jnp.asarray(padded)
         self.ivf = dataclasses.replace(
             self.ivf,
-            overflow=jnp.asarray(padded),
+            overflow=overflow_arr,
             overflow_count=len(self._ivf_overflow_host),
         )
+
+    def gang_set_ivf_overflow(self, padded: np.ndarray, count: int) -> None:
+        """Follower side of 'ivf_overflow' (parallel/oplog._apply)."""
+        from ..parallel import oplog as oplog_mod
+
+        with self.lock:
+            padded = np.asarray(padded, dtype=np.int32)
+            self._ivf_overflow_host = padded[:count].copy()
+            self.ivf = dataclasses.replace(
+                self.ivf,
+                overflow=oplog_mod.replicated_array(padded),
+                overflow_count=int(count),
+            )
+
+    def _ivf_plan(
+        self, n: int, n_clusters: Optional[int], nprobe: Optional[int]
+    ) -> Tuple[int, int]:
+        """Deterministic (clusters, nprobe) from corpus size + settings —
+        shared by single-process builds and the multi-host gang build
+        (followers must derive identical bucket shapes)."""
+        clusters = n_clusters or int(settings.ivf_clusters) or max(
+            16, int(np.sqrt(n))
+        )
+        clusters = min(clusters, n)
+        probe = nprobe or int(settings.ivf_nprobe) or max(
+            4, int(clusters * 0.08)
+        )
+        # cap probed candidates at ~5% of the corpus: beyond that the
+        # per-query row gather moves more HBM bytes than the brute-force
+        # matmul it is replacing (measured at 1M: nprobe=80 of 1000
+        # clusters gathered 16% of rows per query and ran 12x slower
+        # than exact — see NOTES_DEV.md round-2 IVF findings)
+        bucket_cap_est = max(8, int(2.0 * n / clusters))
+        max_probe = max(4, int(0.05 * n / bucket_cap_est))
+        return clusters, min(probe, max_probe, clusters)
+
+    def gang_build_install_ivf(
+        self, n: int, clusters: int, probe: int, seed: int
+    ) -> IvfState:
+        """Run the mirrored IVF build program and install the result —
+        the leader calls this inside build_ivf (after emitting the
+        'build_ivf' op), followers from parallel/oplog._apply. Identical
+        statics -> identical replicated assignments -> identical
+        host-packed buckets on every process, with no (C, dim) centroid
+        shipping over TCP."""
+        from ..parallel import oplog as oplog_mod
+
+        with self.lock:
+            centroids, assign = oplog_mod.ivf_build_gang(
+                self.emb,
+                {"n": int(n), "n_clusters": int(clusters), "iters": 10,
+                 "seed": int(seed),
+                 "dequant": self.emb_dtype == jnp.int8},
+            )
+            bucket_cap = max(8, int(2.0 * n / clusters))
+            buckets_np, overflow_np = build_buckets(
+                np.asarray(assign), clusters, bucket_cap
+            )
+            self._ivf_overflow_host = overflow_np.astype(np.int32)
+            padded_len = _next_pow2(max(len(self._ivf_overflow_host), 8))
+            padded = np.full(padded_len, -1, dtype=np.int32)
+            padded[: len(self._ivf_overflow_host)] = self._ivf_overflow_host
+            self.ivf = IvfState(
+                centroids=centroids,
+                buckets=oplog_mod.replicated_array(buckets_np),
+                overflow=oplog_mod.replicated_array(padded),
+                overflow_count=len(self._ivf_overflow_host),
+                built_count=int(n),
+                n_clusters=int(clusters),
+                nprobe=int(probe),
+            )
+            return self.ivf
 
     def build_ivf(
         self,
@@ -898,10 +986,31 @@ class CorpusIndex:
         atomically — rows inserted meanwhile land in the exact-scanned
         overflow tail, so nothing is ever invisible."""
         if _multiprocess():
-            raise RuntimeError(
-                "IVF build is single-process only; multi-host serving "
-                "uses the exact/ann dense modes (parallel/oplog.py)"
-            )
+            # Multi-host gang build (parallel/oplog.py): every process
+            # must enqueue the identical k-means program over the GLOBAL
+            # sharded embeddings, so the build mirrors as ONE op —
+            # statics only; followers recompute identical buckets from
+            # the replicated assignments. The corpus lock is held for
+            # the WHOLE build so no other mirrored op interleaves with
+            # the build's device programs in the log (blocking the gang
+            # for the k-means duration is the price of lockstep).
+            with self.lock:
+                if self.count == 0:
+                    raise RuntimeError(
+                        f"{self.name}: empty corpus, nothing to build"
+                    )
+                n = self.count
+                clusters, probe = self._ivf_plan(n, n_clusters, nprobe)
+                if _oplog is not None:
+                    _oplog.emit(
+                        "build_ivf",
+                        {"corpus": self.name, "n": int(n),
+                         "clusters": int(clusters), "nprobe": int(probe),
+                         "seed": int(seed)},
+                    )
+                return self.gang_build_install_ivf(
+                    n, clusters, probe, int(seed)
+                )
         with self.lock:
             if self.count == 0:
                 raise RuntimeError(f"{self.name}: empty corpus, nothing to build")
@@ -919,21 +1028,7 @@ class CorpusIndex:
             # the query path (int8 rows widened in-register) consistent
             emb_snapshot = emb_snapshot.astype(jnp.float32) / 127.0
 
-        clusters = n_clusters or int(settings.ivf_clusters) or max(
-            16, int(np.sqrt(n))
-        )
-        clusters = min(clusters, n)
-        probe = nprobe or int(settings.ivf_nprobe) or max(
-            4, int(clusters * 0.08)
-        )
-        # cap probed candidates at ~5% of the corpus: beyond that the
-        # per-query row gather moves more HBM bytes than the brute-force
-        # matmul it is replacing (measured at 1M: nprobe=80 of 1000
-        # clusters gathered 16% of rows per query and ran 12x slower
-        # than exact — see NOTES_DEV.md round-2 IVF findings)
-        bucket_cap_est = max(8, int(2.0 * n / clusters))
-        max_probe = max(4, int(0.05 * n / bucket_cap_est))
-        probe = min(probe, max_probe, clusters)
+        clusters, probe = self._ivf_plan(n, n_clusters, nprobe)
         centroids, assign = kmeans(
             emb_snapshot, jax.random.PRNGKey(seed),
             n_clusters=clusters, iters=10,
@@ -984,7 +1079,6 @@ class CorpusIndex:
             state is None
             or self._ivf_rebuilding
             or not settings.dense_ivf_enabled
-            or _multiprocess()  # multi-host serves exact/ann (oplog.py)
             or state.overflow_count < max(state.built_count // 2, 8)
         ):
             return
@@ -1022,12 +1116,34 @@ class CorpusIndex:
     ):
         with self.lock:
             state = self.ivf
+            k_eff = min(k, self.capacity)
+            if _multiprocess():
+                # mirror the separate IVF dispatch: the probed gather
+                # over row-sharded embeddings is a GSPMD collective, so
+                # the whole gang must enqueue it (parallel/oplog.py)
+                from ..parallel import oplog as oplog_mod
+
+                statics = {"k": int(k_eff), "nprobe": int(state.nprobe)}
+                q_emb = np.asarray(q_emb, dtype=np.float32)
+                allowed = np.asarray(allowed_calls, dtype=bool)
+                dmin = np.asarray(date_min, dtype=np.int32)
+                dmax = np.asarray(date_max, dtype=np.int32)
+                if _oplog is not None:
+                    _oplog.emit(
+                        "query_ivf",
+                        {"corpus": self.name, "statics": statics},
+                        {"q_emb": q_emb, "allowed": allowed,
+                         "dmin": dmin, "dmax": dmax},
+                    )
+                return oplog_mod.ivf_query(
+                    self, state, q_emb, allowed, dmin, dmax, statics
+                )
             return _ivf_dense_query(
                 self.emb, self.call_idx, self.started, self.has_emb,
                 state.centroids, state.buckets, state.overflow,
                 jnp.asarray(q_emb), jnp.asarray(allowed_calls),
                 jnp.asarray(date_min), jnp.asarray(date_max),
-                k=min(k, self.capacity), nprobe=state.nprobe,
+                k=k_eff, nprobe=state.nprobe,
             )
 
     # -- planning ---------------------------------------------------------

@@ -30,12 +30,9 @@ import numpy as np
 from .topk import NEG_INF
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "iters"))
-def kmeans(
-    emb: jax.Array, key: jax.Array, *, n_clusters: int, iters: int = 10
+def _kmeans_body(
+    emb: jax.Array, key: jax.Array, n_clusters: int, iters: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Spherical k-means over unit vectors. Returns (centroids (C, dim) f32,
-    assignments (N,) int32). Empty clusters keep their previous centroid."""
     n, dim = emb.shape
     init_idx = jax.random.choice(key, n, shape=(n_clusters,), replace=False)
     centroids = emb[init_idx].astype(jnp.float32)
@@ -64,6 +61,39 @@ def kmeans(
         preferred_element_type=jnp.float32,
     )
     return centroids, jnp.argmax(final_scores, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def kmeans(
+    emb: jax.Array, key: jax.Array, *, n_clusters: int, iters: int = 10
+) -> Tuple[jax.Array, jax.Array]:
+    """Spherical k-means over unit vectors. Returns (centroids (C, dim) f32,
+    assignments (N,) int32). Empty clusters keep their previous centroid."""
+    return _kmeans_body(emb, key, n_clusters, iters)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "n_clusters", "iters", "seed", "dequant"),
+)
+def ivf_build(
+    emb: jax.Array, *, n: int, n_clusters: int, iters: int = 10,
+    seed: int = 0, dequant: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Slice + (optional int8) dequantize + k-means as ONE program.
+
+    This is the multi-host gang build (parallel/oplog.py): the leader
+    mirrors {n, n_clusters, iters, seed, dequant} over the op-log and
+    every process runs this identical deterministic program over the
+    global sharded embeddings — replicated outputs let each process read
+    the assignments back and pack identical buckets host-side, with no
+    (C, dim) centroid shipping over TCP."""
+    snap = jax.lax.slice_in_dim(emb, 0, n, axis=0)
+    if dequant:
+        # int8 rows store round(x*127); k-means must run in float space
+        # (casting float centroids back to int8 degenerates them)
+        snap = snap.astype(jnp.float32) / 127.0
+    return _kmeans_body(snap, jax.random.PRNGKey(seed), n_clusters, iters)
 
 
 def build_buckets(

@@ -29,9 +29,16 @@ Architecture — leader-driven op replication:
   by jit itself, identically on every process — a committed
   process-local jnp.asarray would poison the global dispatch.
 
-Stand-downs under multihost (all enforced here or in core/index.py):
-growth-prewarm (multi-process only — single-process meshes prewarm with
-sharded avals, core/prewarm.py) and IVF rebuilds.
+Stand-down under multihost (enforced in core/index.py): growth-prewarm
+(multi-process only — single-process meshes prewarm with sharded avals,
+core/prewarm.py). IVF is gang-supported: builds mirror as ONE
+deterministic op ('build_ivf' — every process runs the same replicated
+k-means over the global embeddings and packs identical buckets
+host-side), overflow appends mirror ('ivf_overflow'), and the separate
+IVF dense dispatch mirrors ('query_ivf') so the probed gather's GSPMD
+collectives line up. A gang build holds the corpus lock for the whole
+k-means (single-process builds release it) — lockstep requires the
+build's program sequence to be contiguous in the log.
 Compaction mirrors like any other device op (the gather stamps its
 padding invalid in-program, so no host read-back is needed — the
 'compact' op). Checkpoint SAVE and RESTORE are both supported:
@@ -89,6 +96,8 @@ _leader: Optional["LeaderOpLog"] = None
 _mesh = None
 _repl_packed_query = None
 _repl_single_query = None
+_repl_ivf_build = None
+_repl_ivf_query = None
 
 
 # -- wire format -----------------------------------------------------------
@@ -228,6 +237,66 @@ def _replicated_sharding():
     return NamedSharding(_mesh, PartitionSpec())
 
 
+def replicated_array(arr: np.ndarray):
+    """Committed fully-replicated global array from host values that are
+    IDENTICAL on every process (deterministic host computation, or an
+    op-log-mirrored payload). device_put to a cross-process sharding is
+    illegal; make_array_from_callback builds each process's local shards
+    (NOTES_DEV.md multi-host gotcha c)."""
+    import jax
+
+    arr = np.ascontiguousarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, _replicated_sharding(), lambda idx: arr[idx]
+    )
+
+
+def ivf_build_gang(emb, statics: Dict):
+    """All-process IVF k-means over the global sharded embeddings with
+    replicated outputs (ops/ivf.ivf_build). Every process — the leader
+    from build_ivf, followers from the mirrored 'build_ivf' op — calls
+    this with identical statics, so the gang enqueues one identical
+    program and every process can read the assignments back."""
+    global _repl_ivf_build
+    if _repl_ivf_build is None:
+        import jax
+
+        from ..ops import ivf as ivf_mod
+
+        _repl_ivf_build = jax.jit(
+            ivf_mod.ivf_build.__wrapped__,
+            static_argnames=("n", "n_clusters", "iters", "seed", "dequant"),
+            out_shardings=_replicated_sharding(),
+        )
+    return _repl_ivf_build(emb, **statics)
+
+
+def ivf_query(corpus, state, q_emb, allowed, dmin, dmax, statics: Dict):
+    """The separate IVF dense dispatch with replicated outputs — mirrored
+    as the 'query_ivf' op so the probed gather over the row-sharded
+    embeddings (a GSPMD collective) lines up gang-wide."""
+    global _repl_ivf_query
+    if _repl_ivf_query is None:
+        import jax
+
+        from ..core import index as index_mod
+
+        _repl_ivf_query = jax.jit(
+            index_mod._ivf_dense_query.__wrapped__,
+            static_argnames=("k", "nprobe"),
+            out_shardings=_replicated_sharding(),
+        )
+    return _repl_ivf_query(
+        corpus.emb, corpus.call_idx, corpus.started, corpus.has_emb,
+        state.centroids, state.buckets, state.overflow,
+        np.asarray(q_emb, dtype=np.float32),
+        np.asarray(allowed, dtype=bool),
+        np.asarray(dmin, dtype=np.int32),
+        np.asarray(dmax, dtype=np.int32),
+        k=int(statics["k"]), nprobe=int(statics["nprobe"]),
+    )
+
+
 def packed_query(chunk_arrays, artifact_arrays, packed_np, statics: Dict):
     """Leader+follower entry for the fused dual-corpus program with
     replicated outputs (the leader reads them back host-side)."""
@@ -363,6 +432,22 @@ def _apply(manager, op: str, st: Dict, arrays: Dict) -> None:
         c.count = 0
         c.capacity = int(st["cap"])
         c._alloc_device(c.capacity)
+        return
+    if op == "build_ivf":
+        manager.corpus(st["corpus"]).gang_build_install_ivf(
+            int(st["n"]), int(st["clusters"]), int(st["nprobe"]),
+            int(st["seed"]),
+        )
+        return
+    if op == "ivf_overflow":
+        manager.corpus(st["corpus"]).gang_set_ivf_overflow(
+            arrays["padded"], int(st["count"])
+        )
+        return
+    if op == "query_ivf":
+        c = manager.corpus(st["corpus"])
+        ivf_query(c, c.ivf, arrays["q_emb"], arrays["allowed"],
+                  arrays["dmin"], arrays["dmax"], st["statics"])
         return
     corpus = manager.corpus(st["corpus"])
     if op == "write_slabs":

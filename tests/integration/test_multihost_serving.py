@@ -20,6 +20,7 @@ import subprocess
 import sys
 import time
 import urllib.request
+from datetime import datetime, timezone
 from pathlib import Path
 
 import pytest
@@ -370,6 +371,28 @@ class TestMultihostServing:
         index.chunks.compact()
         oracle["compacted_count"] = int(index.chunks.count)
         oracle["post_compact"] = ids("kafka timeout incident")
+        # multi-host IVF phase (same ops as the worker; the planner must
+        # route the dense lane through the probed index on both sides)
+        monkeypatch.setattr(tmp_store, "dense_ivf_enabled", True)
+        monkeypatch.setattr(tmp_store, "ivf_min_rows", 1)
+        state = index.chunks.build_ivf(n_clusters=8, seed=7)
+        oracle["ivf_plan"] = [state.built_count, state.n_clusters,
+                              state.nprobe]
+        oracle["ivf_usable"] = bool(index.chunks.ivf_usable())
+        oracle["ivf_ids"] = ids("kafka timeout incident")
+        from cadence_rag_tpu.schemas import UtteranceIn
+
+        ingest_transcript(
+            CallRef(external_id="post-ivf",
+                started_at=datetime(2026, 1, 2, 3, 4, 5,
+                                    tzinfo=timezone.utc)),
+            [UtteranceIn(speaker="B", start_ts_ms=0, end_ts_ms=4000,
+                         text="cache latency deploy rollback billing")],
+            ChunkingOptions(target_tokens=16, max_tokens=32,
+                            overlap_tokens=0),
+        )
+        oracle["ivf_overflow"] = int(index.chunks.ivf.overflow_count)
+        oracle["post_overflow_ids"] = ids("kafka timeout incident")
         oracle["saved_format"] = 3
         oracle["saved_counts"] = [index.chunks.count,
                                   index.artifacts.count]
@@ -388,6 +411,8 @@ class TestMultihostServing:
             "EMBEDDINGS_DIM": "64",
             "INDEX_INITIAL_CAPACITY": "64",
             "INDEX_EMBEDDING_DTYPE": emb_dtype,
+            "DENSE_IVF_ENABLED": "1",
+            "IVF_MIN_ROWS": "1",
         }
         worker = str(Path(__file__).parent / "_multihost_engine_worker.py")
         env = dict(os.environ)
