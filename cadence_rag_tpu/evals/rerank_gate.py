@@ -127,6 +127,36 @@ def _mrr_for_provider(
     return total / max(len(queries), 1)
 
 
+def _mrr_e2e(provider: str, queries, gold_sets) -> float:
+    """MRR through the PRODUCTION serving path: retrieve_evidence_batch
+    with RERANK_ENABLED=1 over the live paraphrase corpus — the full
+    /retrieve pipeline (featurize, plan, fused device program, RRF,
+    rerank of the fused top-k) rather than a curated candidate set
+    (VERDICT r3 weak #3 done-check). ``provider="none"`` = rerank off."""
+    from ..engine.retrieve import retrieve_evidence_batch
+    from ..schemas import RetrieveRequest
+
+    saved = (settings.rerank_enabled, settings.rerank_provider)
+    settings.rerank_enabled = provider != "none"
+    if provider != "none":
+        settings.rerank_provider = provider
+    try:
+        responses = retrieve_evidence_batch([
+            RetrieveRequest(query=q, return_style="ids_only")
+            for q in queries
+        ])
+        total = 0.0
+        for resp, gold in zip(responses, gold_sets):
+            for rank, rid in enumerate(resp["retrieved_ids"], start=1):
+                kind, _, num = rid.partition(":")
+                if kind == "chunk" and int(num) in gold:
+                    total += 1.0 / rank
+                    break
+        return total / max(len(queries), 1)
+    finally:
+        settings.rerank_enabled, settings.rerank_provider = saved
+
+
 def run_gate(
     *,
     steps: int = 800,
@@ -268,6 +298,12 @@ def run_gate(
                 "neural_raw", queries, candidate_sets, gold_sets)
             hybrid_mrr = _mrr_for_provider(
                 "neural", queries, candidate_sets, gold_sets)
+            # end-to-end through the serving path (RERANK_ENABLED=1):
+            # candidates come from the real fused retrieval, not a
+            # curated set — the claim a deployment actually relies on
+            e2e_off = _mrr_e2e("none", queries, gold_sets)
+            e2e_lexical = _mrr_e2e("lexical", queries, gold_sets)
+            e2e_neural = _mrr_e2e("neural_raw", queries, gold_sets)
         finally:
             NeuralReranker.reset()
 
@@ -285,6 +321,11 @@ def run_gate(
             failures.append(
                 f"tuned reranker MRR {best_neural:.4f} < floor {min_mrr}"
             )
+        if e2e_neural < e2e_lexical:
+            failures.append(
+                f"e2e /retrieve: neural_raw MRR {e2e_neural:.4f} below "
+                f"the lexical provider's {e2e_lexical:.4f}"
+            )
         if save_path and not failures:
             Path(save_path).parent.mkdir(parents=True, exist_ok=True)
             shutil.copyfile(params_path, save_path)
@@ -296,6 +337,9 @@ def run_gate(
             "lexical_mrr": round(lexical_mrr, 4),
             "neural_mrr": round(neural_mrr, 4),
             "hybrid_mrr": round(hybrid_mrr, 4),
+            "e2e_off_mrr": round(e2e_off, 4),
+            "e2e_lexical_mrr": round(e2e_lexical, 4),
+            "e2e_neural_mrr": round(e2e_neural, 4),
             "failures": failures,
             "workdir": str(workdir),
             "saved": save_path if (save_path and not failures) else "",

@@ -147,9 +147,11 @@ def run_soak(
     vocab_at_frac: float = 0.15,
     window_s: float = 30.0,
     decay_floor: float = 0.70,
-    max_rss_growth_mb: float = 4_000.0,
+    max_rss_growth_mb: float = 1_500.0,
     check: bool = True,
 ) -> Dict:
+    import jax
+
     from ..config import settings
     from ..core.index import get_index, reset_index
     from ..store.db import get_store, reset_store
@@ -213,7 +215,8 @@ def run_soak(
             daemon=True,
         )
         ops.start()
-        samples: List = []  # (elapsed_at_end, batch_latency_s, rss_mb)
+        # (elapsed_at_end, batch_latency_s, rss_mb, live_rows)
+        samples: List = []
         i = 2
         while time.monotonic() - t0 < run_s:
             reqs = reqs_for(i)
@@ -221,7 +224,7 @@ def run_soak(
             retrieve_evidence_batch(reqs)
             samples.append(
                 (time.monotonic() - t0, time.perf_counter() - t1,
-                 _rss_mb())
+                 _rss_mb(), index.chunks.live_count)
             )
             i += 1
         stop.set()
@@ -231,23 +234,48 @@ def run_soak(
         lat = np.array([s[1] for s in samples])
         ends = np.array([s[0] for s in samples])
         rss = np.array([s[2] for s in samples])
+        rows = np.array([s[3] for s in samples])
         windows = []
         for w in range(int(np.ceil(run_s / window_s))):
             m = (ends >= w * window_s) & (ends < (w + 1) * window_s)
             if m.sum() < 2:
                 continue
             wl = lat[m]
+            qps = batch * int(m.sum()) / float(wl.sum())
+            med_rows = float(np.median(rows[m]))
             windows.append({
                 "t_s": int(w * window_s),
-                "qps": round(batch * int(m.sum()) / float(wl.sum()), 1),
+                "qps": round(qps, 1),
                 "p50_ms": round(float(np.percentile(wl, 50)) * 1e3, 1),
                 "p99_ms": round(float(np.percentile(wl, 99)) * 1e3, 1),
                 "rss_mb": int(rss[m].max()),
+                "rows": int(med_rows),
+                # scan-bound invariant: the fused program streams the
+                # whole corpus per batch, so rows-scanned/s (qps x rows)
+                # is the throughput measure that stays comparable while
+                # the writer grows the corpus — raw QPS falls ~1/rows by
+                # construction, which is not decay
+                "scan_mrows_s": round(qps * med_rows / 1e6, 1),
             })
         q = max(len(windows) // 4, 1)
-        first_q = float(np.median([w["qps"] for w in windows[:q]]))
-        last_q = float(np.median([w["qps"] for w in windows[-q:]]))
+        first_q = float(np.median([w["scan_mrows_s"] for w in windows[:q]]))
+        last_q = float(np.median([w["scan_mrows_s"] for w in windows[-q:]]))
         rss_end = _rss_mb()
+        # On the tunneled axon backend the PJRT client keeps HOST MIRRORS
+        # of device buffers, so RSS tracks device bytes: a capacity
+        # doubling mid-run adds gigabytes of mirror pages that are not a
+        # host leak. Allow the mirror footprint of the END capacity on
+        # top of the slack tripwire (CPU runs are mirror-free and the
+        # slack alone governs).
+        row_bytes = (
+            index.chunks.dim * index.chunks.emb.dtype.itemsize
+            + index.chunks.lex_dim
+            + index.chunks.tech_slots * 4 + 16
+        )
+        mirror_allowance_mb = (
+            index.chunks.capacity * row_bytes / 1e6
+            if str(jax.devices()[0].platform) not in ("cpu",) else 0.0
+        )
         out = {
             "minutes": minutes, "chunks_start": chunks, "batch": batch,
             "setup_s": round(setup_s, 1),
@@ -259,8 +287,8 @@ def run_soak(
             "p50_per_query_ms": round(
                 float(np.percentile(lat, 50)) * 1e3 / batch, 3
             ),
-            "qps_first_quarter": round(first_q, 1),
-            "qps_last_quarter": round(last_q, 1),
+            "scan_mrows_s_first_quarter": round(first_q, 1),
+            "scan_mrows_s_last_quarter": round(last_q, 1),
             "inserted_rows": inserted[0],
             "deleted_rows": state.get("deleted", 0),
             "compactions": state.get("compactions", 0),
@@ -274,17 +302,21 @@ def run_soak(
             "rss_end_mb": round(rss_end, 0),
             "windows": windows,
         }
+        out["rss_mirror_allowance_mb"] = round(mirror_allowance_mb, 0)
         failures = []
         if check:
             if last_q < decay_floor * first_q:
                 failures.append(
-                    f"qps decayed: last-quarter {last_q:.0f} < "
-                    f"{decay_floor} x first-quarter {first_q:.0f}"
+                    f"scan throughput decayed: last-quarter "
+                    f"{last_q:.0f} Mrows/s < {decay_floor} x "
+                    f"first-quarter {first_q:.0f} Mrows/s"
                 )
-            if rss_end - rss_start > max_rss_growth_mb:
+            allowed = max_rss_growth_mb + mirror_allowance_mb
+            if rss_end - rss_start > allowed:
                 failures.append(
                     f"rss grew {rss_end - rss_start:.0f} MB > "
-                    f"{max_rss_growth_mb} MB tripwire"
+                    f"{allowed:.0f} MB (slack {max_rss_growth_mb} + "
+                    f"device-mirror {mirror_allowance_mb:.0f})"
                 )
         out["failures"] = failures
         return out

@@ -25,6 +25,10 @@ class TestRerankGate:
         assert outcome["failures"] == [], outcome
         assert outcome["neural_mrr"] > outcome["lexical_mrr"] + 0.10
         assert outcome["shuffled_mrr"] < outcome["neural_mrr"]
+        # end-to-end through /retrieve with RERANK_ENABLED=1 (VERDICT r3
+        # weak #3): the tuned cross-encoder must not lose to the lexical
+        # provider on candidates produced by the REAL fused retrieval
+        assert outcome["e2e_neural_mrr"] >= outcome["e2e_lexical_mrr"]
 
     def test_training_path_smoke(self):
         # machinery only: triples build, training runs, eval produces MRRs

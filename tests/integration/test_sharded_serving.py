@@ -75,6 +75,53 @@ class TestShardedServing:
         ]
         assert sharded == baseline
 
+    def test_sharded_ivf_matches_unsharded(self, tmp_store, monkeypatch):
+        """IVF on a single-process GSPMD mesh: k-means build and the
+        probed row gather run over the ROW-SHARDED embedding matrix (XLA
+        inserts the collectives) and must serve dense_mode=ivf with the
+        same results as the unsharded build."""
+        monkeypatch.setattr(tmp_store, "dense_ivf_enabled", True)
+        monkeypatch.setattr(tmp_store, "ivf_min_rows", 1)
+
+        _populate()
+        # a non-empty artifacts corpus keeps the packed path (an empty
+        # corpus takes the cold-start fallback, which serves ivf as ann)
+        from cadence_rag_tpu.ingest.ingest import ingest_analysis
+        from cadence_rag_tpu.schemas import AnalysisArtifactIn
+
+        ingest_analysis(
+            CallRef(external_id="shard-0"),
+            [AnalysisArtifactIn(kind="summary",
+                                content="gateway retries summary")],
+        )
+        index = get_index()
+        index.chunks.build_ivf(n_clusters=4, seed=3)
+        assert index.chunks.ivf_usable()
+        baseline = [
+            retrieve_evidence(
+                RetrieveRequest(query=q, return_style="ids_only")
+            )["retrieved_ids"]
+            for q in QUERIES
+        ]
+
+        monkeypatch.setattr(tmp_store, "mesh_shape", "data:8")
+        reset_index()
+        from cadence_rag_tpu.ingest.ingest import rebuild_index_from_store
+
+        rebuild_index_from_store()
+        index = get_index()
+        assert index.mesh is not None
+        state = index.chunks.build_ivf(n_clusters=4, seed=3)
+        assert index.chunks.ivf_usable()
+        assert state.n_clusters == 4
+        sharded = [
+            retrieve_evidence(
+                RetrieveRequest(query=q, return_style="ids_only")
+            )["retrieved_ids"]
+            for q in QUERIES
+        ]
+        assert sharded == baseline
+
     def test_sharded_ingest_and_filters(self, tmp_store, monkeypatch):
         monkeypatch.setattr(tmp_store, "mesh_shape", "data:8")
         reset_index()
