@@ -141,6 +141,12 @@ class Settings:
     ivf_min_rows: int = 200_000              # use IVF above this row count
     ivf_clusters: int = 0                    # 0 = auto sqrt(N)
     ivf_nprobe: int = 0                      # 0 = auto 8% of clusters (>=4)
+    # Multi-host gangs: the automatic background IVF rebuild is a gang
+    # k-means that holds the (shared) corpus lock — serving pauses for
+    # the full build (minutes at 1M rows). Off by default so a capacity
+    # event can't silently freeze a production leader; rebuild explicitly
+    # via scripts/build_ivf.py, or opt in here.
+    dense_ivf_auto_rebuild_multihost: bool = False
     # Beyond-HBM cold tier (core/coldtier.py): rows past this count per
     # corpus spill to host RAM and are scanned by the same fused lane
     # program in blocks streamed through the device per batch; results

@@ -250,6 +250,7 @@ class CorpusIndex:
         self.ivf: Optional[IvfState] = None
         self._ivf_overflow_host = np.zeros(0, dtype=np.int32)
         self._ivf_rebuilding = False
+        self._ivf_rebuild_warned = False
         # bumped whenever row POSITIONS are renumbered or reloaded
         # (compaction, checkpoint restore): an IVF build that started
         # before the bump must not install its position-based buckets
@@ -1082,6 +1083,25 @@ class CorpusIndex:
             or state.overflow_count < max(state.built_count // 2, 8)
         ):
             return
+        if _multiprocess() and not settings.dense_ivf_auto_rebuild_multihost:
+            # A gang IVF build is a mirrored collective program that holds
+            # the shared corpus lock for the whole k-means — firing it
+            # automatically from the insert path would silently pause
+            # /retrieve for minutes on a production leader (ADVICE r4).
+            # Stand down; operators rebuild explicitly (scripts/build_ivf)
+            # or opt in via DENSE_IVF_AUTO_REBUILD_MULTIHOST=1.
+            if not self._ivf_rebuild_warned:
+                self._ivf_rebuild_warned = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ivf.auto_rebuild_standdown corpus=%s overflow=%d "
+                    "built=%d — multi-host gang build blocks serving for "
+                    "the k-means duration; run scripts/build_ivf or set "
+                    "DENSE_IVF_AUTO_REBUILD_MULTIHOST=1",
+                    self.name, state.overflow_count, state.built_count,
+                )
+            return
         self._ivf_rebuilding = True
 
         def rebuild():
@@ -1640,6 +1660,19 @@ class DeviceIndexManager:
             emb_dtype=settings.index_embedding_dtype,
             row_sharding=row_sharding,
         )
+        if _multiprocess():
+            # Lockstep invariant: the op-log is a valid serialization of
+            # the leader's device enqueue order ONLY if no two leader
+            # threads can interleave emit->enqueue windows of different
+            # collective-bearing programs (ADVICE r4 medium: a background
+            # gang IVF build holding just the chunks lock could cross-order
+            # with an artifacts compaction holding just the artifacts
+            # lock; followers replay in log order -> gang deadlock).
+            # Under a multi-process mesh the two corpora share ONE RLock,
+            # making every emit+enqueue pair leader-wide atomic by
+            # construction. Single-process keeps separate locks (more
+            # host concurrency; no log to keep consistent).
+            self.artifacts.lock = self.chunks.lock
         self.call_capacity = 256
         from .prewarm import GrowthPrewarmer
 

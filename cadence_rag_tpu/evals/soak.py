@@ -55,6 +55,31 @@ _TEMPLATES = (
 )
 
 
+def evaluate_decay(
+    windows: List[Dict], decay_floor: float
+) -> "tuple[float, float, Optional[str]]":
+    """Quarter-median scan-rate decay check. Returns (first_q, last_q,
+    failure_or_None). With fewer than two populated windows there is
+    nothing to compare — report an EXPLICIT failure instead of letting
+    np.median([]) yield NaN, whose comparisons are always False and
+    silently pass the gate (ADVICE r4)."""
+    if len(windows) < 2:
+        return float("nan"), float("nan"), (
+            f"only {len(windows)} populated sample window(s) — "
+            "the run was too short/slow to evaluate decay"
+        )
+    q = max(len(windows) // 4, 1)
+    first_q = float(np.median([w["scan_mrows_s"] for w in windows[:q]]))
+    last_q = float(np.median([w["scan_mrows_s"] for w in windows[-q:]]))
+    if last_q < decay_floor * first_q:
+        return first_q, last_q, (
+            f"scan throughput decayed: last-quarter "
+            f"{last_q:.0f} Mrows/s < {decay_floor} x "
+            f"first-quarter {first_q:.0f} Mrows/s"
+        )
+    return first_q, last_q, None
+
+
 def _rss_mb() -> float:
     try:
         with open("/proc/self/status") as fh:
@@ -257,9 +282,7 @@ def run_soak(
                 # construction, which is not decay
                 "scan_mrows_s": round(qps * med_rows / 1e6, 1),
             })
-        q = max(len(windows) // 4, 1)
-        first_q = float(np.median([w["scan_mrows_s"] for w in windows[:q]]))
-        last_q = float(np.median([w["scan_mrows_s"] for w in windows[-q:]]))
+        first_q, last_q, decay_failure = evaluate_decay(windows, decay_floor)
         rss_end = _rss_mb()
         # On the tunneled axon backend the PJRT client keeps HOST MIRRORS
         # of device buffers, so RSS tracks device bytes: a capacity
@@ -305,12 +328,8 @@ def run_soak(
         out["rss_mirror_allowance_mb"] = round(mirror_allowance_mb, 0)
         failures = []
         if check:
-            if last_q < decay_floor * first_q:
-                failures.append(
-                    f"scan throughput decayed: last-quarter "
-                    f"{last_q:.0f} Mrows/s < {decay_floor} x "
-                    f"first-quarter {first_q:.0f} Mrows/s"
-                )
+            if decay_failure is not None:
+                failures.append(decay_failure)
             allowed = max_rss_growth_mb + mirror_allowance_mb
             if rss_end - rss_start > allowed:
                 failures.append(
