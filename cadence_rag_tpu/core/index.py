@@ -33,6 +33,7 @@ from ..logging_utils import get_logger
 from ..ops.fused import dual_corpus_retrieve, multi_lane_retrieve
 from ..ops.ivf import build_buckets, ivf_topk, kmeans
 from ..ops.masks import filter_mask
+from ..utils import events
 
 logger = get_logger(__name__)
 
@@ -339,18 +340,23 @@ class CorpusIndex:
 
     # -- growth ---------------------------------------------------------
     def _grow_to(self, cap: int) -> None:
-        if _oplog is not None:
-            _oplog.emit("grow", {"corpus": self.name, "cap": int(cap)})
-        old = (self.emb, self.lex, self.tech, self.call_idx, self.started,
-               self.has_emb)
-        self.capacity = cap
-        self._alloc_device(cap)
-        self.emb = _write_slab(self.emb, old[0], 0)
-        self.lex = _write_slab(self.lex, old[1], 0)
-        self.tech = _write_slab(self.tech, old[2], 0)
-        self.call_idx = _write_slab(self.call_idx, old[3], 0)
-        self.started = _write_slab(self.started, old[4], 0)
-        self.has_emb = _write_slab(self.has_emb, old[5], 0)
+        with events.timed("index.grow", corpus=self.name,
+                          old_cap=int(self.capacity), cap=int(cap)):
+            if _oplog is not None:
+                _oplog.emit("grow", {"corpus": self.name, "cap": int(cap)})
+            old = (self.emb, self.lex, self.tech, self.call_idx,
+                   self.started, self.has_emb)
+            self.capacity = cap
+            self._alloc_device(cap)
+            self.emb = _write_slab(self.emb, old[0], 0)
+            self.lex = _write_slab(self.lex, old[1], 0)
+            self.tech = _write_slab(self.tech, old[2], 0)
+            self.call_idx = _write_slab(self.call_idx, old[3], 0)
+            self.started = _write_slab(self.started, old[4], 0)
+            self.has_emb = _write_slab(self.has_emb, old[5], 0)
+            self._grow_host_mirrors(cap)
+
+    def _grow_host_mirrors(self, cap: int) -> None:
         for attr in ("h_ids", "h_call", "h_started", "h_has_emb"):
             mirror = getattr(self, attr)
             grown = np.zeros(cap, dtype=mirror.dtype)
@@ -376,7 +382,9 @@ class CorpusIndex:
         if not rows:
             return
         with self.lock:
-            self._insert_locked(rows)
+            with events.timed("index.insert", corpus=self.name,
+                              rows=len(rows)):
+                self._insert_locked(rows)
         self._maybe_schedule_ivf_rebuild()
         if self._on_insert is not None:
             self._on_insert()
@@ -645,7 +653,9 @@ class CorpusIndex:
         """Replace lexical signatures by doc id across BOTH tiers;
         returns the per-row live mask (vocab re-featurize uses it to
         rebuild df over every live row, hot or cold)."""
-        with self.lock:
+        with self.lock, events.timed("index.set_lex_ids",
+                                     corpus=self.name,
+                                     rows=len(doc_ids)):
             pos = self.position_of(doc_ids)
             live = pos >= 0
             if live.any():
@@ -793,7 +803,8 @@ class CorpusIndex:
 
     def compact(self) -> None:
         with self.lock:
-            self._compact_locked()
+            with events.timed("index.compact", corpus=self.name):
+                self._compact_locked()
 
     def apply_compact_device(
         self, pad_live: np.ndarray, out_rows: int, cap: int

@@ -40,6 +40,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import threading
+import time
 from typing import TYPE_CHECKING, Dict, Optional, Set, Tuple
 
 from ..config import settings
@@ -383,8 +384,11 @@ class GrowthPrewarmer:
 
         from ..ops.pack import dual_corpus_retrieve_packed
 
+        from ..utils import events
+
         for sig in sigs:
             try:
+                t_lower = time.monotonic()
                 lowered = dual_corpus_retrieve_packed.lower(
                     self._corpus_specs(chunk_cap, sig),
                     self._corpus_specs(art_cap, sig),
@@ -400,6 +404,12 @@ class GrowthPrewarmer:
                     fuse_rrf=sig.fuse_rrf,
                 )
                 executable = lowered.compile()
+                events.record(
+                    "prewarm.compiled",
+                    time.monotonic() - t_lower,
+                    chunk_cap=int(chunk_cap), art_cap=int(art_cap),
+                    batch=int(sig.batch),
+                )
                 with self._lock:
                     self._compiled[(sig, chunk_cap, art_cap)] = executable
                     cur = (self._manager.chunks.capacity,

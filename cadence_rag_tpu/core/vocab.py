@@ -432,12 +432,15 @@ def build_and_apply(
     blocks until the new layout is fully landed (queries keep serving —
     lexical scores are transiently mixed-layout while rows migrate);
     the learning scan runs gate-free (read-only)."""
+    from ..utils import events
+
     with store.tx() as conn:
         conn.execute("DELETE FROM lex_vocab WHERE applied=0")
     head = int(head or settings.lex_vocab_head)
-    hashes = build_vocab_from_store(
-        store, head, batch=batch, limit_docs=limit_docs
-    )
+    with events.timed("vocab.learn"):
+        hashes = build_vocab_from_store(
+            store, head, batch=batch, limit_docs=limit_docs
+        )
     if hashes.size == 0:
         return {"version": 0, "head": 0, "note": "no stored documents"}
     with featurize.vocab_gate.write():
@@ -446,7 +449,10 @@ def build_and_apply(
             built_docs=_stored_doc_count(store),
         )
         featurize.set_active_vocab(hashes, version)
-        stats = apply_vocab_to_store(store, index, batch=max(batch // 2, 256))
+        with events.timed("vocab.apply"):
+            stats = apply_vocab_to_store(
+                store, index, batch=max(batch // 2, 256)
+            )
         mark_applied(store, version)
     return {"version": version, "head": int(hashes.size), "corpora": stats}
 

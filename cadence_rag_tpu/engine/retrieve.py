@@ -40,6 +40,7 @@ from ..logging_utils import get_logger
 from ..ops.fusion import lane_mask_names, rrf_merge_rect
 from ..schemas import Budget, RetrieveRequest
 from ..store.db import get_store
+from ..utils import events
 from .filters import ResolvedFilters, resolve_filters
 from .planner import (
     choose_dense_mode,
@@ -392,6 +393,9 @@ def _collect_plans(pending: Sequence[Tuple]) -> None:
     for group, disp, t0 in pending:
         chunks_out, artifacts_out = index.collect_packed(disp)
         device_ms = (time.perf_counter() - t0) * 1e3
+        if device_ms > 2000:
+            events.record("query.slow_device", device_ms / 1e3,
+                          batch=len(group))
         batch = len(group)
         served_mode = getattr(disp, "served_chunk_mode", None)
         if "__rrf__" in chunks_out:

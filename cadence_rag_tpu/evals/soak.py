@@ -173,6 +173,7 @@ def run_soak(
     window_s: float = 30.0,
     decay_floor: float = 0.70,
     max_rss_growth_mb: float = 1_500.0,
+    max_batch_ms: float = 0.0,
     check: bool = True,
 ) -> Dict:
     import jax
@@ -180,6 +181,7 @@ def run_soak(
     from ..config import settings
     from ..core.index import get_index, reset_index
     from ..store.db import get_store, reset_store
+    from ..utils import events
     from .serve_bench import _populate, _start_writer
 
     workdir = Path(tempfile.mkdtemp(prefix="cadence_soak_"))
@@ -227,6 +229,7 @@ def run_soak(
         stop = threading.Event()
         inserted = [0]
         state: Dict = {}
+        events.enable()
         writer = _start_writer(stop, inserted, writer_rows_s)
         t0 = time.monotonic()
         ops = threading.Thread(
@@ -307,6 +310,7 @@ def run_soak(
             "p50_batch_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
             "p99_batch_ms": round(float(np.percentile(lat, 99)) * 1e3, 1),
             "max_batch_ms": round(float(lat.max()) * 1e3, 1),
+            "max_batch_t_s": round(float(ends[int(lat.argmax())]), 1),
             "p50_per_query_ms": round(
                 float(np.percentile(lat, 50)) * 1e3 / batch, 3
             ),
@@ -324,12 +328,23 @@ def run_soak(
             "rss_start_mb": round(rss_start, 0),
             "rss_end_mb": round(rss_end, 0),
             "windows": windows,
+            # operational event log (utils/events.py), rebased to run
+            # start, >=250ms only — aligns the worst batch with whatever
+            # overlapped it (growth, compaction, vocab apply, prewarm)
+            "events": events.drain(t0=t0, min_s=0.25),
         }
+        events.disable()
         out["rss_mirror_allowance_mb"] = round(mirror_allowance_mb, 0)
         failures = []
         if check:
             if decay_failure is not None:
                 failures.append(decay_failure)
+            if max_batch_ms > 0 and out["max_batch_ms"] > max_batch_ms:
+                failures.append(
+                    f"worst batch {out['max_batch_ms']:.0f} ms > "
+                    f"{max_batch_ms:.0f} ms stall gate (VERDICT r4 "
+                    "item 2: capacity growth must stay interactive)"
+                )
             allowed = max_rss_growth_mb + mirror_allowance_mb
             if rss_end - rss_start > allowed:
                 failures.append(
@@ -357,13 +372,25 @@ def main() -> None:
     parser.add_argument("--n-delete", type=int, default=2_000)
     parser.add_argument("--window-s", type=float, default=30.0)
     parser.add_argument("--decay-floor", type=float, default=0.70)
+    parser.add_argument("--compact-at-frac", type=float, default=0.55)
+    parser.add_argument(
+        "--vocab-at-frac", type=float, default=0.15,
+        help=">1 disables the mid-run vocab rebuild",
+    )
+    parser.add_argument(
+        "--max-batch-ms", type=float, default=0.0,
+        help="fail if any batch exceeds this (growth-stall gate); 0=off",
+    )
     parser.add_argument("--no-check", action="store_true")
     args = parser.parse_args()
     out = run_soak(
         minutes=args.minutes, chunks=args.chunks, batch=args.batch,
         writer_rows_s=args.writer_rows_s,
         delete_every_s=args.delete_every_s, n_delete=args.n_delete,
+        compact_at_frac=args.compact_at_frac,
+        vocab_at_frac=args.vocab_at_frac,
         window_s=args.window_s, decay_floor=args.decay_floor,
+        max_batch_ms=args.max_batch_ms,
         check=not args.no_check,
     )
     print(json.dumps(out))
