@@ -268,58 +268,53 @@ class GrowthPrewarmer:
         arts = self._manager.artifacts
         if chunk_cap == chunks.capacity and art_cap == arts.capacity:
             return False
-        if not self._fits_hbm(chunk_cap, art_cap):
-            # Degrade before standing down: growths land at different
-            # times, and it is the SIMULTANEOUS old+new buffer pairs of
-            # both corpora that break the budget — prewarm only the
-            # corpus nearest its growth threshold and hold the other at
-            # its current capacity. (At the 1M-chunk headline scale the
-            # 76%-full artifacts corpus's speculative doubling pushed
-            # the joint plan past the budget and the chunks prewarm —
-            # the one that mattered — never ran.)
-            chunk_first = (
-                chunks.count * arts.capacity
-                >= arts.count * chunks.capacity
-            )
-            combos = [(chunk_cap, arts.capacity),
-                      (chunks.capacity, art_cap)]
-            if not chunk_first:
-                combos.reverse()
-            for cc, ac in combos:
-                if ((cc, ac) != (chunks.capacity, arts.capacity)
-                        and self._fits_hbm(cc, ac)):
-                    logger.info(
-                        "prewarm.degraded_single_corpus chunk_cap=%s "
-                        "art_cap=%s (joint growth targets exceed the "
-                        "HBM budget; nearest-growth corpus first)",
-                        cc, ac,
-                    )
-                    chunk_cap, art_cap = cc, ac
-                    break
-            else:
-                if (chunk_cap, art_cap) not in self._hbm_warned:
-                    self._hbm_warned.add((chunk_cap, art_cap))
-                    logger.warning(
-                        "prewarm.skipped_hbm chunk_cap=%s art_cap=%s "
-                        "budget_gb=%s (provision INDEX_INITIAL_CAPACITY "
-                        "upfront or shard via MESH_SHAPE at this scale)",
-                        chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
-                    )
-                return False
+        # Growths land ONE corpus at a time, so the capacity pair the
+        # dispatch will look up after the next growth is (grown, current)
+        # or (current, grown) — NOT the joint target. Round-4's soak paid
+        # a 15.5 s on-lock recompile at (1048576, 65536) because only the
+        # joint (1048576, 131072) was warm (the 51 s worst batch was this
+        # compile under vocab-rebuild host contention). Compile every
+        # REACHABLE pair, nearest-growth corpus first; the joint pair
+        # last (it becomes reachable only after both grow).
+        chunk_first = (
+            chunks.count * arts.capacity >= arts.count * chunks.capacity
+        )
+        combos: list = []
+        if chunk_cap != chunks.capacity:
+            combos.append((chunk_cap, arts.capacity))
+        if art_cap != arts.capacity:
+            combos.append((chunks.capacity, art_cap))
+        if not chunk_first:
+            combos.reverse()
+        if chunk_cap != chunks.capacity and art_cap != arts.capacity:
+            combos.append((chunk_cap, art_cap))
+        fitting = [c for c in combos if self._fits_hbm(*c)]
+        if not fitting:
+            if (chunk_cap, art_cap) not in self._hbm_warned:
+                self._hbm_warned.add((chunk_cap, art_cap))
+                logger.warning(
+                    "prewarm.skipped_hbm chunk_cap=%s art_cap=%s "
+                    "budget_gb=%s (provision INDEX_INITIAL_CAPACITY "
+                    "upfront or shard via MESH_SHAPE at this scale)",
+                    chunk_cap, art_cap, settings.prewarm_hbm_budget_gb,
+                )
+            return False
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
                 return False
             pending = [
-                sig for sig in self._sigs
-                if (sig, chunk_cap, art_cap) not in self._started
+                (sig, cc, ac)
+                for cc, ac in fitting
+                for sig in self._sigs
+                if (sig, cc, ac) not in self._started
             ]
             if not pending:
                 return False
-            for sig in pending:
-                self._started.add((sig, chunk_cap, art_cap))
+            for key in pending:
+                self._started.add(key)
             self._thread = threading.Thread(
                 target=self._compile_all,
-                args=(pending, chunk_cap, art_cap),
+                args=(pending,),
                 daemon=True,
                 name="growth-prewarm",
             )
@@ -378,7 +373,7 @@ class GrowthPrewarmer:
             sharding=NamedSharding(sharding_2d.mesh, PartitionSpec()),
         )
 
-    def _compile_all(self, sigs, chunk_cap: int, art_cap: int) -> None:
+    def _compile_all(self, tasks) -> None:
         import jax
         import jax.numpy as jnp
 
@@ -386,7 +381,7 @@ class GrowthPrewarmer:
 
         from ..utils import events
 
-        for sig in sigs:
+        for sig, chunk_cap, art_cap in tasks:
             try:
                 t_lower = time.monotonic()
                 lowered = dual_corpus_retrieve_packed.lower(
@@ -443,6 +438,22 @@ class GrowthPrewarmer:
                     "modes=%s/%s", chunk_cap, art_cap, sig.batch,
                     sig.chunk_mode, sig.artifact_mode,
                 )
+                # With the single-growth pair's query program warm, the
+                # buffer side can start too: background growth migration
+                # (core/index.GrowthMigration) — growth becomes a swap.
+                chunks = self._manager.chunks
+                arts = self._manager.artifacts
+                # one migration at a time: two concurrent ones would hold
+                # BOTH corpora's old+new buffer pairs, a joint footprint
+                # _fits_hbm only ever approved per single-growth combo
+                if (chunk_cap > chunks.capacity
+                        and art_cap == arts.capacity
+                        and arts._migration is None):
+                    chunks.start_migration(chunk_cap)
+                elif (art_cap > arts.capacity
+                        and chunk_cap == chunks.capacity
+                        and chunks._migration is None):
+                    arts.start_migration(art_cap)
             except Exception:  # never fatal: growth just pays the compile
                 logger.exception(
                     "prewarm.failed chunk_cap=%s art_cap=%s", chunk_cap,

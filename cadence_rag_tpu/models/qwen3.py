@@ -39,7 +39,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..logging_utils import get_logger
 from ..ops.hashing import fnv1a64
+
+logger = get_logger(__name__)
 
 # --------------------------------------------------------------- config ----
 
@@ -190,7 +193,15 @@ def init_params(
 
 def load_params(path: str) -> "tuple[Dict[str, jax.Array], Qwen3Config]":
     """Restore a real checkpoint: an npz with the _param_specs layout plus
-    an __cfg__ row (same scheme as models/embedder.py)."""
+    an __cfg__ row (same scheme as models/embedder.py).
+
+    Real-weight convention: the framework reserves token id 0 as the pad
+    sentinel (encode()'s pad_mask), so a converted checkpoint must store
+    real token id i's embedding at ``tok_emb`` row i+1 and leave row 0
+    zeros — models/tokenizer.BpeTokenizer emits ids with the matching +1
+    shift. A conversion script does ``tok_emb_npz[1:real_vocab+1] =
+    hf_embed_tokens`` (vocab_buckets 151_936 leaves headroom over Qwen's
+    151_669 used ids)."""
     import ml_dtypes
 
     with np.load(path, allow_pickle=False) as data:
@@ -233,13 +244,25 @@ def save_params(path: str, params: Dict[str, jax.Array], cfg: Qwen3Config) -> No
 # ------------------------------------------------------------ tokenizer ----
 
 def batch_tokenize(
-    texts: Sequence[str], cfg: Qwen3Config, seq_len: Optional[int] = None
+    texts: Sequence[str], cfg: Qwen3Config, seq_len: Optional[int] = None,
+    bpe=None,
 ) -> np.ndarray:
-    """Word-level FNV-1a hashing into vocab buckets (1-based; 0 = pad).
-    Stands in for the BPE vocab (not shipped in this image); the device
-    program is tokenizer-agnostic."""
+    """Text -> (B, seq) int32 ids, 0 = pad.
+
+    With ``bpe`` (a models/tokenizer.BpeTokenizer, loaded from
+    QWEN3_TOKENIZER_PATH): real byte-level BPE ids shifted +1 so id 0
+    stays the pad sentinel — a real checkpoint's embedding table must
+    hold real token id i at row i+1 (see load_params).
+
+    Without: word-level FNV-1a hashing into vocab buckets (1-based) —
+    the synthetic-weights stand-in; the device program is identical."""
     seq = seq_len or cfg.max_len
     out = np.zeros((len(texts), seq), dtype=np.int32)
+    if bpe is not None:
+        for i, text in enumerate(texts):
+            ids = bpe.encode(text, max_len=seq, add_eos=True)
+            out[i, : len(ids)] = ids
+        return out
     for i, text in enumerate(texts):
         for j, word in enumerate(text.lower().split()):
             if j >= seq:
@@ -389,6 +412,25 @@ class Qwen3EmbeddingProvider:
                 f"qwen3 config produces {self.cfg.embed_dim}-d vectors but "
                 f"EMBEDDINGS_DIM={settings.embeddings_dim}"
             )
+        self.bpe = None
+        tok_path = (settings.qwen3_tokenizer_path or "").strip()
+        if tok_path:
+            from .tokenizer import BpeTokenizer
+
+            self.bpe = BpeTokenizer.load(tok_path)
+            if self.bpe.vocab_size > self.cfg.vocab_buckets:
+                raise RuntimeError(
+                    f"tokenizer vocab ({self.bpe.vocab_size} incl. the "
+                    f"+1 pad shift) exceeds the model's vocab_buckets "
+                    f"({self.cfg.vocab_buckets})"
+                )
+            suffix += "-bpe"
+        elif path:
+            logger.warning(
+                "qwen3: real checkpoint loaded but QWEN3_TOKENIZER_PATH "
+                "is unset — hash-token ids will NOT match the trained "
+                "embedding table; set the tokenizer for real quality"
+            )
         self.model_id = (
             f"qwen3-shaped-{self.cfg.d_model}d{self.cfg.n_layers}L{suffix}"
         )
@@ -404,9 +446,20 @@ class Qwen3EmbeddingProvider:
         from ..embed.provider import EmbeddingResult
 
         n = len(texts)
-        longest = max((len(t.split()) for t in texts), default=1)
-        seq = min(_pow2(max(longest, 1), lo=16), self.cfg.max_len)
-        tokens = batch_tokenize(texts, self.cfg, seq_len=seq)
+        if self.bpe is not None:
+            id_lists = [
+                self.bpe.encode(t, max_len=self.cfg.max_len)
+                for t in texts
+            ]
+            longest = max((len(x) for x in id_lists), default=1)
+            seq = min(_pow2(max(longest, 1), lo=16), self.cfg.max_len)
+            tokens = np.zeros((n, seq), dtype=np.int32)
+            for i, ids in enumerate(id_lists):
+                tokens[i, : len(ids)] = ids
+        else:
+            longest = max((len(t.split()) for t in texts), default=1)
+            seq = min(_pow2(max(longest, 1), lo=16), self.cfg.max_len)
+            tokens = batch_tokenize(texts, self.cfg, seq_len=seq)
         padded_n = _pow2(n)
         if padded_n != n:
             tokens = np.concatenate(

@@ -179,8 +179,33 @@ class TestGrowthPrewarm:
         index.prewarmer.maybe_prewarm()  # idempotent if already started
         index.prewarmer.wait(timeout=120)
         caps = {(c, a) for _, c, a in index.prewarmer._compiled}
-        # chunks (higher fill) prewarmed at its doubling; artifacts held
-        assert caps == {(512, 256)}
+        # both REACHABLE single-growth pairs compile (growths land one
+        # corpus at a time — round-5 fix: the joint-only prewarm left
+        # the actually-reachable pair cold and the first post-growth
+        # query paid a fresh compile on the hot path); the joint pair
+        # exceeds the budget and is skipped
+        assert (512, 256) in caps and (256, 512) in caps
+        assert (512, 512) not in caps
+
+    def test_reachable_pairs_compiled(self, prewarm_env):
+        """Both corpora near growth, ample budget: the prewarmer must
+        compile the two single-growth pairs (the states the next growth
+        actually lands in — growths are per-corpus) AND the joint pair.
+        Round-4 compiled ONLY the joint, so the first post-growth query
+        paid a fresh compile on the hot path (the soak's 15.5 s / 51 s
+        worst batches)."""
+        from cadence_rag_tpu.engine.retrieve import retrieve_evidence_batch
+
+        index = get_index()
+        index.chunks.insert(_rows(1, 220))
+        index.artifacts.insert(_rows(1, 200))
+        reqs = [RetrieveRequest(query="object store gateway retry",
+                                return_style="ids_only")]
+        retrieve_evidence_batch(reqs)
+        index.prewarmer.maybe_prewarm()
+        index.prewarmer.wait(timeout=120)
+        caps = {(c, a) for _, c, a in index.prewarmer._compiled}
+        assert {(512, 256), (256, 512), (512, 512)} <= caps
 
     def test_prewarm_disabled_is_inert(self, prewarm_env, monkeypatch):
         monkeypatch.setattr(prewarm_env, "prewarm_growth_enabled", False)
