@@ -17,3 +17,16 @@ A from-scratch rebuild of the capabilities of ``bgconley/cadence-rag``
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_force = _os.environ.get("CADENCE_FORCE_PLATFORM", "").strip()
+if _force:
+    # Pin the JAX platform before any backend use. Exists because env
+    # JAX_PLATFORMS is ignored by some PJRT plugins (the axon TPU tunnel
+    # — NOTES_DEV.md), yet deployment children (scripts/serve_all.py
+    # workers, CI subprocesses) must be able to stay off the device the
+    # api process owns.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _force)

@@ -222,7 +222,8 @@ class GrowthMigration:
     rows and CANCEL the migration. Single-process only — multi-process
     gangs replay 'grow' synchronously over the op-log."""
 
-    def __init__(self, corpus: "CorpusIndex", new_cap: int):
+    def __init__(self, corpus: "CorpusIndex", new_cap: int,
+                 warmup=None):
         self.corpus = corpus
         self.new_cap = int(new_cap)
         self.journal: "deque" = deque()
@@ -231,6 +232,12 @@ class GrowthMigration:
         self.swapped = False
         self._apply_lock = threading.Lock()
         self.bufs: Optional[Tuple[jax.Array, ...]] = None
+        # best-effort: run the prewarmed query executable once over the
+        # new buffers BEFORE the swap — the first execution of a freshly
+        # compiled executable can pay a multi-second load through the
+        # tunnel (measured 10-15 s worst batches right after a swap);
+        # paying it here keeps it off the serving thread
+        self.warmup = warmup
         self._thread = threading.Thread(
             target=self._run, daemon=True,
             name=f"growth-migrate-{corpus.name}",
@@ -259,6 +266,15 @@ class GrowthMigration:
             if bufs is None:
                 return
             self.bufs = bufs
+            if self.warmup is not None:
+                try:
+                    with events.timed("index.migration_warmup",
+                                      corpus=c.name):
+                        self.warmup(bufs)
+                except Exception:  # pragma: no cover - best effort
+                    logger.exception(
+                        "index.migration_warmup_failed corpus=%s", c.name
+                    )
             self.ready.set()
             events.record("index.migration_ready", corpus=c.name,
                           cap=self.new_cap)
@@ -567,7 +583,7 @@ class CorpusIndex:
                 cap *= 2
         self._grow_to(max(cap, need))
 
-    def start_migration(self, new_cap: int) -> bool:
+    def start_migration(self, new_cap: int, warmup=None) -> bool:
         """Begin background growth toward ``new_cap`` (idempotent; called
         by the prewarmer once the target's query program is compiled).
         Single-process hot tier only — gangs mirror 'grow' synchronously
@@ -586,7 +602,8 @@ class CorpusIndex:
                 if mig.new_cap >= new_cap and not mig.cancelled:
                     return False  # already migrating there
                 mig.cancel()
-            self._migration = GrowthMigration(self, new_cap)
+            self._migration = GrowthMigration(self, new_cap,
+                                              warmup=warmup)
             self._migration.start()
             events.record("index.migration_start", corpus=self.name,
                           cap=int(new_cap))

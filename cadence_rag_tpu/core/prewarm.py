@@ -443,17 +443,40 @@ class GrowthPrewarmer:
                 # (core/index.GrowthMigration) — growth becomes a swap.
                 chunks = self._manager.chunks
                 arts = self._manager.artifacts
+
+                def _warmup_for(grow_chunks: bool, exe=executable,
+                                pbytes=sig.packed_bytes):
+                    """First execution of a fresh executable can pay a
+                    multi-second load through the tunnel — run it once
+                    over the migrated buffers, off the serving thread."""
+                    dummy = jnp.zeros((pbytes,), jnp.uint8)
+
+                    def run(bufs):
+                        c_args = bufs if grow_chunks else (
+                            chunks.device_arrays()
+                        )
+                        a_args = (
+                            arts.device_arrays() if grow_chunks else bufs
+                        )
+                        jax.block_until_ready(exe(c_args, a_args, dummy))
+
+                    return run
+
                 # one migration at a time: two concurrent ones would hold
                 # BOTH corpora's old+new buffer pairs, a joint footprint
                 # _fits_hbm only ever approved per single-growth combo
                 if (chunk_cap > chunks.capacity
                         and art_cap == arts.capacity
                         and arts._migration is None):
-                    chunks.start_migration(chunk_cap)
+                    chunks.start_migration(
+                        chunk_cap, warmup=_warmup_for(True)
+                    )
                 elif (art_cap > arts.capacity
                         and chunk_cap == chunks.capacity
                         and chunks._migration is None):
-                    arts.start_migration(art_cap)
+                    arts.start_migration(
+                        art_cap, warmup=_warmup_for(False)
+                    )
             except Exception:  # never fatal: growth just pays the compile
                 logger.exception(
                     "prewarm.failed chunk_cap=%s art_cap=%s", chunk_cap,
