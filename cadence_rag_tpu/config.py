@@ -85,7 +85,9 @@ class Settings:
     # Embedding storage dtype: "bfloat16" (default), "float32", or "int8"
     # (unit vectors quantized round(x*127) at insert — halves dense-lane
     # HBM traffic and checkpoint size vs bf16; scoring widens in-register
-    # and accumulates f32; IVF unsupported under int8).
+    # and accumulates f32). IVF works under int8: k-means clusters the
+    # DEQUANTIZED snapshot and probed scores rescale by 1/127
+    # (ops/ivf.py; parity-tested in tests/integration/test_ivf_mode.py).
     index_embedding_dtype: str = "bfloat16"
     lexical_dim: int = 4096                  # hashed BM25 signature buckets
     lexical_dtype: str = "int8"

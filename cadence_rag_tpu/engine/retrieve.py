@@ -982,7 +982,21 @@ def retrieve_evidence_batch(
     payloads: Sequence[RetrieveRequest],
 ) -> List[Dict[str, Any]]:
     """Serve many queries with one device dispatch per planner-mode group."""
-    return finish_evidence_batch(dispatch_evidence_batch(payloads))
+    t0 = time.perf_counter()
+    handle = dispatch_evidence_batch(payloads)
+    t1 = time.perf_counter()
+    out = finish_evidence_batch(handle)
+    t2 = time.perf_counter()
+    if t2 - t0 > 2.0:
+        # stall attribution (utils/events.py): dispatch covers host
+        # prepare + pack + enqueue; finish covers the device wait +
+        # fuse + assemble (a >2 s device wait also logs
+        # query.slow_device from _collect_plans)
+        events.record("query.slow_batch", t2 - t0,
+                      dispatch_s=round(t1 - t0, 3),
+                      finish_s=round(t2 - t1, 3),
+                      batch=len(payloads))
+    return out
 
 
 def dispatch_evidence_batch(payloads: Sequence[RetrieveRequest]):

@@ -227,3 +227,75 @@ class TestMidFlightInvalidation:
         with pytest.raises(RuntimeError, match="row positions changed"):
             corpus.build_ivf(n_clusters=4, nprobe=4)
         assert corpus.ivf is None  # nothing stale installed
+
+
+@pytest.fixture()
+def ivf_corpus_int8(tmp_store, monkeypatch):
+    """Same corpus as ivf_corpus but with int8 embedding storage —
+    the IVF probed path must work under quantized rows (k-means runs on
+    the DEQUANTIZED snapshot, probed scores rescale by 1/127;
+    NOTES_DEV.md round-3 int8 notes / VERDICT r4 weak #5)."""
+    from cadence_rag_tpu.ingest.ingest import ingest_analysis
+    from cadence_rag_tpu.schemas import AnalysisArtifactIn
+
+    monkeypatch.setattr(tmp_store, "index_embedding_dtype", "int8")
+    monkeypatch.setattr(tmp_store, "dense_ivf_enabled", True)
+    monkeypatch.setattr(tmp_store, "ivf_min_rows", 8)
+    for i in range(12):
+        ingest_transcript(
+            CallRef(external_id=f"ivf8-{i}"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text=f"{TOPICS[i % len(TOPICS)]} variation {i}")],
+            OPTS,
+        )
+    ingest_analysis(
+        CallRef(external_id="ivf8-0"),
+        [AnalysisArtifactIn(kind="summary",
+                            content="object store incident summary")],
+    )
+    run_embedding_backfill(batch_size=8)
+    return tmp_store
+
+
+class TestIvfInt8:
+    def test_int8_storage_active(self, ivf_corpus_int8):
+        import jax.numpy as jnp
+
+        from cadence_rag_tpu.core.index import get_index
+
+        assert get_index().chunks.emb.dtype == jnp.int8
+
+    def test_ivf_parity_under_int8(self, ivf_corpus_int8):
+        """nprobe == n_clusters scans every bucket: results must match
+        the (int8) exact path exactly — the probed gather + 1/127
+        rescale is ranking-neutral."""
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        req = RetrieveRequest(query="ECONNRESET object store gateway",
+                              return_style="ids_only")
+        baseline = retrieve_evidence(req)["retrieved_ids"]
+        state = index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        assert state.built_count == index.chunks.count
+        resp = retrieve_evidence(RetrieveRequest(
+            query="ECONNRESET object store gateway", debug=True))
+        assert resp["notes"]["retrieval"]["dense_modes"]["chunks"] == "ivf"
+        assert retrieve_evidence(req)["retrieved_ids"] == baseline
+
+    def test_overflow_visibility_under_int8(self, ivf_corpus_int8):
+        from cadence_rag_tpu.core.index import get_index
+
+        index = get_index()
+        index.chunks.build_ivf(n_clusters=4, nprobe=4)
+        ingest_transcript(
+            CallRef(external_id="ivf8-new"),
+            [UtteranceIn(speaker="A", start_ts_ms=0, end_ts_ms=900,
+                         text="freshly ingested zeppelin maintenance log")],
+            OPTS,
+        )
+        run_embedding_backfill(batch_size=8)
+        assert index.chunks.ivf.overflow_count >= 1
+        resp = retrieve_evidence(RetrieveRequest(
+            query="zeppelin maintenance log", debug=True))
+        dense = resp["debug"]["lanes"]["chunks"]["dense"]
+        assert dense, "overflow row must stay reachable under int8"
