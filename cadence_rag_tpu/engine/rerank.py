@@ -28,7 +28,7 @@ Fused RRF order breaks ties for equal rerank scores (stable sort).
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -76,9 +76,32 @@ def _lexical_scores(
     return scores
 
 
+def prior_for_texts(
+    query: str, texts: Sequence[str], doc_freq: np.ndarray, n_docs: int,
+    avgdl: float = 400.0,
+) -> np.ndarray:
+    """The frozen lexical prior computed from raw TEXT (training-time
+    twin of ``_lexical_scores``, which reads stored signatures): BM25
+    signature dot + exact tech-token overlap bonus. Same featurizer,
+    same value the serving path feeds the prior-residual reranker."""
+    if not texts:
+        return np.zeros(0, np.float32)
+    q_vec = featurize.query_lexical_vector(query, doc_freq, n_docs)
+    q_tokens = {t.lower() for t in extract_tech_tokens(query)}
+    sigs = featurize.lexical_signatures_batch(list(texts), avgdl)
+    out = np.zeros(len(texts), np.float32)
+    for i, ((sig, _touched, _dl), text) in enumerate(zip(sigs, texts)):
+        score = float(q_vec @ sig.astype(np.float32))
+        doc_tokens = {t.lower() for t in extract_tech_tokens(text)}
+        score += TECH_OVERLAP_BONUS * len(q_tokens & doc_tokens)
+        out[i] = score
+    return out
+
+
 def _neural_scores(
     query: str, table: str, id_col: str, text_col: str,
     doc_ids: Sequence[int],
+    doc_freq: Optional[np.ndarray] = None, n_docs: int = 0,
 ) -> Dict[int, float]:
     from ..models.reranker import NeuralReranker
 
@@ -91,7 +114,19 @@ def _neural_scores(
             [int(d) for d in doc_ids],
         ).fetchall()
     texts = [row["text"] for row in rows]
-    logits = NeuralReranker.shared().score(query, texts)
+    model = NeuralReranker.shared()
+    priors = None
+    if model.cfg.prior_residual and doc_freq is not None:
+        # score = frozen lexical prior + trained residual: feed the SAME
+        # stored-signature rescore the lexical provider uses
+        prior_map = _lexical_scores(
+            query, table, id_col, text_col, doc_ids, doc_freq, n_docs
+        )
+        priors = np.array(
+            [prior_map.get(int(row["i"]), 0.0) for row in rows],
+            dtype=np.float32,
+        )
+    logits = model.score(query, texts, priors=priors)
     return {int(row["i"]): float(s) for row, s in zip(rows, logits)}
 
 
@@ -115,12 +150,14 @@ def rerank(
     }[corpus_name]
     doc_ids = [doc_id for doc_id, _, _ in head]
     if provider == "neural_raw":
-        scores = _neural_scores(query, table, id_col, text_col, doc_ids)
+        scores = _neural_scores(query, table, id_col, text_col, doc_ids,
+                                doc_freq, n_docs)
     elif provider == "neural":
         teacher = _lexical_scores(
             query, table, id_col, text_col, doc_ids, doc_freq, n_docs
         )
-        refine = _neural_scores(query, table, id_col, text_col, doc_ids)
+        refine = _neural_scores(query, table, id_col, text_col, doc_ids,
+                                doc_freq, n_docs)
         lo = min(refine.values(), default=0.0)
         hi = max(refine.values(), default=1.0)
         span = max(hi - lo, 1e-6)

@@ -1005,9 +1005,18 @@ def dispatch_evidence_batch(payloads: Sequence[RetrieveRequest]):
     phase 1 of the next micro-batch while phase 2 of the previous one
     waits on device output — single-thread pipelining. Identical
     requests within the batch coalesce into one executed plan."""
+    t0 = time.perf_counter()
     unique, assign = _coalesce_payloads(payloads)
     plans = _prepare_plans(unique)
-    return plans, _dispatch_plans(plans), assign
+    t1 = time.perf_counter()
+    pending = _dispatch_plans(plans)
+    t2 = time.perf_counter()
+    if t2 - t0 > 2.0:
+        events.record("query.slow_dispatch", t2 - t0,
+                      prepare_s=round(t1 - t0, 3),
+                      enqueue_s=round(t2 - t1, 3),
+                      batch=len(payloads))
+    return plans, pending, assign
 
 
 def finish_evidence_batch(handle) -> List[Dict[str, Any]]:

@@ -230,6 +230,22 @@ def run_soak(
         inserted = [0]
         state: Dict = {}
         events.enable()
+        # GC pauses are a stall suspect on a heap holding device-buffer
+        # host mirrors: record every collection >50 ms as an event
+        import gc as _gc
+
+        gc_t0 = [0.0]
+
+        def _gc_cb(phase, info):
+            if phase == "start":
+                gc_t0[0] = time.monotonic()
+            else:
+                dur = time.monotonic() - gc_t0[0]
+                if dur > 0.05:
+                    events.record("gc.collect", dur,
+                                  gen=info.get("generation"))
+
+        _gc.callbacks.append(_gc_cb)
         writer = _start_writer(stop, inserted, writer_rows_s)
         t0 = time.monotonic()
         ops = threading.Thread(
@@ -334,6 +350,7 @@ def run_soak(
             "events": events.drain(t0=t0, min_s=0.25),
         }
         events.disable()
+        _gc.callbacks.remove(_gc_cb)
         out["rss_mirror_allowance_mb"] = round(mirror_allowance_mb, 0)
         failures = []
         if check:

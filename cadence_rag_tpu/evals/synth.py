@@ -118,6 +118,65 @@ def install_synthetic_corpus(
         corpus._ivf_overflow_host = np.zeros(0, dtype=np.int32)
 
 
+def install_synthetic_cold(
+    corpus: CorpusIndex, n: int, n_calls: int, seed: int = 2,
+    block: int = 262144,
+) -> None:
+    """Fill ``corpus``'s HOST cold tier with n synthetic rows (doc ids
+    continue after the hot tier), vectorized — the DocRow insert path is
+    ~minutes at millions of rows. Updates tier arrays + tier df/dl
+    deltas AND the corpus-wide lexical stats, exactly like
+    _cold_insert_locked does per row."""
+    import jax.numpy as jnp
+
+    tier = corpus._cold_tier()
+    rng = np.random.default_rng(seed)
+    with corpus.lock:
+        start = tier.count
+        need = start + n
+        if need > tier.capacity:
+            tier._alloc(_next_pow2(need, lo=1024))
+        first_id = int(corpus.h_ids[: corpus.count].max(initial=0)) + 1
+        if tier.count:
+            first_id = max(first_id, int(tier.ids[: tier.count].max()) + 1)
+        for b0 in range(0, n, block):
+            b = min(block, n - b0)
+            emb = rng.standard_normal((b, corpus.dim)).astype(np.float32)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            sl = slice(start + b0, start + b0 + b)
+            tier.emb[sl] = corpus._encode_emb(emb)
+            tier.lex[sl] = rng.integers(
+                -4, 5, size=(b, corpus.lex_dim)
+            ).astype(np.int8)
+            tier.tech[sl] = rng.integers(
+                1, 5000, size=(b, corpus.tech_slots)
+            ).astype(np.int32)
+            tier.call_idx[sl] = rng.integers(
+                0, n_calls, size=b
+            ).astype(np.int32)
+            tier.started[sl] = rng.integers(
+                1_600_000_000, 1_750_000_000, size=b
+            ).astype(np.int32)
+            tier.has_emb[sl] = True
+        ids = np.arange(first_id, first_id + n, dtype=np.int64)
+        tier.ids[start:start + n] = ids
+        tier._id_to_pos.update(
+            (int(d), start + i) for i, d in enumerate(ids)
+        )
+        tier.count += n
+        tier.emb_rows += n
+        # lexical stats: tier delta + corpus-wide totals (scoring uses
+        # the corpus totals so hot and cold rows weight identically)
+        df_add = (tier.lex[start:start + n] != 0).sum(axis=0)
+        dl_add = int(np.abs(
+            tier.lex[start:start + n].astype(np.int32)
+        ).sum())
+        tier.df += df_add
+        tier.dl_sum += dl_add
+        corpus.doc_freq += df_add
+        corpus.dl_sum += dl_add
+
+
 def synth_text(i: int) -> str:
     return (
         f"chunk {i} discussing {_WORDS[i % len(_WORDS)]} and "

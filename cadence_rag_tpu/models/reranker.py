@@ -34,6 +34,14 @@ class RerankerConfig:
     d_ff: int = 512
     max_len: int = 256
     dtype: Any = jnp.bfloat16
+    # Two-register recipe (VERDICT r4 weak #3): the final score is
+    # FROZEN lexical prior + trained transformer residual. The prior is
+    # the deterministic BM25+tech-overlap rescore (engine/rerank.
+    # prior_for_texts) passed in as an input — not a trainable path —
+    # so exact-token ordering survives training by construction (the
+    # embedder's frozen-bag residual pattern, NOTES_DEV round-2) while
+    # the residual learns what the prior cannot rank (paraphrase).
+    prior_residual: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -69,10 +77,12 @@ def init_params(cfg: RerankerConfig, key: jax.Array) -> Dict[str, Any]:
 
 
 def score_pairs(params: Dict[str, Any], token_ids: jax.Array,
-                cfg: RerankerConfig) -> jax.Array:
+                cfg: RerankerConfig,
+                prior: Optional[jax.Array] = None) -> jax.Array:
     """(P, L) int32 -> (P,) relevance logits (mean-pooled encoder +
     linear head). Bidirectional attention (no causal mask) — rerankers see
-    the full pair."""
+    the full pair. With ``cfg.prior_residual``, ``prior`` (P,) f32 is
+    ADDED to the logits (an input, never a gradient path)."""
     from .embedder import _block, _layer_norm  # shared blocks
 
     enc_cfg = EmbedderConfig(
@@ -91,8 +101,12 @@ def score_pairs(params: Dict[str, Any], token_ids: jax.Array,
     logits = jnp.dot(
         pooled.astype(cfg.dtype), params["out_proj"].astype(cfg.dtype),
         preferred_element_type=jnp.float32,
-    )
-    return logits[:, 0]
+    )[:, 0]
+    if cfg.prior_residual and prior is not None:
+        logits = logits + jax.lax.stop_gradient(
+            jnp.asarray(prior, jnp.float32)
+        )
+    return logits
 
 
 # ------------------------------------------------------------- training ----
@@ -102,22 +116,28 @@ def pairwise_loss(
     tokens_hi: jax.Array,    # (P, L) pairs the teacher ranks HIGHER
     tokens_lo: jax.Array,    # (P, L) pairs the teacher ranks LOWER
     cfg: RerankerConfig,
+    prior_hi: Optional[jax.Array] = None,
+    prior_lo: Optional[jax.Array] = None,
 ) -> jax.Array:
     """RankNet-style pairwise logistic loss: distills the teacher's
     ORDERING (not its score scale) — rerank applies order only
     (engine/rerank.py keeps the RRF score ladder), so ordering is the
-    entire contract."""
-    s_hi = score_pairs(params, tokens_hi, cfg)
-    s_lo = score_pairs(params, tokens_lo, cfg)
+    entire contract. Under ``prior_residual`` the frozen prior joins the
+    margin, so pairs the prior already orders correctly contribute ~zero
+    gradient and the residual trains only where the prior is blind."""
+    s_hi = score_pairs(params, tokens_hi, cfg, prior=prior_hi)
+    s_lo = score_pairs(params, tokens_lo, cfg, prior=prior_lo)
     return jnp.mean(jax.nn.softplus(-(s_hi - s_lo)))
 
 
 def train_step(params, opt_state, tokens_hi, tokens_lo,
-               cfg: RerankerConfig, lr: float = 1e-4):
+               cfg: RerankerConfig, lr: float = 1e-4,
+               prior_hi: Optional[jax.Array] = None,
+               prior_lo: Optional[jax.Array] = None):
     from .embedder import adamw_update
 
     loss, grads = jax.value_and_grad(pairwise_loss)(
-        params, tokens_hi, tokens_lo, cfg
+        params, tokens_hi, tokens_lo, cfg, prior_hi, prior_lo
     )
     new_params, new_opt = adamw_update(params, grads, opt_state, lr=lr)
     return new_params, new_opt, loss
@@ -129,7 +149,7 @@ def save_params(path: str, params: Dict[str, Any], cfg: RerankerConfig) -> None:
         flat["/".join(str(k) for k in key_path)] = np.asarray(leaf)
     flat["__rerank_cfg__"] = np.array(
         [cfg.vocab_buckets, cfg.d_model, cfg.n_layers, cfg.n_heads,
-         cfg.d_ff, cfg.max_len], dtype=np.int64,
+         cfg.d_ff, cfg.max_len, int(cfg.prior_residual)], dtype=np.int64,
     )
     np.savez(path, **flat)
 
@@ -141,6 +161,8 @@ def load_params(path: str) -> "tuple[Dict[str, Any], RerankerConfig]":
             vocab_buckets=int(vals[0]), d_model=int(vals[1]),
             n_layers=int(vals[2]), n_heads=int(vals[3]), d_ff=int(vals[4]),
             max_len=int(vals[5]),
+            # len-6 cfg rows are pre-round-5 artifacts (no prior head)
+            prior_residual=bool(vals[6]) if vals.shape[0] > 6 else False,
         )
         template = init_params(cfg, jax.random.PRNGKey(0))
         leaves_with_path = jax.tree_util.tree_flatten_with_path(template)
@@ -177,8 +199,18 @@ class NeuralReranker:
         """Drop the singleton (tests and weight reloads)."""
         cls._instance = None
 
-    def score(self, query: str, docs: Sequence[str]) -> np.ndarray:
+    def score(self, query: str, docs: Sequence[str],
+              priors: Optional[np.ndarray] = None) -> np.ndarray:
         if not docs:  # candidates may have vanished from the store (race
             return np.zeros(0, dtype=np.float32)  # with a concurrent delete)
         tokens = np.stack([pair_tokenize(query, d, self.cfg) for d in docs])
+        if self.cfg.prior_residual:
+            prior = (
+                np.zeros(len(docs), np.float32) if priors is None
+                else np.asarray(priors, np.float32)
+            )
+            return np.asarray(
+                self._score(self.params, jnp.asarray(tokens),
+                            prior=jnp.asarray(prior))
+            )
         return np.asarray(self._score(self.params, jnp.asarray(tokens)))

@@ -88,8 +88,28 @@ def build_triples(
     return triples
 
 
-def train(
+def attach_priors(
     triples: List[Tuple[str, str, str]],
+) -> List[Tuple[str, str, str, float, float]]:
+    """Compute the frozen lexical prior for each triple's hi/lo texts
+    (engine/rerank.prior_for_texts — the SAME rescore the serving path
+    feeds the prior-residual model)."""
+    from ..core.index import get_index
+    from ..engine.rerank import prior_for_texts
+
+    index = get_index()
+    doc_freq = index.chunks.doc_freq
+    n_docs = max(index.chunks.count, 1)
+    avgdl = index.chunks.avgdl or 400.0
+    out = []
+    for query, hi, lo in triples:
+        p = prior_for_texts(query, [hi, lo], doc_freq, n_docs, avgdl)
+        out.append((query, hi, lo, float(p[0]), float(p[1])))
+    return out
+
+
+def train(
+    triples,
     *,
     out_path: str,
     steps: int,
@@ -100,7 +120,10 @@ def train(
     vocab_buckets: int = 32768,
     max_len: int = 128,
     seed: int = 0,
+    prior_residual: bool = False,
 ) -> float:
+    """``triples``: (query, hi, lo) or, with ``prior_residual``,
+    (query, hi, lo, prior_hi, prior_lo) — see attach_priors."""
     import jax
     import jax.numpy as jnp
 
@@ -116,12 +139,15 @@ def train(
     cfg = RerankerConfig(
         vocab_buckets=vocab_buckets, d_model=d_model, n_layers=n_layers,
         n_heads=max(4, d_model // 32), d_ff=4 * d_model, max_len=max_len,
+        prior_residual=prior_residual,
     )
     logger.info("train_reranker.start triples=%s cfg=%s", len(triples), cfg)
     params = init_params(cfg, jax.random.PRNGKey(seed))
     opt_state = adamw_init(params)
     step_fn = jax.jit(
-        lambda p, o, hi, lo: train_step(p, o, hi, lo, cfg, lr=lr),
+        lambda p, o, hi, lo, phi, plo: train_step(
+            p, o, hi, lo, cfg, lr=lr, prior_hi=phi, prior_lo=plo
+        ),
         donate_argnums=(0, 1),
     )
     rng = np.random.default_rng(seed)
@@ -135,7 +161,16 @@ def train(
         lo = jnp.asarray(np.stack([
             pair_tokenize(triples[i][0], triples[i][2], cfg) for i in idx
         ]))
-        params, opt_state, loss = step_fn(params, opt_state, hi, lo)
+        if prior_residual:
+            phi = jnp.asarray(np.array(
+                [triples[i][3] for i in idx], np.float32))
+            plo = jnp.asarray(np.array(
+                [triples[i][4] for i in idx], np.float32))
+        else:
+            phi = jnp.zeros(len(idx), jnp.float32)
+            plo = jnp.zeros(len(idx), jnp.float32)
+        params, opt_state, loss = step_fn(params, opt_state, hi, lo,
+                                          phi, plo)
         if step % 50 == 0:
             logger.info("train_reranker.step step=%s loss=%.4f",
                         step, float(loss))

@@ -225,3 +225,51 @@ class TestColdTierSync:
         assert not syncer.poll_once().get("inserted")
         resp = _results(queries=["replication failover drill"])[0]
         assert resp["retrieved_ids"]
+
+
+class TestSyntheticColdInstaller:
+    def test_bulk_cold_rows_are_retrievable(self, tmp_store, monkeypatch):
+        """evals/synth.install_synthetic_cold (the vectorized populate
+        the 4M beyond-HBM capture uses) must wire ids/stats exactly like
+        the DocRow path: a dense probe equal to a cold row's embedding
+        retrieves that doc id top-1 through the full dispatch."""
+        import numpy as np
+
+        monkeypatch.setattr(tmp_store, "index_max_device_rows", 64)
+        monkeypatch.setattr(tmp_store, "cold_block_rows", 128)
+        from cadence_rag_tpu.core.index import get_index
+        from cadence_rag_tpu.evals.synth import (
+            install_synthetic_cold,
+            install_synthetic_corpus,
+        )
+
+        index = get_index()
+        index.ensure_call_capacity(16)
+        install_synthetic_corpus(index.chunks, 64, 16, seed=0)
+        install_synthetic_corpus(index.artifacts, 16, 16, seed=1)
+        install_synthetic_cold(index.chunks, 300, 16, seed=2)
+        assert index.chunks.cold is not None
+        assert index.chunks.cold.count == 300
+        assert index.chunks.live_count == 364
+
+        tier = index.chunks.cold
+        pick = 137
+        emb = np.asarray(tier.emb[pick], dtype=np.float32)
+        emb = emb / max(np.linalg.norm(emb), 1e-9)
+        batch = 1
+        F = 16
+        feats = [(np.zeros(0, np.int64), np.zeros(0, np.float32),
+                  np.zeros(0, np.float32))]
+        q_tech = np.zeros((batch, index.chunks.tech_slots * 4), np.int32)
+        chunks_out, _ = index.query_both_packed(
+            emb[None].astype(np.float32), feats, q_tech,
+            np.ones((batch, index.call_capacity), bool),
+            np.full(batch, -2147483647, np.int32),
+            np.full(batch, 2**31 - 1, np.int32),
+            chunk_ks=(5, 5, 5), artifact_ks=(2, 2, 5),
+            chunk_mode="exact", artifact_mode="exact",
+            recall_target=0.95,
+        )
+        ids, _scores, counts = chunks_out["dense"]
+        assert counts[0] >= 1
+        assert int(ids[0][0]) == int(tier.ids[pick])
