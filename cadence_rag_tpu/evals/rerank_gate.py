@@ -175,6 +175,7 @@ def run_gate(
     seed: int = 0,
     two_register: bool = True,
     fixture_phase: bool = True,
+    prior_gain: float = 1.0,
 ) -> Dict:
     from ..core.index import reset_index
     from ..store.db import reset_store
@@ -258,6 +259,7 @@ def run_gate(
                     lr=lr, d_model=d_model, n_layers=n_layers,
                     vocab_buckets=vocab_buckets, max_len=max_len,
                     seed=seed, prior_residual=True,
+                    prior_gain=prior_gain,
                 )
             else:
                 final_loss = train(

@@ -42,6 +42,12 @@ class RerankerConfig:
     # embedder's frozen-bag residual pattern, NOTES_DEV round-2) while
     # the residual learns what the prior cannot rank (paraphrase).
     prior_residual: bool = False
+    # Fixed scale on the prior before it joins the logits. Raw BM25
+    # magnitudes (~10-50) drown the residual's trainable range where the
+    # prior is only NOISE (paraphrase candidates all sharing the query's
+    # service token); a sub-1 gain keeps exact-token margins decisive on
+    # the fixture register while letting the residual win near-ties.
+    prior_gain: float = 1.0
 
     @property
     def head_dim(self) -> int:
@@ -103,7 +109,7 @@ def score_pairs(params: Dict[str, Any], token_ids: jax.Array,
         preferred_element_type=jnp.float32,
     )[:, 0]
     if cfg.prior_residual and prior is not None:
-        logits = logits + jax.lax.stop_gradient(
+        logits = logits + cfg.prior_gain * jax.lax.stop_gradient(
             jnp.asarray(prior, jnp.float32)
         )
     return logits
@@ -149,7 +155,8 @@ def save_params(path: str, params: Dict[str, Any], cfg: RerankerConfig) -> None:
         flat["/".join(str(k) for k in key_path)] = np.asarray(leaf)
     flat["__rerank_cfg__"] = np.array(
         [cfg.vocab_buckets, cfg.d_model, cfg.n_layers, cfg.n_heads,
-         cfg.d_ff, cfg.max_len, int(cfg.prior_residual)], dtype=np.int64,
+         cfg.d_ff, cfg.max_len, int(cfg.prior_residual),
+         int(round(cfg.prior_gain * 1000))], dtype=np.int64,
     )
     np.savez(path, **flat)
 
@@ -163,6 +170,9 @@ def load_params(path: str) -> "tuple[Dict[str, Any], RerankerConfig]":
             max_len=int(vals[5]),
             # len-6 cfg rows are pre-round-5 artifacts (no prior head)
             prior_residual=bool(vals[6]) if vals.shape[0] > 6 else False,
+            prior_gain=(
+                float(vals[7]) / 1000.0 if vals.shape[0] > 7 else 1.0
+            ),
         )
         template = init_params(cfg, jax.random.PRNGKey(0))
         leaves_with_path = jax.tree_util.tree_flatten_with_path(template)

@@ -121,6 +121,7 @@ def train(
     max_len: int = 128,
     seed: int = 0,
     prior_residual: bool = False,
+    prior_gain: float = 1.0,
 ) -> float:
     """``triples``: (query, hi, lo) or, with ``prior_residual``,
     (query, hi, lo, prior_hi, prior_lo) — see attach_priors."""
@@ -139,7 +140,7 @@ def train(
     cfg = RerankerConfig(
         vocab_buckets=vocab_buckets, d_model=d_model, n_layers=n_layers,
         n_heads=max(4, d_model // 32), d_ff=4 * d_model, max_len=max_len,
-        prior_residual=prior_residual,
+        prior_residual=prior_residual, prior_gain=prior_gain,
     )
     logger.info("train_reranker.start triples=%s cfg=%s", len(triples), cfg)
     params = init_params(cfg, jax.random.PRNGKey(seed))
