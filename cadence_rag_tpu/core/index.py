@@ -66,13 +66,33 @@ def _multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+# One in-flight eager H2D staging at a time. Round-5 soak forensics:
+# with a background writer, each multi-minute run showed exactly one
+# 5-70 s batch stalled in the ENQUEUE step, while a pure-query control
+# (single staging thread) never stalled — concurrent eager transfers
+# from two host threads (the writer's slab staging under the corpus
+# lock + the query path's packed upload outside it) sporadically wedge
+# the tunneled PJRT client. Serializing staging costs ~1-2 ms per call
+# (transfers still overlap device COMPUTE, just not each other).
+_transfer_lock = threading.Lock()
+
+
 def _stage(arr, dtype=None):
     """Host->device staging for jit inputs: eager transfer single-process
     (overlaps the tunneled H2D with other host work), raw numpy when the
     mesh spans processes (see _multiprocess)."""
     if _multiprocess():
         return np.asarray(arr, dtype=dtype) if dtype is not None else arr
-    return jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
+    if not settings.h2d_serialize_enabled:
+        return (jnp.asarray(arr, dtype=dtype) if dtype is not None
+                else jnp.asarray(arr))
+    with _transfer_lock:
+        out = (jnp.asarray(arr, dtype=dtype) if dtype is not None
+               else jnp.asarray(arr))
+        # hold until the bytes are on device — releasing at enqueue
+        # would let the wire transfers overlap again
+        jax.block_until_ready(out)
+    return out
 
 
 @dataclasses.dataclass
