@@ -144,12 +144,6 @@ class Settings:
     # (VERDICT r4 item 2; Postgres never blocks reads while an index
     # grows). 0 restores synchronous lock-held growth everywhere.
     growth_migration_enabled: bool = True
-    # Serialize eager host->device staging across host threads (core/
-    # index._stage): concurrent transfers from the writer and the query
-    # path sporadically wedged the tunneled PJRT client for 5-70 s
-    # (round-5 soak forensics; a single-staging-thread control never
-    # stalled). ~1-2 ms per staging call; 0 restores concurrent uploads.
-    h2d_serialize_enabled: bool = True
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.
     dense_ivf_enabled: bool = False

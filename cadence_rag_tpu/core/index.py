@@ -66,33 +66,23 @@ def _multiprocess() -> bool:
     return jax.process_count() > 1
 
 
-# One in-flight eager H2D staging at a time. Round-5 soak forensics:
-# with a background writer, each multi-minute run showed exactly one
-# 5-70 s batch stalled in the ENQUEUE step, while a pure-query control
-# (single staging thread) never stalled — concurrent eager transfers
-# from two host threads (the writer's slab staging under the corpus
-# lock + the query path's packed upload outside it) sporadically wedge
-# the tunneled PJRT client. Serializing staging costs ~1-2 ms per call
-# (transfers still overlap device COMPUTE, just not each other).
-_transfer_lock = threading.Lock()
-
-
 def _stage(arr, dtype=None):
     """Host->device staging for jit inputs: eager transfer single-process
     (overlaps the tunneled H2D with other host work), raw numpy when the
-    mesh spans processes (see _multiprocess)."""
+    mesh spans processes (see _multiprocess).
+
+    Round-5 note: serializing these transfers through a lock +
+    block_until_ready (an attempt at the sporadic 5-70 s enqueue stall
+    seen only under concurrent writer load) measured strictly WORSE —
+    each insert slab paid 6 sequential ~50 ms sync round trips through
+    the tunnel and soak QPS halved, while the sporadic stall still
+    occurred. Async staging stays; the stall is characterized in
+    NOTES_DEV (absent in a single-staging-thread control, never aligned
+    with an operational event — tunnel-level)."""
     if _multiprocess():
         return np.asarray(arr, dtype=dtype) if dtype is not None else arr
-    if not settings.h2d_serialize_enabled:
-        return (jnp.asarray(arr, dtype=dtype) if dtype is not None
-                else jnp.asarray(arr))
-    with _transfer_lock:
-        out = (jnp.asarray(arr, dtype=dtype) if dtype is not None
-               else jnp.asarray(arr))
-        # hold until the bytes are on device — releasing at enqueue
-        # would let the wire transfers overlap again
-        jax.block_until_ready(out)
-    return out
+    return (jnp.asarray(arr, dtype=dtype) if dtype is not None
+            else jnp.asarray(arr))
 
 
 @dataclasses.dataclass
