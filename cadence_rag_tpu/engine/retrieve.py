@@ -123,10 +123,14 @@ def _make_plan(payload: RetrieveRequest) -> QueryPlan:
         query=query,
         budget=payload.budget or Budget(),
     )
-    logger.info(
-        "retrieve.start query_id=%s intent=%s return_style=%s debug=%s",
-        query_id, payload.intent, payload.return_style, payload.debug,
-    )
+    # per-request trace at DEBUG; INFO gets one line per micro-batch
+    # (_prepare_plans) — 2x128 INFO records per batch measured ~2-3 ms
+    # of handler time on the 1-core serving host
+    if logger.isEnabledFor(10):  # logging.DEBUG
+        logger.debug(
+            "retrieve.start query_id=%s intent=%s return_style=%s debug=%s",
+            query_id, payload.intent, payload.return_style, payload.debug,
+        )
     if not query:
         plan.empty = True
         return plan
@@ -842,11 +846,19 @@ def _coalesce_payloads(
     """
     if not settings.retrieve_coalesce_enabled or len(payloads) < 2:
         return payloads, None
-    seen: Dict[str, int] = {}
+    seen: Dict[Any, int] = {}
     assign: List[int] = []
     unique: List[RetrieveRequest] = []
     for payload in payloads:
-        key = payload.model_dump_json()
+        if payload.filters is None:
+            # common shape (no filters): a tuple key over the scalar
+            # fields avoids the pydantic json dump (~2.5 ms per
+            # all-unique 128-batch on the 1-core host)
+            key = (payload.query, payload.intent, payload.return_style,
+                   payload.debug, payload.budget.max_evidence_items,
+                   payload.budget.max_total_chars)
+        else:
+            key = payload.model_dump_json()
         slot = seen.get(key)
         if slot is None:
             slot = len(unique)
@@ -950,15 +962,26 @@ def _assemble_ids_only_batch(
             "retrieved_ids": strings[offset:end],
         }
         offset = end
-        logger.info(
-            "retrieve.complete query_id=%s mode=ids_only ids=%s dense=%s",
-            plan.query_id, int(counts[j]), plan.dense_enabled,
-        )
+        if logger.isEnabledFor(10):  # logging.DEBUG; see _make_plan
+            logger.debug(
+                "retrieve.complete query_id=%s mode=ids_only ids=%s "
+                "dense=%s", plan.query_id, int(counts[j]),
+                plan.dense_enabled,
+            )
+    logger.info(
+        "retrieve.complete_batch mode=ids_only n=%s ids_total=%s",
+        len(eligible), int(counts.sum()),
+    )
     return out
 
 
 def _prepare_plans(payloads: Sequence[RetrieveRequest]) -> List[QueryPlan]:
     plans = [_make_plan(p) for p in payloads]
+    if plans:
+        logger.info(
+            "retrieve.start_batch n=%s first_query_id=%s",
+            len(plans), plans[0].query_id,
+        )
     _tech_plans(plans)
     _featurize_plans(plans)
     _embed_plans(plans)
