@@ -144,6 +144,15 @@ class Settings:
     # (VERDICT r4 item 2; Postgres never blocks reads while an index
     # grows). 0 restores synchronous lock-held growth everywhere.
     growth_migration_enabled: bool = True
+    # Issue copy_to_host_async() on the fused program's output right at
+    # dispatch: the D2H request rides behind the execute in the tunnel's
+    # queue, so by the time collect_packed blocks the bytes are already
+    # on host. Measured (evals/rtt_probe3, 262k, batch 128): host work
+    # done between dispatch and collect becomes FREE (20 ms of it: +0.3
+    # ms with prefetch vs +14.5 ms without) — this is what lets the
+    # pipelined depth-2/3 server overlap assemble with readback. 0
+    # restores request-at-collect.
+    readback_prefetch_enabled: bool = True
     ann_recall_target: float = 0.95          # lax.approx_max_k recall knob
     # IVF dense mode (opt-in): probed-cluster scan for large corpora.
     dense_ivf_enabled: bool = False

@@ -2341,6 +2341,16 @@ class DeviceIndexManager:
                 date_max, chunk_ks, artifact_ks, chunk_mode,
                 artifact_mode, recall_target,
             )
+        if settings.readback_prefetch_enabled:
+            # Enqueue the D2H request NOW so it rides behind the execute
+            # in the tunnel queue: host work between dispatch and collect
+            # then overlaps the readback instead of preceding its request
+            # (evals/rtt_probe3; ~15 ms per pipelined batch). Non-blocking.
+            for leaf in jax.tree_util.tree_leaves((flat_raw, ivf_dense)):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
         self.prewarmer.note_signature(sig)
         self.prewarmer.maybe_prewarm()
         return PackedDispatch(
