@@ -55,6 +55,22 @@ class TestBatchRetrieve:
         ]
         assert batched == serial
 
+    def test_readback_prefetch_parity(self, corpus, monkeypatch):
+        """READBACK_PREFETCH_ENABLED only changes WHEN the D2H request is
+        issued (dispatch vs collect) — results must be identical."""
+        from cadence_rag_tpu.config import settings
+
+        reqs = [
+            RetrieveRequest(query=q, return_style="ids_only")
+            for q in ("ECONNRESET object store", "azure migration runbook")
+        ]
+        monkeypatch.setattr(settings, "readback_prefetch_enabled", False)
+        off = [r["retrieved_ids"] for r in retrieve_evidence_batch(reqs)]
+        monkeypatch.setattr(settings, "readback_prefetch_enabled", True)
+        on = [r["retrieved_ids"] for r in retrieve_evidence_batch(reqs)]
+        assert on == off
+        assert off[0]  # non-empty: the corpus matches the first query
+
     def test_pipelined_matches_batched(self, corpus):
         """The single-thread pipelined stream (depth 2/3 in flight on
         device) must produce exactly the per-batch responses of the
